@@ -1,0 +1,122 @@
+"""Pairwise string-similarity primitives.
+
+Rebuilds the reference's Python feature helpers
+(src/eutilities/string_utils.py:59-109 — jaro_winkler_similarity,
+edit-distance char diffs, jaccard_similarity, intersection) as:
+
+- native Spark SQL expressions wherever one exists (levenshtein,
+  array_intersect/array_union) — JVM-side, whole-stage-codegen'd;
+- an Arrow-batched pandas UDF for Jaro-Winkler (Spark has no builtin).
+  The reference calls these row-at-a-time inside pandas.iterrows()
+  (src/pubmed_inner_feature_extract.py:213-341); here each UDF call
+  processes a whole Arrow batch — the only Python boundary left.
+
+Jaro-Winkler semantics match DuckDB's ``jaro_winkler_similarity``
+exactly (p=0.1, prefix<=4, boost threshold 0.7, empty-string -> 0.0)
+so the DuckDB oracle can cross-check values bit-for-bit.  Null input
+-> 0.0, mirroring the reference's null contract
+(src/eutilities/string_utils.py:80-83).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str | None, s2: str | None) -> float:
+    """Plain-Python JW used inside the pandas UDF and in unit tests."""
+    if s1 is None or s2 is None:
+        return 0.0
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        j += prefix * 0.1 * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler; one Python call per ~10k-row batch."""
+    out = [jaro_winkler(a, b) for a, b in zip(s1, s2)]
+    return pd.Series(out, dtype="float64")
+
+
+def levenshtein_ratio(c1: Column | str, c2: Column | str) -> Column:
+    """Normalized edit similarity 1 - lev/max(len) — fully native.
+
+    The reference exposes raw editops char-diffs
+    (src/eutilities/string_utils.py:59-77); the north-star feature set
+    asks for the ratio form.  Empty/empty -> 1.0; null -> 0.0.
+    """
+    c1, c2 = F.col(c1) if isinstance(c1, str) else c1, (
+        F.col(c2) if isinstance(c2, str) else c2
+    )
+    mx = F.greatest(F.length(c1), F.length(c2))
+    ratio = F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(c1, c2) / mx
+    )
+    return F.coalesce(ratio, F.lit(0.0))
+
+
+def token_jaccard(a: Column | str, b: Column | str) -> Column:
+    """|A∩B| / |A∪B| over token arrays — native array fns, no UDF.
+
+    Mirrors src/eutilities/string_utils.py:99-109.  Empty-union -> 0.0
+    (the reference divides only when union non-empty).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def token_overlap(a: Column | str, b: Column | str) -> Column:
+    """|A∩B| (reference `intersection`, string_utils.py:89-96)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.size(F.array_intersect(a, b))

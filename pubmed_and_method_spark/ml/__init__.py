@@ -1,0 +1,5 @@
+from pubmed_and_method_spark.ml.model import (  # noqa: F401
+    fit_match_classifier,
+    grouped_split,
+    pairwise_metrics,
+)

@@ -1,0 +1,124 @@
+"""Supervised match scoring: Spark ML rebuild of the model layer.
+
+Reference: sklearn classifier zoo dispatched by name
+(src/model/classification.py:18-40), production default RandomForest
+n_estimators=100 (src/model/available_model.py:15-18), MinMax+Standard
+scaling (src/eutilities/preprocessor.py:25-30 — fit on the FULL matrix,
+a leak we deliberately fix by fitting on train only), group-aware CV by
+lastname-hash (src/comparison/inner_feature_method.py:48-55), metrics
+at prob>0.5 (src/metric/metric.py:6-20).
+
+Here: VectorAssembler -> GBTClassifier (north-star mandate; RF kept as
+an option), deterministic block-hash splits, and pairwise P/R/F1 as
+DataFrame aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+from pyspark.ml.feature import MinMaxScaler, StandardScaler, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str = "block_key",
+    train_pct: int = 70,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic leakage-free split: whole blocks go to one side.
+
+    Rebuild of GroupShuffleSplit over xxHash32(lastname)%100
+    (src/comparison/inner_feature_method.py:48-55; key built at
+    database/pubmed_inner_outer_feature.sql:680-681), made fully
+    deterministic (the reference's split depends on sklearn RNG).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(group_col), F.lit(salt)), F.lit(100))
+    return df.withColumn("split_group", bucket.cast("int")).withColumn(
+        "is_train", (F.col("split_group") < train_pct).cast("int")
+    )
+
+
+def fit_match_classifier(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "same_entity",
+    algo: str = "gbt",
+    seed: int = 42,
+) -> PipelineModel:
+    """Scalers + tree ensemble in one Pipeline (fit on train only)."""
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="raw_features", handleInvalid="keep"
+    )
+    mm = MinMaxScaler(inputCol="raw_features", outputCol="mm_features")
+    std = StandardScaler(
+        inputCol="mm_features", outputCol="features", withMean=False
+    )
+    if algo == "gbt":
+        clf = GBTClassifier(
+            labelCol=label_col, featuresCol="features", maxIter=40, seed=seed
+        )
+    elif algo == "rf":
+        # reference production default: RF with 100 trees, gini
+        # (src/model/classification.py:101-111)
+        clf = RandomForestClassifier(
+            labelCol=label_col, featuresCol="features", numTrees=100, seed=seed
+        )
+    else:
+        raise ValueError(f"unknown algo {algo!r}")
+    return Pipeline(stages=[assembler, mm, std, clf]).fit(train)
+
+
+def predict_prob(model: PipelineModel, df: DataFrame) -> DataFrame:
+    """Append pred_prob (P(match)) and pred (threshold 0.5,
+    src/metric/metric.py:7-8)."""
+    from pyspark.ml.functions import vector_to_array
+
+    get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    scored = model.transform(df).withColumn("pred_prob", get_p1.cast("double"))
+    return scored.withColumn(
+        "pred", (F.col("pred_prob") > 0.5).cast("int")
+    ).drop("raw_features", "mm_features", "features", "rawPrediction", "probability", "prediction")
+
+
+def pairwise_metrics(
+    scored: DataFrame, label_col: str = "same_entity", pred_col: str = "pred"
+) -> dict[str, float]:
+    """Accuracy / precision / recall / F1 in ONE aggregation pass
+    (reference loops sklearn metrics per fold, src/metric/metric.py)."""
+    lab, prd = F.col(label_col), F.col(pred_col)
+    row = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(((lab == 1) & (prd == 1)).cast("long")).alias("tp"),
+        F.sum(((lab == 0) & (prd == 1)).cast("long")).alias("fp"),
+        F.sum(((lab == 1) & (prd == 0)).cast("long")).alias("fn"),
+        F.sum((lab == prd).cast("long")).alias("correct"),
+    ).first()
+    precision = row.tp / (row.tp + row.fp) if (row.tp + row.fp) else 0.0
+    recall = row.tp / (row.tp + row.fn) if (row.tp + row.fn) else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall)
+        else 0.0
+    )
+    return {
+        "n": row.n,
+        "accuracy": row.correct / row.n if row.n else 0.0,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def error_analysis(scored: DataFrame, label_col: str = "same_entity") -> DataFrame:
+    """false_positive / false_negative tagging for the error sink
+    (analog of database/statistics.sql:717-737,765-781)."""
+    lab, prd = F.col(label_col), F.col("pred")
+    return scored.withColumn(
+        "error_type",
+        F.when((lab == 0) & (prd == 1), "false_positive")
+        .when((lab == 1) & (prd == 0), "false_negative")
+        .otherwise(F.lit(None).cast("string")),
+    )

@@ -1,0 +1,214 @@
+"""Blocking + candidate pair generation — the O(N²) -> Σ O(b²) move.
+
+Rebuilds the reference's within-namespace pairing
+(database/and_datasets.sql:56-68: groupArray -> arrayMap cross product
+-> canonicalize x>y?y:x -> arrayDistinct) WITHOUT ever collecting a
+block into one array: at 10^12-turn scale a hot block
+(>1000 members, reference README.md:3) must never land in one task.
+
+Two scale mechanisms:
+
+1. **Triangle-split salting** (generate_pairs): members of a block are
+   hashed into ``s`` buckets; every unordered bucket pair (i,j) i<=j
+   becomes an independent join task keyed (block, i, j).  A block of
+   n rows is processed by s(s+1)/2 tasks of ~(n/s)² work instead of
+   one n² task.  Each unordered member pair appears in exactly one
+   task, so no dedup shuffle is needed afterwards.
+2. **AQE skew-join splitting** stays enabled as backstop (session.py).
+
+Plus MinHash-LSH as blocking pass 2 (north-star: "MinHash-LSH on
+token shingles") built from native exprs only: explode -> k seeded
+xxhash64 mins (map-side partial agg) -> banded bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def block_commonness(
+    members: DataFrame, key_col: str = "block_key"
+) -> DataFrame:
+    """Blocking-key frequency + normalized ambiguity score.
+
+    Analog of and.lastname_firat_initial_commonness
+    (database/model_building_using_rich_features.sql:438-448) and
+    ambiguity_score = commonness / sum(commonness)
+    (database/pubmed_inner_outer_feature.sql:112-113).  The scalar
+    total is a single-row broadcast cross join — no driver collect.
+    """
+    counts = members.groupBy(key_col).agg(F.count("*").alias("commonness"))
+    total = counts.agg(F.sum("commonness").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "ambiguity_score", (F.col("commonness") / F.col("__total")).cast("double")
+        )
+        .drop("__total")
+    )
+
+
+def generate_pairs(
+    members: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+    num_buckets: int = 1,
+    max_block_size: int | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All unordered pairs within each block, canonical id1 < id2.
+
+    ``num_buckets`` = s enables triangle-split salting (s=1 is a plain
+    skew-join-assisted self-join).  ``max_block_size`` drops blocks
+    larger than the cap before pairing (hot-row control, analog of
+    ``length(authors_list_raw) < 50`` at
+    database/link_pubmed_to_aminer_amg_s2.sql:342-343).
+
+    Output: (block_key, id1, id2[, carry1..., carry2...]).
+    """
+    m = members.select(key_col, id_col, *carry_cols)
+    if max_block_size is not None:
+        sizes = m.groupBy(key_col).agg(F.count("*").alias("__bs"))
+        m = (
+            m.join(F.broadcast(sizes.filter(F.col("__bs") <= max_block_size)), key_col)
+            .drop("__bs")
+        )
+
+    def side(alias: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"{id_col}{alias}")] + [
+            F.col(c).alias(f"{c}{alias}") for c in carry_cols
+        ]
+        return m.select(key_col, *cols)
+
+    if num_buckets <= 1:
+        left, right = side("1"), side("2")
+        pairs = left.join(right, key_col).where(
+            F.col(f"{id_col}1") < F.col(f"{id_col}2")
+        )
+    else:
+        s = num_buckets
+        b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
+        bucketed = m.withColumn("__b", b)
+        # left replicates into tasks (b, j) for j >= b;
+        # right replicates into tasks (i, b) for i <= b.
+        left = (
+            bucketed.withColumn(
+                "__t", F.explode(F.sequence(F.col("__b"), F.lit(s - 1)))
+            )
+            .select(
+                key_col,
+                F.col("__b").alias("__ti"),
+                F.col("__t").alias("__tj"),
+                *[F.col(c).alias(f"{c}1") for c in (id_col, *carry_cols)],
+            )
+        )
+        right = (
+            bucketed.withColumn(
+                "__t", F.explode(F.sequence(F.lit(0), F.col("__b")))
+            )
+            .select(
+                key_col,
+                F.col("__t").alias("__ti"),
+                F.col("__b").alias("__tj"),
+                *[F.col(c).alias(f"{c}2") for c in (id_col, *carry_cols)],
+            )
+        )
+        joined = left.join(right, [key_col, "__ti", "__tj"])
+        same_bucket = F.col("__ti") == F.col("__tj")
+        # same-bucket tasks see both orders -> keep id1<id2;
+        # cross-bucket tasks see each pair once -> canonicalize.
+        id1, id2 = F.col(f"{id_col}1"), F.col(f"{id_col}2")
+        pairs = (
+            joined.where(~same_bucket | (id1 < id2))
+            .withColumn("__swap", ~same_bucket & (id1 > id2))
+            .where(id1 != id2)
+        )
+        swapped = [
+            F.when(F.col("__swap"), F.col(f"{c}2")).otherwise(F.col(f"{c}1")).alias(f"{c}1")
+            for c in (id_col, *carry_cols)
+        ] + [
+            F.when(F.col("__swap"), F.col(f"{c}1")).otherwise(F.col(f"{c}2")).alias(f"{c}2")
+            for c in (id_col, *carry_cols)
+        ]
+        pairs = pairs.select(key_col, *swapped)
+
+    out_cols = [key_col, f"{id_col}1", f"{id_col}2"] + [
+        f"{c}{s}" for c in carry_cols for s in ("1", "2")
+    ]
+    return pairs.select(*out_cols)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """k MinHash values per id via explode + k seeded xxhash64 mins.
+
+    One wide aggregation — map-side partial agg keeps the shuffle at
+    one row per (id, k mins).  No Python, no collect.
+    """
+    exploded = df.select(id_col, F.explode(shingle_col).alias("__sh"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_blocks(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH bucket keys: (id, band, band_key).
+
+    Ids sharing a band_key within a band are near-duplicate
+    candidates; use the band key as a blocking key for
+    ``generate_pairs``.  rows/band = num_hashes // bands.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, shingle_col, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sig.withColumn("__bands", F.array(*band_cols))
+        .select(id_col, F.explode("__bands").alias("__band"))
+        .select(
+            id_col,
+            F.col("__band.band").alias("band"),
+            F.col("__band.band_key").alias("band_key"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    num_buckets: int = 1,
+) -> DataFrame:
+    """Distinct candidate pairs from MinHash-LSH banding (pass-2
+    blocking).  Pairs colliding in several bands are deduped."""
+    blocks = minhash_lsh_blocks(df, id_col, shingle_col, num_hashes, bands)
+    blocks = blocks.withColumn(
+        "block_key", F.concat_ws("_", F.col("band"), F.col("band_key"))
+    )
+    pairs = generate_pairs(
+        blocks, key_col="block_key", id_col=id_col, num_buckets=num_buckets
+    )
+    return pairs.select(f"{id_col}1", f"{id_col}2").distinct()

@@ -1,0 +1,336 @@
+"""End-to-end AND (author/speaker name disambiguation) pipeline.
+
+The Spark-first rebuild of the reference DAG (SURVEY.md §3.3):
+
+  transcripts -> signatures -> blocking -> candidate pairs ->
+  pair features -> supervised scoring -> connected components ->
+  clusters + evaluation
+
+Every stage runs through StageStore (checkpoint + lineage + metrics;
+the analog of the reference's ~30 eager materialized views).  All
+randomness is seeded; the per-turn text invariant (stable
+(conv_id, turn_idx) ordering) holds at every stage because turn
+ordering is carried by sort_array over (turn_idx, ...) structs, never
+by physical row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.functions.normalize import clean_tokens, shingles
+from pubmed_and_method_spark.functions.strings import (
+    jaro_winkler_udf,
+    levenshtein_ratio,
+    token_jaccard,
+)
+from pubmed_and_method_spark.ml.model import (
+    fit_match_classifier,
+    grouped_split,
+    pairwise_metrics,
+    predict_prob,
+)
+from pubmed_and_method_spark.operators.any_join import any_join
+from pubmed_and_method_spark.operators.blocking import (
+    block_commonness,
+    generate_pairs,
+)
+from pubmed_and_method_spark.operators.connected_components import (
+    connected_components,
+)
+from pubmed_and_method_spark.plans.checkpoint import StageStore
+
+NAME_RE = r"[Ii] am agent ([a-z]+)\.? ([a-z]+)"
+
+FEATURE_COLS = [
+    "name_jw",
+    "name_lev_ratio",
+    "initial_eq",
+    "token_jacc",
+    "shingle_jacc",
+    "tool_jacc",
+    "time_diff_days",
+    "time_overlap",
+    "ambiguity_score",
+]
+
+
+def build_signatures(transcripts: DataFrame) -> DataFrame:
+    """One row per (conv_id, role=assistant) mention.
+
+    The analog of and.pubmed_inner_feature (one wide row per mention,
+    database/pubmed_inner_outer_feature.sql:111-203).  Turn order is
+    reconstructed with sort_array over (turn_idx, text) structs — the
+    W3 pattern (SURVEY.md §2.5) — so the signature is independent of
+    input row order (per-turn ordering invariant).
+    """
+    turns = transcripts.select(
+        "conv_id",
+        F.struct("turn_idx", "role", "text", "tool", "ts").alias("turn"),
+    )
+    conv = turns.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list("turn")).alias("turns")
+    )
+    asst = F.filter(F.col("turns"), lambda t: t["role"] == "assistant")
+    sig = conv.select(
+        "conv_id",
+        F.concat_ws(
+            " ", F.transform(asst, lambda t: t["text"])
+        ).alias("full_text"),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.transform(F.col("turns"), lambda t: t["tool"]),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("tool_profile"),
+        F.element_at(F.transform(F.col("turns"), lambda t: t["ts"]), 1).alias(
+            "ts_min"
+        ),
+        F.element_at(F.transform(F.col("turns"), lambda t: t["ts"]), -1).alias(
+            "ts_max"
+        ),
+        F.size("turns").alias("n_turns"),
+    )
+    low = F.lower(F.col("full_text"))
+    sig = (
+        sig.withColumn("given_name", F.regexp_extract(low, NAME_RE, 1))
+        .withColumn("surname", F.regexp_extract(low, NAME_RE, 2))
+        .withColumn(
+            "block_key",
+            F.when(
+                (F.col("surname") != "") & (F.col("given_name") != ""),
+                F.concat_ws(
+                    "_", F.col("surname"), F.substring("given_name", 1, 1)
+                ),
+            ).otherwise(F.lit("__unblocked__")),
+        )
+        .withColumn("tokens", clean_tokens("full_text"))
+        .withColumn("shingle_set", shingles("full_text", n=3))
+        .withColumn("mention_id", F.concat_ws("#", "conv_id", F.lit("assistant")))
+        .withColumn("role", F.lit("assistant"))
+    )
+    return sig
+
+
+def build_labeled_pairs(
+    signatures: DataFrame,
+    truth: DataFrame,
+    num_buckets: int = 1,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Within-block candidate pairs + planted labels.
+
+    Pair semantics mirror database/and_datasets.sql:56-68 (canonical
+    id1<id2, no self-pairs, block-local).  Labels come from joining
+    the truth table on both sides (same_entity = entity_id1==entity_id2),
+    the SONG construction (and_datasets.sql:44-79).
+    """
+    members = signatures.select("block_key", "mention_id", "conv_id").filter(
+        F.col("block_key") != "__unblocked__"
+    )
+    pairs = generate_pairs(
+        members,
+        key_col="block_key",
+        id_col="mention_id",
+        num_buckets=num_buckets,
+        max_block_size=max_block_size,
+        carry_cols=("conv_id",),
+    )
+    t = truth.select("conv_id", "entity_id")
+    pairs = (
+        any_join(pairs, t.withColumnRenamed("conv_id", "conv_id1")
+                 .withColumnRenamed("entity_id", "entity_id1"), "conv_id1", broadcast=True)
+        .transform(
+            lambda d: any_join(
+                d,
+                t.withColumnRenamed("conv_id", "conv_id2").withColumnRenamed(
+                    "entity_id", "entity_id2"
+                ),
+                "conv_id2",
+                broadcast=True,
+            )
+        )
+        .withColumn(
+            "same_entity",
+            (F.col("entity_id1") == F.col("entity_id2")).cast("int"),
+        )
+    )
+    return pairs
+
+
+def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """The flagship pair-assembly double-join (J3):
+    pair table joined against the mention-feature table twice —
+    database/pubmed_inner_outer_feature.sql:672-781 — then the
+    vectorized feature stack (X1-X17 analogs)."""
+    feat_cols = [
+        "mention_id",
+        "given_name",
+        "surname",
+        "tokens",
+        "shingle_set",
+        "tool_profile",
+        "ts_min",
+        "ts_max",
+        "block_key",
+    ]
+    s = signatures.select(*feat_cols)
+    s1 = s.select([F.col(c).alias(f"{c}1") for c in feat_cols]).withColumnRenamed(
+        "block_key1", "bk1"
+    )
+    s2 = s.select([F.col(c).alias(f"{c}2") for c in feat_cols]).withColumnRenamed(
+        "block_key2", "bk2"
+    )
+    df = (
+        pairs.join(s1, "mention_id1")
+        .join(s2, "mention_id2")
+        .drop("bk1", "bk2")
+    )
+    amb = block_commonness(
+        signatures.filter(F.col("block_key") != "__unblocked__"), "block_key"
+    )
+    df = df.join(F.broadcast(amb), "block_key", "left")
+
+    day = 86400.0
+    mid1 = (F.unix_timestamp("ts_min1") + F.unix_timestamp("ts_max1")) / 2
+    mid2 = (F.unix_timestamp("ts_min2") + F.unix_timestamp("ts_max2")) / 2
+    overlap_start = F.greatest(F.unix_timestamp("ts_min1"), F.unix_timestamp("ts_min2"))
+    overlap_end = F.least(F.unix_timestamp("ts_max1"), F.unix_timestamp("ts_max2"))
+
+    return (
+        df.withColumn(
+            "name_jw",
+            jaro_winkler_udf(
+                F.concat_ws(" ", "given_name1", "surname1"),
+                F.concat_ws(" ", "given_name2", "surname2"),
+            ),
+        )
+        .withColumn(
+            "name_lev_ratio",
+            levenshtein_ratio(F.col("given_name1"), F.col("given_name2")),
+        )
+        .withColumn(
+            "initial_eq",
+            (
+                F.substring("given_name1", 1, 1)
+                == F.substring("given_name2", 1, 1)
+            ).cast("int"),
+        )
+        .withColumn("token_jacc", token_jaccard("tokens1", "tokens2"))
+        .withColumn("shingle_jacc", token_jaccard("shingle_set1", "shingle_set2"))
+        .withColumn("tool_jacc", token_jaccard("tool_profile1", "tool_profile2"))
+        .withColumn("time_diff_days", F.abs(mid1 - mid2) / day)
+        .withColumn(
+            "time_overlap",
+            ((overlap_end - overlap_start) > 0).cast("int"),
+        )
+        .withColumn("ambiguity_score", F.coalesce("ambiguity_score", F.lit(0.0)))
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    store: StageStore,
+    seed: int = 42,
+    algo: str = "gbt",
+    num_buckets: int = 4,
+    datagen_kwargs: dict | None = None,
+) -> dict:
+    """Full AND pipeline on the synthetic corpus; returns metrics."""
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    transcripts, truth = transcripts_df(spark, seed=seed, **(datagen_kwargs or {}))
+    transcripts = store.run_stage(
+        "transcripts", lambda: transcripts, params={"seed": seed}
+    )
+    truth = store.run_stage("entities_truth", lambda: truth, params={"seed": seed})
+
+    signatures = store.run_stage(
+        "signatures",
+        lambda: build_signatures(transcripts),
+        inputs=("transcripts",),
+        params={"seed": seed},
+    )
+    pairs = store.run_stage(
+        "labeled_pairs",
+        lambda: build_labeled_pairs(signatures, truth, num_buckets=num_buckets),
+        inputs=("signatures", "entities_truth"),
+        params={"num_buckets": num_buckets},
+    )
+    features = store.run_stage(
+        "pair_features",
+        lambda: build_pair_features(pairs, signatures),
+        inputs=("labeled_pairs", "signatures"),
+        params={},
+    )
+
+    split = grouped_split(features, "block_key", train_pct=70, salt=seed)
+    train = split.filter(F.col("is_train") == 1)
+    test = split.filter(F.col("is_train") == 0)
+    model = fit_match_classifier(train, FEATURE_COLS, algo=algo, seed=seed)
+    scored_test = predict_prob(model, test)
+    metrics = pairwise_metrics(scored_test)
+
+    scored_all = store.run_stage(
+        "scored_pairs",
+        lambda: predict_prob(model, split).select(
+            "block_key",
+            "mention_id1",
+            "mention_id2",
+            "same_entity",
+            "is_train",
+            "pred_prob",
+            "pred",
+        ),
+        inputs=("pair_features",),
+        params={"algo": algo, "seed": seed},
+    )
+
+    matched = scored_all.filter(F.col("pred") == 1)
+    components = store.run_stage(
+        "clusters",
+        lambda: connected_components(
+            matched, u_col="mention_id1", v_col="mention_id2"
+        ),
+        inputs=("scored_pairs",),
+        params={},
+    )
+
+    # cluster-level pairwise agreement vs truth (within candidate pairs)
+    cc = components.select(
+        F.col("id").alias("mention_id"), "component"
+    )
+    with_cc = (
+        scored_all.join(
+            cc.withColumnRenamed("mention_id", "mention_id1").withColumnRenamed(
+                "component", "component1"
+            ),
+            "mention_id1",
+            "left",
+        )
+        .join(
+            cc.withColumnRenamed("mention_id", "mention_id2").withColumnRenamed(
+                "component", "component2"
+            ),
+            "mention_id2",
+            "left",
+        )
+        .withColumn(
+            "cluster_pred",
+            (
+                F.col("component1").isNotNull()
+                & (F.col("component1") == F.col("component2"))
+            ).cast("int"),
+        )
+    )
+    cluster_metrics = pairwise_metrics(with_cc, pred_col="cluster_pred")
+
+    return {
+        "pair_model": metrics,
+        "clusters": cluster_metrics,
+        "n_mentions": signatures.count(),
+        "n_pairs": pairs.count(),
+    }

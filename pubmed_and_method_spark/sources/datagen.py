@@ -1,0 +1,187 @@
+"""Deterministic synthetic transcript corpus with planted entities.
+
+The analog of the reference's gold-standard corpora (SONG:
+resources/gold_standard_dataset/song/and_corpus.txt, DDL
+database/and_datasets.sql:8-14): a seeded generator that emits
+
+- ``transcripts``  (conv_id, turn_idx, role, text, tool, ts)  — the
+  BASELINE.json input_hint schema, verbatim;
+- ``entities_truth`` (entity_id, conv_id, role, block_key) — planted
+  ground truth, several entities per block key so the task is
+  non-trivial (SONG: 385 authors across 36 lastname groups,
+  database/and_datasets.sql:16-26);
+- hot blocks (many entities sharing one key) to exercise the skew
+  path (analog of >1000-member namespaces, reference README.md:3).
+
+Everything is numpy-seeded — two runs with the same seed are
+byte-identical (fixes the reference's unseeded rand()/now64() sites,
+database/and_datasets.sql:130, pubmed_inner_outer_feature.sql:819).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+TRUTH_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("block_key", T.StringType(), False),
+    ]
+)
+
+_SURNAMES = [
+    "smith", "lee", "wang", "garcia", "kim", "mueller", "ivanov", "sato",
+    "chen", "brown", "davis", "lopez", "nguyen", "cohen", "silva", "patel",
+    "rossi", "novak", "jensen", "olsen",
+]
+_TOOLS = [
+    "search", "calculator", "code_exec", "browser", "file_read", "sql",
+    "translate", "summarize", "",
+]
+
+# Given-name stems per initial letter — entities in the same block share
+# surname + first initial (the reference's ns = lastname_firstinitial,
+# database/model_building_using_rich_features.sql:438-444) but carry
+# distinct full given names, so name-similarity features are informative.
+_GIVEN_STEMS = [
+    "ndrea", "lex", "nton", "melia", "rturo", "lan", "bigail", "dam",
+    "urora", "lbert", "rchie", "gnes",
+]
+_VOCAB = [
+    "model", "train", "query", "table", "join", "cluster", "vector",
+    "token", "batch", "shuffle", "metric", "label", "feature", "score",
+    "graph", "node", "edge", "block", "index", "cache", "stream", "window",
+    "filter", "sample", "entity", "record", "linkage", "pair", "match",
+    "spark", "parquet", "schema", "column", "partition", "hash", "sketch",
+    "corpus", "author", "paper", "journal", "topic", "embed", "cosine",
+    "recall", "precision", "gradient", "forest", "boost", "learn", "deploy",
+]
+
+
+def generate_transcripts(
+    n_entities: int = 40,
+    n_blocks: int = 18,
+    seed: int = 42,
+    convs_per_entity: tuple[int, int] = (2, 8),
+    turns_per_conv: tuple[int, int] = (3, 30),
+    hot_block_entities: int = 8,
+    long_conv: bool = True,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Return (transcripts_pdf, entities_truth_pdf) as pandas frames.
+
+    Entities in the same block share a normalized key; same-entity
+    conversations share a vocabulary core + tool profile + time window
+    so the downstream feature stack separates them from different
+    entities in the same block.
+    """
+    rng = np.random.default_rng(seed)
+    base_ts = dt.datetime(2024, 1, 1)
+
+    # block 0 is the planted hot block (skew analog).
+    block_of_entity: list[int] = []
+    for e in range(n_entities):
+        if e < hot_block_entities:
+            block_of_entity.append(0)
+        else:
+            block_of_entity.append(1 + int(rng.integers(0, n_blocks - 1)))
+
+    truth_rows = []
+    turn_rows = []
+    conv_counter = 0
+    # distinct given-name stem per entity within a block
+    stem_cursor: dict[int, int] = {}
+    for e in range(n_entities):
+        entity_id = f"E{e:04d}"
+        block = block_of_entity[e]
+        surname = _SURNAMES[block % len(_SURNAMES)]
+        initial = chr(ord("a") + block % 26)
+        block_key = f"{surname}_{initial}"
+        stem_i = stem_cursor.get(block, 0)
+        stem_cursor[block] = stem_i + 1
+        given = initial + _GIVEN_STEMS[stem_i % len(_GIVEN_STEMS)]
+        # entity-specific core vocabulary + tool preferences + epoch
+        core = rng.choice(len(_VOCAB), size=10, replace=False)
+        tools = rng.choice(len(_TOOLS), size=3, replace=False)
+        epoch_day = int(rng.integers(0, 365))
+        n_convs = int(rng.integers(convs_per_entity[0], convs_per_entity[1] + 1))
+        for c in range(n_convs):
+            conv_id = f"c{conv_counter:05d}"
+            conv_counter += 1
+            truth_rows.append((entity_id, conv_id, "assistant", block_key))
+            n_turns = int(rng.integers(turns_per_conv[0], turns_per_conv[1] + 1))
+            if long_conv and e == 0 and c == 0:
+                n_turns = 60  # >50-turn cap analog (link_pubmed...sql:342-343)
+            day = epoch_day + int(rng.integers(-15, 16))
+            t0 = base_ts + dt.timedelta(days=day, minutes=int(rng.integers(0, 1440)))
+            for t in range(n_turns):
+                role = ["user", "assistant", "tool"][
+                    t % 2 if t % 7 != 6 else 2
+                ]
+                # text: mostly entity-core words, some global noise
+                k = int(rng.integers(4, 12))
+                use_core = rng.random(k) < 0.7
+                words = [
+                    _VOCAB[core[int(rng.integers(0, len(core)))]]
+                    if uc
+                    else _VOCAB[int(rng.integers(0, len(_VOCAB)))]
+                    for uc in use_core
+                ]
+                # mixed case + punctuation + occasional unicode to
+                # exercise normalization (N1/F3)
+                if rng.random() < 0.3:
+                    words[0] = words[0].capitalize()
+                text = " ".join(words) + ("." if rng.random() < 0.5 else "!")
+                if rng.random() < 0.05:
+                    text += " café"
+                if role == "assistant" and t == 1:
+                    # planted self-introduction: the analog of the author
+                    # name string on a paper byline.  Sometimes the given
+                    # name is abbreviated to its initial (name-variant
+                    # noise, author_name_enhancement.sql:85-120).
+                    shown = given if rng.random() < 0.8 else given[0]
+                    text = f"Hello, I am agent {shown} {surname}. " + text
+                tool = (
+                    _TOOLS[tools[int(rng.integers(0, len(tools)))]]
+                    if role != "user" and rng.random() < 0.6
+                    else ""
+                )
+                ts = t0 + dt.timedelta(seconds=int(t) * 90 + int(rng.integers(0, 60)))
+                turn_rows.append((conv_id, t, role, text, tool, ts))
+
+    transcripts = pd.DataFrame(
+        turn_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
+    truth = pd.DataFrame(
+        truth_rows, columns=["entity_id", "conv_id", "role", "block_key"]
+    )
+    return transcripts, truth
+
+
+def transcripts_df(
+    spark: SparkSession, seed: int = 42, **kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """Spark DataFrames for (transcripts, entities_truth)."""
+    t, g = generate_transcripts(seed=seed, **kwargs)
+    return (
+        spark.createDataFrame(t, schema=TRANSCRIPT_SCHEMA),
+        spark.createDataFrame(g, schema=TRUTH_SCHEMA),
+    )

@@ -1,0 +1,75 @@
+"""Large-star/small-star connected components correctness.
+
+Cross-checked against a plain union-find on the collected edge list
+(valid at test scale only; the Spark operator never collects).
+"""
+
+import random
+
+from pubmed_and_method_spark.operators.connected_components import (
+    connected_components,
+)
+
+
+def union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in edges:
+        union(u, v)
+    return {x: find(x) for x in parent}
+
+
+def check(spark, edges):
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    want_roots = union_find(edges)
+    # same partition into groups AND component label == min member
+    groups_got = {}
+    for node, comp in got.items():
+        groups_got.setdefault(comp, set()).add(node)
+    groups_want = {}
+    for node, root in want_roots.items():
+        groups_want.setdefault(root, set()).add(node)
+    assert set(map(frozenset, groups_got.values())) == set(
+        map(frozenset, groups_want.values())
+    )
+    for comp, nodes in groups_got.items():
+        assert comp == min(nodes)
+
+
+def test_simple_chain(spark):
+    check(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+
+
+def test_star_and_clique(spark):
+    edges = [("h", f"s{i}") for i in range(10)]
+    edges += [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    check(spark, edges)
+
+
+def test_random_graph(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(60)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    check(spark, edges)
+
+
+def test_long_path_converges(spark):
+    # path of length 40 — exercises multi-round convergence
+    edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(40)]
+    check(spark, edges)

@@ -1,0 +1,109 @@
+"""Unit tests for the similarity/normalization primitives.
+
+Mirrors the reference's ad-hoc checks
+(test/eutilities/string_utils_test.py) plus DuckDB cross-validation of
+Jaro-Winkler — our UDF must match duckdb's jaro_winkler_similarity
+bit-for-bit (that parity is what the driver's oracle gate hashes).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.functions.normalize import clean_tokens, normalize_text, shingles
+from pubmed_and_method_spark.functions.strings import (
+    jaro_winkler,
+    jaro_winkler_udf,
+    levenshtein_ratio,
+    token_jaccard,
+    token_overlap,
+)
+
+
+CASES = [
+    ("martha", "marhta"),
+    ("DIXON", "DICKSONX"),
+    ("", "a"),
+    ("", ""),
+    ("abc", "abc"),
+    ("jellyfish", "smellyfish"),
+    ("a", "b"),
+    ("prefixmatch", "prefixmxtch"),
+]
+
+
+def test_jaro_winkler_matches_duckdb_pointwise():
+    for a, b in CASES:
+        want = duckdb.sql(
+            "select jaro_winkler_similarity(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == pytest.approx(want, abs=1e-12), (a, b)
+
+
+def test_jaro_winkler_null_contract():
+    # reference: jaro_winkler_similarity returns 0.0 on null inputs
+    # (src/eutilities/string_utils.py:80-83)
+    assert jaro_winkler(None, "x") == 0.0
+    assert jaro_winkler("x", None) == 0.0
+
+
+def test_jaro_winkler_udf_batch(spark):
+    df = spark.createDataFrame(CASES, ["a", "b"])
+    got = {
+        (r.a, r.b): r.jw
+        for r in df.withColumn("jw", jaro_winkler_udf("a", "b")).collect()
+    }
+    for a, b in CASES:
+        want = duckdb.sql(
+            "select jaro_winkler_similarity(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert got[(a, b)] == pytest.approx(want, abs=1e-12)
+
+
+def test_levenshtein_ratio(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("", ""), ("abc", "abc"), (None, "x")], ["a", "b"]
+    )
+    rows = df.withColumn("lr", levenshtein_ratio("a", "b")).collect()
+    by = {(r.a, r.b): r.lr for r in rows}
+    assert by[("kitten", "sitting")] == pytest.approx(1 - 3 / 7)
+    assert by[("", "")] == 1.0
+    assert by[("abc", "abc")] == 1.0
+    assert by[(None, "x")] == 0.0
+
+
+def test_token_jaccard_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"]), ([], [])],
+        "a array<string>, b array<string>",
+    )
+    rows = (
+        df.withColumn("j", token_jaccard("a", "b"))
+        .withColumn("o", token_overlap("a", "b"))
+        .collect()
+    )
+    assert rows[0].j == pytest.approx(2 / 4)
+    assert rows[0].o == 2
+    assert rows[1].j == 0.0  # empty-union -> 0.0 (reference contract)
+
+
+def test_normalize_and_tokens(spark):
+    df = spark.createDataFrame(
+        [("The QUICK, brown-fox!! 42 jumps the a of",)], ["t"]
+    )
+    row = (
+        df.select(
+            normalize_text("t").alias("n"), clean_tokens("t").alias("toks")
+        ).first()
+    )
+    assert row.n == "the quick brown fox 42 jumps the a of"
+    # stopwords (the/a/of), short tokens, pure numbers dropped
+    assert row.toks == ["quick", "brown", "fox", "jumps"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("alpha beta gamma delta",), ("tiny one",), ("", )], ["t"])
+    rows = df.select(shingles("t", 3).alias("s")).collect()
+    assert rows[0].s == ["alpha beta gamma", "beta gamma delta"]
+    assert rows[1].s == ["tiny one"]
+    assert rows[2].s == []

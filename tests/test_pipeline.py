@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests: invariants + the F1 >= 0.99 gate.
+
+Mirrors the reference's strongest checks (SURVEY.md §5): golden pair
+counts, split disjointness (src/help/dataset_split.py:3-11), the
+per-turn text-equality invariant, and statistical evaluation as the
+end-to-end test (src/comparison/result.txt).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.ml.model import grouped_split
+from pubmed_and_method_spark.plans.checkpoint import StageStore
+from pubmed_and_method_spark.plans.pipeline import (
+    build_labeled_pairs,
+    build_pair_features,
+    build_signatures,
+    run_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def signatures(spark, corpus):
+    t, _ = corpus
+    return build_signatures(t).cache()
+
+
+@pytest.fixture(scope="module")
+def labeled(spark, corpus, signatures):
+    _, g = corpus
+    return build_labeled_pairs(signatures, g, num_buckets=2).cache()
+
+
+def test_signatures_one_per_conversation(corpus, signatures):
+    t, g = corpus
+    assert signatures.count() == t.select("conv_id").distinct().count()
+    assert signatures.filter(F.col("block_key") == "__unblocked__").count() == 0
+
+
+def test_blocking_recovers_truth_blocks(corpus, signatures):
+    _, g = corpus
+    joined = signatures.join(
+        g.select("conv_id", F.col("block_key").alias("true_block")), "conv_id"
+    )
+    mismatch = joined.filter(F.col("block_key") != F.col("true_block")).count()
+    assert mismatch == 0
+
+
+def test_per_turn_text_invariant(spark, corpus, signatures):
+    """Signature full_text must equal assistant turns concatenated in
+    (conv_id, turn_idx) order — independent of input row order."""
+    t, _ = corpus
+    shuffled = t.orderBy(F.xxhash64("conv_id", "turn_idx", "text"))
+    sig2 = build_signatures(shuffled)
+    a = signatures.select("conv_id", "full_text")
+    b = sig2.select("conv_id", F.col("full_text").alias("full_text2"))
+    diff = a.join(b, "conv_id").filter(
+        F.col("full_text") != F.col("full_text2")
+    )
+    assert diff.count() == 0
+
+
+def test_pair_golden_counts(signatures, labeled):
+    sizes = (
+        signatures.groupBy("block_key").count().collect()
+    )
+    expected = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert labeled.count() == expected
+    assert labeled.filter(
+        F.col("mention_id1") >= F.col("mention_id2")
+    ).count() == 0
+    # labels present on every pair
+    assert labeled.filter(F.col("same_entity").isNull()).count() == 0
+
+
+def test_split_block_disjointness(labeled):
+    split = grouped_split(labeled, "block_key", train_pct=70, salt=42)
+    both = (
+        split.select("block_key", "is_train")
+        .distinct()
+        .groupBy("block_key")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert both.count() == 0
+
+
+def test_pipeline_f1_gate(spark, tmp_path_factory):
+    store = StageStore(spark, str(tmp_path_factory.mktemp("stages")))
+    m = run_pipeline(spark, store, seed=42)
+    assert m["pair_model"]["f1"] >= 0.95
+    assert m["clusters"]["f1"] >= 0.99  # the BASELINE.json gate
+
+
+def test_pipeline_resume_identical(spark, tmp_path_factory):
+    """Kill-and-restart analog: a second run over the same store must
+    reuse every stage (fingerprints unchanged) and give identical
+    metrics — the north rule's resumable-restart requirement."""
+    root = str(tmp_path_factory.mktemp("stages"))
+    store = StageStore(spark, root)
+    m1 = run_pipeline(spark, store, seed=42)
+    store2 = StageStore(spark, root)
+    m2 = run_pipeline(spark, store2, seed=42)
+    assert m1 == m2
