@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + AND-pipeline throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Every query is forced end-to-end with a noop sink (count() would let
+Catalyst prune expensive projections).  The AND pipeline entry also
+reports turns/sec (the BASELINE.json throughput metric); run
+scaling_bench.py for the two-parallelism scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_nation_order_counts",
+    "q08_top_orders_per_customer",
+    "q12_stratified_downsample",
+    "q15_token_stats",
+    "q17_fingerprint_exact_dedup",
+    "q18_block_jaccard_pairs",
+    "q19_minhash_band_candidates",
+    "q20_simhash16",
+    "q21_name_similarity_pairs",
+    "q22_cosine_topk",
+    "q25_connected_components_dups",
+    "q28_lsh_candidates_xxhash",
+    "q29_multimodal_decode",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_and_pipeline(spark, n_entities: int = 1500) -> tuple[float, int]:
+    """Unsupervised AND spine: signatures -> blocking -> pairs ->
+    features -> threshold match -> connected components."""
+    from pyspark.sql import functions as F
+
+    from pubmed_and_method_spark.operators.connected_components import (
+        connected_components,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    t, g = transcripts_df(
+        spark, seed=42, n_entities=n_entities, n_blocks=max(2, n_entities // 2)
+    )
+    t = t.cache()
+    n_turns = t.count()
+
+    t0 = time.time()
+    sig = build_signatures(t)
+    pairs = build_labeled_pairs(sig, g, num_buckets=4)
+    feats = build_pair_features(pairs, sig)
+    matched = feats.filter(
+        (F.col("name_jw") > 0.95) & (F.col("token_jacc") > 0.2)
+    ).select("mention_id1", "mention_id2")
+    comps = connected_components(
+        matched, u_col="mention_id1", v_col="mention_id2"
+    )
+    force(comps)
+    return time.time() - t0, n_turns
+
+
+def main() -> int:
+    from pubmed_and_method_spark import queries as q
+    from pubmed_and_method_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    timings: dict[str, float] = {}
+
+    # warm the JVM/session so q01 doesn't pay startup costs
+    force(q.QUERIES["q01_pricing_summary"](spark, SF_DIR))
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(q.QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    and_sec, n_turns = bench_and_pipeline(spark)
+    timings["and_pipeline"] = round(and_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "and_pipeline_turns": n_turns,
+        "and_pipeline_turns_per_sec": round(n_turns / and_sec, 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,950 @@
+"""Operator-coverage query registry with DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 as an
+idiomatic Spark DataFrame plan, paired with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables.  Parity rules:
+
+- every computed double is rounded to 6 decimals on BOTH sides;
+- engine-specific hashes (xxhash64) never appear in oracle-checked
+  queries — portable md5 hex strings are used instead;
+- every aggregate/computed column is aliased identically;
+- LIMIT queries carry a total deterministic ORDER BY.
+
+Rows-only entries (no oracle) cover the genuinely non-SQL ops:
+the synthetic-transcript ER pipeline stages and multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.functions.normalize import STOPWORDS, clean_tokens
+from pubmed_and_method_spark.functions.strings import (
+    jaro_winkler_udf,
+    levenshtein_ratio,
+    token_jaccard,
+)
+from pubmed_and_method_spark.session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# shared tokenization (must match functions.normalize.clean_tokens):
+# lower -> non-alnum runs to space -> squeeze -> trim -> split -> keep
+# len>=3, not all-digits, not stopword
+_TOKENS_SQL = (
+    "list_filter(str_split(trim(regexp_replace(regexp_replace(lower({col}),"
+    "'[^a-z0-9]+',' ','g'),' +',' ','g')), ' '), "
+    "t -> len(t)>=3 and not regexp_matches(t,'^[0-9]+$') "
+    f"and not list_contains({_SW_SQL}, t))"
+)
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-§2.7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """A1/A2 aggregation + pushed-down filter (TPC-H Q1 shape)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_top_brand_revenue",
+    """
+    SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 5
+    """,
+)
+def q02(spark, sf):
+    """J1 broadcast dim join + A2 + O1 deterministic top-k."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+        .limit(5)
+    )
+
+
+@q(
+    "q03_nation_order_counts",
+    """
+    SELECT n_name, count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS total_spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q03(spark, sf):
+    """J1 two-hop enrich join (ANY-join semantics trivially hold:
+    both build sides are key-unique)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+        )
+    )
+
+
+@q(
+    "q04_semi_join_region",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q04(spark, sf):
+    """P4 IN-subquery as left-semi joins (and_datasets.sql:255-257)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi"
+    )
+    return (
+        c.join(
+            F.broadcast(asian_nations),
+            c.c_nationkey == asian_nations.n_nationkey,
+            "left_semi",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q(
+    "q05_frequent_customers",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q05(spark, sf):
+    """A4 groupBy + HAVING (link_pubmed...sql:105-109 pattern)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@q(
+    "q06_user_event_profile",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+           round(avg(value), 6) AS avg_value,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6)
+               AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q06(spark, sf):
+    """A5/A9 conditional-sum profile in ONE pass (vs the reference's
+    30-branch UNION ALL, database/statistics.sql:104-244)."""
+    e = load_table(spark, sf, "events")
+
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        cnt("click").alias("n_clicks"),
+        cnt("error").alias("n_errors"),
+        cnt("purchase").alias("n_purchases"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("purchase_value"),
+    )
+
+
+@q(
+    "q07_monthly_cumulative_revenue",
+    """
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month, round(rev, 6) AS revenue,
+           round(sum(rev) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_revenue
+    FROM monthly
+    """,
+)
+def q07(spark, sf):
+    """W2 cumulative sum over an ordered series
+    (arrayCumSum rebuild, database/statistics.sql:18-58)."""
+    o = load_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return monthly.select(
+        "month",
+        F.round("rev", 6).alias("revenue"),
+        F.round(F.sum("rev").over(w), 6).alias("cum_revenue"),
+    )
+
+
+@q(
+    "q08_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def q08(spark, sf):
+    """W1 row_number partitioned top-k with total tiebreak."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@q(
+    "q09_priority_union",
+    """
+    SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q09(spark, sf):
+    """U1 unionByName + U2 distinct."""
+    o = load_table(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("bucket")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return urgent.unionByName(low).distinct()
+
+
+@q(
+    "q10_expr_cast_join",
+    """
+    SELECT count(*) AS n_matched, round(sum(value), 6) AS total_value
+    FROM events JOIN customer ON cast(user_id AS varchar) = cast(c_custkey AS varchar)
+    """,
+)
+def q10(spark, sf):
+    """J4 join on cast expression (link_pubmed...sql:64,143)."""
+    e = load_table(spark, sf, "events")
+    c = load_table(spark, sf, "customer")
+    joined = e.join(
+        F.broadcast(c),
+        e.user_id.cast("string") == c.c_custkey.cast("string"),
+    )
+    return joined.agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@q(
+    "q11_single_supplier_orders",
+    """
+    SELECT count(*) AS n_single_supplier_orders FROM (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1)
+    """,
+)
+def q11(spark, sf):
+    """J7 1:1-enforcement guard (groupUniqArray length==1 rebuild,
+    link_pubmed_to_aminer_amg_s2.sql:101-109)."""
+    li = load_table(spark, sf, "lineitem")
+    singles = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") == 1)
+    )
+    return singles.agg(F.count("*").alias("n_single_supplier_orders"))
+
+
+@q(
+    "q12_stratified_downsample",
+    """
+    SELECT o_orderpriority, o_orderkey FROM (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY md5(cast(o_orderkey AS varchar)), o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 20
+    """,
+)
+def q12(spark, sf):
+    """O2 hash-ordered stratified downsample, made deterministic
+    (reference salts with now64() — nondeterministic —
+    pubmed_inner_outer_feature.sql:434-454; we use a pure key hash)."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderpriority", "o_orderkey")
+    )
+
+
+@q(
+    "q13_hash_split_counts",
+    """
+    SELECT split, count(*) AS n_orders FROM (
+        SELECT CASE WHEN substr(md5(cast(o_orderkey AS varchar)), 1, 2) < 'b4'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM orders) t
+    GROUP BY split
+    """,
+)
+def q13(spark, sf):
+    """O4/M5 deterministic hash split (engine-portable md5 variant of
+    the xxHash32(lastname)%100 split, pubmed_inner_outer_feature.sql:681)."""
+    o = load_table(spark, sf, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return (
+        o.select(
+            F.when(bucket < "b4", "train").otherwise("test").alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "q14_segment_commonness",
+    """
+    SELECT c_mktsegment AS block_key, count(*) AS commonness,
+           round(count(*) / (SELECT count(*) FROM customer), 6) AS ambiguity_score
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q14(spark, sf):
+    """A6/A7/X16 blocking-key commonness + scalar-normalized ambiguity
+    (model_building_using_rich_features.sql:438-448;
+    pubmed_inner_outer_feature.sql:112-113)."""
+    from pubmed_and_method_spark.operators.blocking import block_commonness
+
+    c = load_table(spark, sf, "customer").withColumnRenamed(
+        "c_mktsegment", "block_key"
+    )
+    return block_commonness(c, "block_key").select(
+        "block_key",
+        "commonness",
+        F.round("ambiguity_score", 6).alias("ambiguity_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents` (F3/N5 + training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q15_token_stats",
+    f"""
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CASE WHEN len(toks) > 0 THEN list_sort(toks)[1] ELSE '' END AS min_token
+    FROM (SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks FROM documents) t
+    """,
+)
+def q15(spark, sf):
+    """F3 tokenize/clean pipeline parity (the normalization core)."""
+    d = load_table(spark, sf, "documents")
+    toks = clean_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.coalesce(
+            F.element_at(F.array_sort(toks), 1), F.lit("")
+        ).alias("min_token"),
+    )
+
+
+@q(
+    "q16_quality_scores",
+    f"""
+    SELECT doc_id,
+           len(text) AS n_chars,
+           len(str_split(trim(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                 / greatest(len(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(str_split(lower(trim(text)), ' '),
+                     t -> list_contains({_SW_SQL}, t))) * 1.0
+                 / greatest(len(str_split(trim(text), ' ')), 1), 6)
+               AS stopword_ratio
+    FROM documents
+    """,
+)
+def q16(spark, sf):
+    """Quality scoring: length / punctuation / stopword ratios —
+    all native string+array fns, no UDF."""
+    d = load_table(spark, sf, "documents")
+    ws = F.split(F.trim("text"), " ")
+    punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    low_ws = F.split(F.lower(F.trim("text")), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(ws).alias("n_ws_tokens"),
+        punct.alias("n_punct"),
+        F.round(punct * 1.0 / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            F.size(F.filter(low_ws, lambda t: F.array_contains(sw, t)))
+            * 1.0
+            / F.greatest(F.size(ws), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "q17_fingerprint_exact_dedup",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+',' ','g'),' +',' ','g'))) AS fingerprint
+        FROM documents)
+    SELECT fingerprint, min(doc_id) AS rep_doc_id, count(*) AS n_dups
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def q17(spark, sf):
+    """Document fingerprinting + exact (hash-groupBy) dedup."""
+    from pubmed_and_method_spark.functions.normalize import normalize_text
+
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+@q(
+    "q18_block_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_distinct({_TOKENS_SQL.format(col="text")}) AS toks
+        FROM documents),
+    pairs AS (
+        SELECT a.lang, a.source, a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+               len(list_intersect(a.toks, b.toks)) AS n_common,
+               len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks)) AS n_union
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT doc_id1, doc_id2,
+           round(CASE WHEN n_union > 0 THEN n_common * 1.0 / n_union
+                      ELSE 0.0 END, 6) AS jaccard
+    FROM pairs WHERE n_common >= 5
+    """,
+)
+def q18(spark, sf):
+    """n-gram/token Jaccard near-dup candidates inside
+    (lang, source) blocks — the J9 within-block pair pattern on
+    documents, jaccard X3 as native array math."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    a = toks.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_id1"),
+        F.col("toks").alias("toks1"),
+    )
+    b = toks.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_id2"),
+        F.col("toks").alias("toks2"),
+    )
+    pairs = a.join(b, ["lang", "source"]).where(
+        F.col("doc_id1") < F.col("doc_id2")
+    )
+    inter = F.size(F.array_intersect("toks1", "toks2"))
+    union = F.size("toks1") + F.size("toks2") - inter
+    return (
+        pairs.select(
+            "doc_id1",
+            "doc_id2",
+            inter.alias("n_common"),
+            F.round(
+                F.when(union > 0, inter * 1.0 / union).otherwise(0.0), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("n_common") >= 5)
+        .select("doc_id1", "doc_id2", "jaccard")
+    )
+
+
+@q(
+    "q19_minhash_band_candidates",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL.format(col="text")}) AS toks
+        FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    sig AS (
+        SELECT doc_id,
+               min(md5(tok || '#0')) AS mh0, min(md5(tok || '#1')) AS mh1,
+               min(md5(tok || '#2')) AS mh2, min(md5(tok || '#3')) AS mh3,
+               min(md5(tok || '#4')) AS mh4, min(md5(tok || '#5')) AS mh5,
+               min(md5(tok || '#6')) AS mh6, min(md5(tok || '#7')) AS mh7
+        FROM ex GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q19(spark, sf):
+    """MinHash+LSH banded dedup candidates — portable md5 variant
+    (8 hashes, 4 bands x 2 rows), shuffle = one row per (doc, band)."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(clean_tokens("text"))).alias("tok")
+    )
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(8)
+        ]
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
+                "band_key"
+            ),
+        )
+        for b in range(4)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    a = banded.select(
+        "band", "band_key", F.col("doc_id").alias("doc_id1")
+    )
+    b2 = banded.select(
+        "band", "band_key", F.col("doc_id").alias("doc_id2")
+    )
+    return (
+        a.join(b2, ["band", "band_key"])
+        .where(F.col("doc_id1") < F.col("doc_id2"))
+        .select("doc_id1", "doc_id2")
+        .distinct()
+    )
+
+
+@q(
+    "q20_simhash16",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL.format(col="text")}) AS toks
+        FROM documents),
+    ex AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(unnest(toks)), 1, 8))::bigint AS h
+        FROM toks),
+    bits AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+        GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           sum(CASE WHEN score > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q20(spark, sf):
+    """16-bit SimHash from portable md5-derived token hashes —
+    explode x 16 bit positions, conditional sums, no UDF."""
+    d = load_table(spark, sf, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(clean_tokens("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bits = ex.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "h"
+    ).groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("score")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("score") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise string similarity (X1/X2) with oracle parity
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q21_name_similarity_pairs",
+    """
+    SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2,
+           round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS name_jw,
+           round(CASE WHEN greatest(len(a.c_name), len(b.c_name)) = 0 THEN 1.0
+                 ELSE 1.0 - levenshtein(a.c_name, b.c_name) * 1.0
+                      / greatest(len(a.c_name), len(b.c_name)) END, 6)
+               AS name_lev_ratio
+    FROM customer a JOIN customer b
+      ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey <= 60 AND b.c_custkey <= 60
+    """,
+)
+def q21(spark, sf):
+    """X1 Jaro-Winkler (Arrow pandas UDF, DuckDB-parity semantics) +
+    X2 Levenshtein ratio (native) over within-block pairs."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 60)
+    a = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("custkey1"),
+        F.col("c_name").alias("name1"),
+    )
+    b = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("custkey2"),
+        F.col("c_name").alias("name2"),
+    )
+    pairs = a.join(b, "seg").where(F.col("custkey1") < F.col("custkey2"))
+    return pairs.select(
+        "custkey1",
+        "custkey2",
+        F.round(jaro_winkler_udf("name1", "name2"), 6).alias("name_jw"),
+        F.round(levenshtein_ratio("name1", "name2"), 6).alias("name_lev_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q22_cosine_topk",
+    """
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_dot_product(q.embedding, c.embedding)
+                 / (sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+    SELECT query_id, cand_id, rnk FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM sims) t
+    WHERE rnk <= 5
+    """,
+)
+def q22(spark, sf):
+    """Brute-force cosine top-k ANN baseline: F.aggregate/zip_with dot
+    products (JVM-side), row_number top-k.  (Values are compared via
+    rank only — float sums are order-sensitive across engines.)"""
+    e = load_table(spark, sf, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    e2 = e.select("vec_id", "embedding", norm.alias("norm"))
+    qd = e2.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    cand = e2.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    sims = (
+        qd.crossJoin(cand)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "cand_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER building blocks on `events` + connected components with oracle
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q23_user_signature",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_profile,
+           count(DISTINCT cast(ts AS date)) AS active_days,
+           cast(max(ts) AS date) - cast(min(ts) AS date) AS span_days,
+           cast(year(min(ts)) AS int) AS first_year
+    FROM events GROUP BY user_id
+    """,
+)
+def q23(spark, sf):
+    """Signature aggregation (A3/A8/F7 analogs): ordered collect_set
+    profile + temporal span, the transcript-signature shape."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "type_profile"
+        ),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+            "span_days"
+        ),
+        F.year(F.min("ts")).cast("int").alias("first_year"),
+    )
+
+
+@q(
+    "q24_json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(cast(json_extract_string(props, '$.k') AS int)), 6) AS avg_k,
+           max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q24(spark, sf):
+    """F4 JSON extraction (JSONExtract* rebuild) + aggregation."""
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@q(
+    "q25_connected_components_dups",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+',' ','g'),' +',' ','g'))) AS fingerprint
+        FROM documents)
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY fingerprint) AS component
+    FROM fp
+    QUALIFY count(*) OVER (PARTITION BY fingerprint) > 1
+    """,
+)
+def q25(spark, sf):
+    """Large-star/small-star connected components over the exact-dup
+    graph — oracle-checkable because CC of clique groups == min id per
+    fingerprint group.  Exercises the REAL iterative operator."""
+    from pubmed_and_method_spark.functions.normalize import normalize_text
+    from pubmed_and_method_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf, "documents")
+    fp = d.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+    # star edges: every dup doc -> its group min (edge list, not clique)
+    rep = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n")
+    ).filter(F.col("n") > 1)
+    edges = (
+        fp.join(rep, "fingerprint")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("u"), F.col("rep").alias("v"))
+    )
+    return connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: ER pipeline stages on the
+# synthetic transcript corpus, multimodal plumbing, LSH via xxhash64)
+# ---------------------------------------------------------------------------
+
+
+@q("q26_transcript_signatures")
+def q26(spark, sf):
+    """Signature stage of the AND pipeline on the seeded synthetic
+    transcript corpus (ordered collect -> normalized sketches)."""
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    t, _ = transcripts_df(spark, seed=42)
+    return build_signatures(t).select(
+        "mention_id", "block_key", "given_name", "surname", "n_turns"
+    )
+
+
+@q("q27_transcript_labeled_pairs")
+def q27(spark, sf):
+    """Blocking + salted pair generation + truth labels (triangle
+    split, num_buckets=4) on the synthetic corpus."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t)
+    return build_labeled_pairs(sig, g, num_buckets=4).select(
+        "block_key", "mention_id1", "mention_id2", "same_entity"
+    )
+
+
+@q("q28_lsh_candidates_xxhash")
+def q28(spark, sf):
+    """MinHash-LSH candidate pairs over documents using the fast
+    xxhash64 path (engine-native hash -> no SQL oracle; q19 is the
+    portable-oracle twin)."""
+    from pubmed_and_method_spark.operators.blocking import lsh_candidate_pairs
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    return lsh_candidate_pairs(d, "doc_id", "toks", num_hashes=16, bands=4)
+
+
+@q("q29_multimodal_decode")
+def q29(spark, sf):
+    """Binary-payload plumbing: encode -> mapInPandas batch decode
+    (deterministic stub codec) -> typed features."""
+    from pubmed_and_method_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_batches,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return decode_batches(attach_binary_payload(d)).select(
+        "doc_id", "modality", "n_bytes", "checksum", "width", "height"
+    )
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: exact-dedup clusters over sf0.001 documents
+    via fingerprint + connected components."""
+    return q25(spark, "/root/testdata/sf0.001")
