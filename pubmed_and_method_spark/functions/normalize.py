@@ -51,8 +51,18 @@ def clean_tokens(c: Column | str, min_len: int = 3, drop_stopwords: bool = True)
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array over clean tokens (for MinHash-LSH
     blocking and n-gram Jaccard dedup).  Native: sequence + transform
-    + slice + array_join, no Python."""
-    toks = clean_tokens(c)
+    + slice + array_join, no Python.
+
+    NOTE: prefer ``shingles_from_tokens(F.col("tokens"))`` on a
+    materialized tokens column — passing raw text embeds the whole
+    tokenization expression inside the per-shingle lambda, which
+    whole-stage codegen re-evaluates per index (O(tokens²) per row).
+    """
+    return shingles_from_tokens(clean_tokens(c), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingle array from an already-computed token array column."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))

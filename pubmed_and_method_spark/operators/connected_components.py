@@ -74,12 +74,14 @@ def connected_components(
             ).alias("h"),
         ).first()
 
+    prev = _checksum(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        old, new = _checksum(e), _checksum(e2)
+        new = _checksum(e2)
         e = e2
-        if old.c == new.c and old.h == new.h:
+        if prev.c == new.c and prev.h == new.h:
             break
+        prev = new
 
     members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn(

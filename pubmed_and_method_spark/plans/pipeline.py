@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pubmed_and_method_spark.functions.normalize import clean_tokens, shingles
+from pubmed_and_method_spark.functions.normalize import (
+    clean_tokens,
+    shingles_from_tokens,
+)
 from pubmed_and_method_spark.functions.strings import (
     jaro_winkler_udf,
     levenshtein_ratio,
@@ -108,7 +111,7 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
             ).otherwise(F.lit("__unblocked__")),
         )
         .withColumn("tokens", clean_tokens("full_text"))
-        .withColumn("shingle_set", shingles("full_text", n=3))
+        .withColumn("shingle_set", shingles_from_tokens(F.col("tokens"), n=3))
         .withColumn("mention_id", F.concat_ws("#", "conv_id", F.lit("assistant")))
         .withColumn("role", F.lit("assistant"))
     )

@@ -601,11 +601,21 @@ def q19(spark, sf):
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(clean_tokens("text"))).alias("tok")
     )
-    sig = toks.groupBy("doc_id").agg(
+    # hash the vocabulary, not the occurrences: with Zipfian text the
+    # distinct-token table is tiny vs the exploded (doc, tok) table, so
+    # 8 md5s run once per vocab word and reach occurrences via a
+    # broadcast join instead of 8 md5s per occurrence.
+    vocab = toks.select("tok").distinct().select(
+        "tok",
         *[
-            F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            F.md5(F.concat(F.col("tok"), F.lit(f"#{i}"))).alias(f"h{i}")
             for i in range(8)
-        ]
+        ],
+    )
+    sig = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(8)])
     )
     bands = [
         F.struct(
@@ -657,12 +667,17 @@ def q20(spark, sf):
     """16-bit SimHash from portable md5-derived token hashes —
     explode x 16 bit positions, conditional sums, no UDF."""
     d = load_table(spark, sf, "documents")
-    ex = d.select(
+    toks = d.select(
         "doc_id", F.explode(F.array_distinct(clean_tokens("text"))).alias("tok")
-    ).select(
-        "doc_id",
+    )
+    # vocabulary-hash broadcast join (see q19): md5 once per distinct
+    # token, then fold the 16 bit-contributions in ONE groupBy pass by
+    # pre-expanding each hash into a +/-1 contribution array.
+    vocab = toks.select("tok").distinct().select(
+        "tok",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
     )
+    ex = toks.join(F.broadcast(vocab), "tok")
     bits = ex.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "h"
     ).groupBy("doc_id", "bit").agg(
