@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k (baseline; JVM-side
+  zip_with/aggregate dot products, row_number top-k).
+- lsh_topk: random-hyperplane (sign-LSH) bucketed approximate top-k —
+  the scale path: candidates come from same-bucket collisions across
+  a few hash tables, brute force runs only inside buckets.
+- cosine_near_dup_pairs: embedding near-duplicate detection.
+
+Hyperplanes are derived deterministically from a seed (numpy
+Generator) and shipped as literal arrays — no driver-side collect of
+data, only O(tables * bits * dim) constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col)
+    return df.withColumn("__norm", F.sqrt(_dot(v, v)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, cand_id, cos, rnk<=k) — exact baseline.
+
+    The cross join is intentional and must stay bounded: use it for
+    small query sets or inside LSH buckets; never all x all at scale.
+    """
+    qd = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    )
+    cd = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    sims = (
+        qd.crossJoin(cd)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket) sign-LSH bucket assignment.
+
+    bucket = integer of sign bits of <v, h_i> for the table's
+    hyperplanes.  Deterministic: hyperplanes from seeded Gaussian.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((tables, bits, dim))
+    table_cols = []
+    for t in range(tables):
+        bit_terms = []
+        for b in range(bits):
+            h = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            bit_terms.append(
+                F.when(_dot(F.col(vec_col), h) >= 0, F.lit(1 << b)).otherwise(
+                    F.lit(0)
+                )
+            )
+        bucket = bit_terms[0]
+        for term in bit_terms[1:]:
+            bucket = bucket + term
+        table_cols.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket"))
+        )
+    return (
+        df.select(id_col, vec_col, F.explode(F.array(*table_cols)).alias("tb"))
+        .select(
+            id_col,
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+    )
+
+
+def _bucket_candidate_sims(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """(query_id, cand_id, cos) for same-LSH-bucket pairs."""
+    buckets = hyperplane_buckets(
+        df, id_col, vec_col, dim=dim, bits=bits, tables=tables, seed=seed
+    )
+    a = buckets.select("table", "bucket", F.col(id_col).alias("query_id"))
+    b = buckets.select("table", "bucket", F.col(id_col).alias("cand_id"))
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    e = with_norm(df, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("__norm")
+    )
+    q = e.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    )
+    c = e.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    return (
+        cands.join(q, "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos"
+            ),
+        )
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates across tables, exact
+    cosine only on candidates.  Work per table ~ sum over buckets of
+    b² instead of n²."""
+    sims = _bucket_candidate_sims(df, id_col, vec_col, dim, bits, tables, seed)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return sims.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1<id2, cos>=threshold)
+    via sign-LSH candidates + exact verification."""
+    sims = _bucket_candidate_sims(df, id_col, vec_col, dim, bits, tables, seed)
+    return (
+        sims.where(
+            (F.col("query_id") < F.col("cand_id"))
+            & (F.col("cos") >= threshold)
+        )
+        .select(
+            F.col("query_id").alias(f"{id_col}1"),
+            F.col("cand_id").alias(f"{id_col}2"),
+            "cos",
+        )
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-lexicon heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting —
+all native Spark SQL expressions (JVM-side, codegen'd); no UDFs.
+
+These generalize the reference's clean-text/keyword machinery
+(database/pubmed_inner_outer_feature.sql:2-93,
+src/eutilities/string_utils.py:25-56) into reusable column builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.functions.normalize import STOPWORDS, normalize_text
+
+# tiny per-language function-word lexicons for the heuristic
+# language-ID (deterministic, broadcast-as-literal scale: the lexicon
+# is O(100) words regardless of corpus size)
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "que", "dans"],
+    "es": ["el", "los", "las", "es", "una", "por", "con", "para", "del", "como"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5", "zhe4", "bu4"],
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space
+# symbols — the shape GPT-style pre-tokenizers use.
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def whitespace_token_count(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Count of BPE-pre-tokenizer-shaped pieces via one regex pass."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    """Per-language function-word hit counts over lowercase tokens."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    out = {}
+    for lang, lex in LANG_LEXICONS.items():
+        arr = F.array(*[F.lit(w) for w in lex])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def predict_lang(c: Column | str, default: str = "en") -> Column:
+    """argmax language by lexicon hits; deterministic tie-break by
+    language code order; `default` when no lexicon word hits."""
+    scores = lang_scores(c)
+    langs = sorted(scores)
+    best = None
+    for lang in langs:
+        pair = F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(
+            (pair["score"] > best["score"]), pair
+        ).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def quality_features(c: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    c = F.col(c) if isinstance(c, str) else c
+    ws = F.split(F.trim(c), " ")
+    low_ws = F.split(F.lower(F.trim(c)), " ")
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), 0))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return {
+        "n_chars": F.length(c),
+        "n_ws_tokens": F.size(ws),
+        "n_punct": punct,
+        "punct_ratio": punct * 1.0 / F.greatest(F.length(c), F.lit(1)),
+        "stopword_ratio": (
+            F.size(F.filter(low_ws, lambda t: F.array_contains(sw, t)))
+            * 1.0
+            / F.greatest(F.size(ws), F.lit(1))
+        ),
+    }
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Normalized-content fingerprint (md5 of the canonical text) —
+    the exact-dedup key."""
+    return F.md5(normalize_text(c))

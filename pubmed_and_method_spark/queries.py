@@ -505,13 +505,11 @@ def q16(spark, sf):
 )
 def q17(spark, sf):
     """Document fingerprinting + exact (hash-groupBy) dedup."""
-    from pubmed_and_method_spark.functions.normalize import normalize_text
+    from pubmed_and_method_spark.operators.dedup import exact_dedup
 
     d = load_table(spark, sf, "documents")
-    return (
-        d.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_dups"))
+    return exact_dedup(d, "doc_id", "text").select(
+        "fingerprint", F.col("rep_id").alias("rep_doc_id"), "n_dups"
     )
 
 
@@ -762,44 +760,12 @@ def q22(spark, sf):
     """Brute-force cosine top-k ANN baseline: F.aggregate/zip_with dot
     products (JVM-side), row_number top-k.  (Values are compared via
     rank only — float sums are order-sensitive across engines.)"""
+    from pubmed_and_method_spark.operators.similarity import brute_force_topk
+
     e = load_table(spark, sf, "embeddings")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    e2 = e.select("vec_id", "embedding", norm.alias("norm"))
-    qd = e2.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    cand = e2.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
-    sims = (
-        qd.crossJoin(cand)
-        .where(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cos"
-            ),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "cand_id", "rnk")
-    )
+    return brute_force_topk(
+        e.filter(F.col("vec_id") < 8), e, id_col="vec_id", k=5
+    ).select("query_id", "cand_id", "rnk")
 
 
 # ---------------------------------------------------------------------------
@@ -956,6 +922,170 @@ def q29(spark, sf):
     d = load_table(spark, sf, "documents")
     return decode_batches(attach_binary_payload(d)).select(
         "doc_id", "modality", "n_bytes", "checksum", "width", "height"
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        + "t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in lex)
+        + "], t)))"
+    )
+    for lang, lex in sorted(
+        __import__(
+            "pubmed_and_method_spark.operators.text", fromlist=["LANG_LEXICONS"]
+        ).LANG_LEXICONS.items()
+    )
+}
+
+
+@q(
+    "q30_lang_id",
+    f"""
+    WITH scores AS (
+        SELECT doc_id, lang AS true_lang,
+               {_LANG_SCORE_SQL["de"]} AS s_de,
+               {_LANG_SCORE_SQL["en"]} AS s_en,
+               {_LANG_SCORE_SQL["es"]} AS s_es,
+               {_LANG_SCORE_SQL["fr"]} AS s_fr,
+               {_LANG_SCORE_SQL["zh"]} AS s_zh
+        FROM documents)
+    SELECT doc_id, true_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'en'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scores
+    """,
+)
+def q30(spark, sf):
+    """Heuristic language-ID (function-word lexicon argmax), ties
+    broken by language-code order — pure native exprs."""
+    from pubmed_and_method_spark.operators.text import predict_lang
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        predict_lang("text").alias("pred_lang"),
+    )
+
+
+@q(
+    "q31_token_counts",
+    r"""
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q31(spark, sf):
+    """Token counting: whitespace + BPE-ish regex pieces."""
+    from pubmed_and_method_spark.operators.text import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@q("q32_simhash_near_dups")
+def q32(spark, sf):
+    """SimHash near-dup pairs (Hamming<=3 via pigeonhole band blocking,
+    xxhash64 — engine-native, rows-only check)."""
+    from pubmed_and_method_spark.operators.dedup import simhash_near_dups
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    return simhash_near_dups(d, "doc_id", "toks", max_hamming=3)
+
+
+@q("q33_lsh_cosine_topk")
+def q33(spark, sf):
+    """Sign-LSH bucketed approximate cosine top-k (the ANN scale path;
+    float scores -> rows-only check)."""
+    from pubmed_and_method_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf, "embeddings")
+    return lsh_topk(e, "vec_id", "embedding", dim=64, k=5).select(
+        "query_id", "cand_id", "rnk"
+    )
+
+
+@q("q34_embedding_near_dups")
+def q34(spark, sf):
+    """Embedding-cosine near-duplicate pairs via sign-LSH candidates
+    (float threshold -> rows-only check)."""
+    from pubmed_and_method_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(e, "vec_id", "embedding", dim=64, threshold=0.9)
+
+
+@q(
+    "q35_jaccard_verified_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL.format(col="text")}) AS toks
+        FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    sig AS (
+        SELECT doc_id,
+               min(md5(tok || '#0')) AS mh0, min(md5(tok || '#1')) AS mh1,
+               min(md5(tok || '#2')) AS mh2, min(md5(tok || '#3')) AS mh3,
+               min(md5(tok || '#4')) AS mh4, min(md5(tok || '#5')) AS mh5,
+               min(md5(tok || '#6')) AS mh6, min(md5(tok || '#7')) AS mh7
+        FROM ex GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_id1, doc_id2,
+           round(len(list_intersect(t1.toks, t2.toks)) * 1.0
+                 / (len(t1.toks) + len(t2.toks)
+                    - len(list_intersect(t1.toks, t2.toks))), 6) AS jaccard
+    FROM cands
+    JOIN toks t1 ON cands.doc_id1 = t1.doc_id
+    JOIN toks t2 ON cands.doc_id2 = t2.doc_id
+    WHERE len(list_intersect(t1.toks, t2.toks)) * 1.0
+          / (len(t1.toks) + len(t2.toks)
+             - len(list_intersect(t1.toks, t2.toks))) >= 0.5
+    """,
+)
+def q35(spark, sf):
+    """Two-phase near-dup dedup: portable-MinHash LSH candidates ->
+    exact Jaccard verification at 0.5 (the LSH->verify shape; exact
+    rational arithmetic, so fully oracle-checkable)."""
+    from pubmed_and_method_spark.operators.dedup import jaccard_verify
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    cands = q19(spark, sf)  # portable md5 LSH candidates
+    verified = jaccard_verify(cands, toks, "doc_id", "toks", threshold=0.5)
+    return verified.select(
+        "doc_id1", "doc_id2", F.round("jaccard", 6).alias("jaccard")
     )
 
 

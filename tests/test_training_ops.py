@@ -1,0 +1,173 @@
+"""Unit tests for the training-data-pipeline operators
+(dedup / similarity / text analysis / multimodal plumbing)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_assignments,
+    jaccard_verify,
+    minhash_dedup_candidates,
+    simhash64,
+    simhash_near_dups,
+)
+from pubmed_and_method_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from pubmed_and_method_spark.operators.text import predict_lang
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the QUICK brown fox  jumps over the lazy dog!!"),  # exact dup of 1 after normalization
+        (3, "The quick brown fox jumps over the lazy cat"),     # near dup
+        (4, "completely different content about spark engines"),
+        (5, "completely different content about spark engines"),  # exact dup of 4
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r.rep_id: r.n_dups for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2
+    assert groups[4] == 2
+    assert groups[3] == 1
+
+
+def test_exact_dup_assignments(docs):
+    asg = {r.doc_id: r.rep_id for r in exact_dup_assignments(docs, "doc_id", "text").collect()}
+    assert asg == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+
+
+def test_minhash_lsh_plus_jaccard_verify(spark, docs):
+    from pubmed_and_method_spark.functions.normalize import clean_tokens
+
+    toks = docs.select(
+        "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    cands = minhash_dedup_candidates(toks, "doc_id", "toks", num_hashes=16, bands=8)
+    got = {(r.doc_id1, r.doc_id2) for r in cands.collect()}
+    assert (1, 2) in got  # identical token sets must collide
+    assert (4, 5) in got
+    verified = jaccard_verify(cands, toks, "doc_id", "toks", threshold=0.99)
+    vgot = {(r.doc_id1, r.doc_id2) for r in verified.collect()}
+    assert (1, 2) in vgot and (4, 5) in vgot
+    assert (1, 3) not in vgot  # near-dup fails the 0.99 bar
+
+
+def test_simhash_identical_and_near(spark, docs):
+    from pubmed_and_method_spark.functions.normalize import clean_tokens
+
+    toks = docs.select(
+        "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    sh = {r.doc_id: r.simhash for r in simhash64(toks, "doc_id", "toks").collect()}
+    assert sh[1] == sh[2]
+    assert sh[4] == sh[5]
+    near = simhash_near_dups(toks, "doc_id", "toks", max_hamming=3)
+    got = {(r.doc_id1, r.doc_id2): r.hamming for r in near.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(4, 5)] == 0
+
+
+def test_simhash_band_blocking_complete(spark):
+    """Pigeonhole property: every pair within max_hamming MUST be
+    found by band blocking (cross-check vs exhaustive hamming)."""
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        base = list(rng.choice(vocab, size=12, replace=False))
+        rows.append((i, base))
+        if i % 3 == 0:  # planted near-dup: one token swapped
+            mod = base.copy()
+            mod[0] = f"x{i}"
+            rows.append((100 + i, mod))
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    sh = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "toks").collect()}
+    found = {
+        (r.doc_id1, r.doc_id2)
+        for r in simhash_near_dups(df, "doc_id", "toks", max_hamming=3).collect()
+    }
+    ids = sorted(sh)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            ham = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                assert (a, b) in found, (a, b, ham)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # planted near-dups: tiny perturbations of vec 0 and 7
+    for j, src in [(100, 0), (107, 7)]:
+        rows.append(
+            (j, [float(x + 0.01 * rng.standard_normal()) for x in base[src]])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk_finds_planted(vectors):
+    res = brute_force_topk(
+        vectors.filter(F.col("vec_id").isin(0, 7)), vectors, k=1
+    ).collect()
+    best = {r.query_id: r.cand_id for r in res}
+    assert best[0] == 100
+    assert best[7] == 107
+
+
+def test_lsh_topk_recall_on_planted(vectors):
+    res = lsh_topk(vectors, dim=16, k=3, bits=6, tables=6, seed=1).collect()
+    best = {}
+    for r in res:
+        if r.rnk == 1:
+            best[r.query_id] = r.cand_id
+    assert best.get(0) == 100
+    assert best.get(7) == 107
+
+
+def test_cosine_near_dup_pairs(vectors):
+    pairs = cosine_near_dup_pairs(
+        vectors, dim=16, threshold=0.95, bits=6, tables=8, seed=1
+    ).collect()
+    got = {(r.vec_id1, r.vec_id2) for r in pairs}
+    assert (0, 100) in got
+    assert (7, 107) in got
+
+
+def test_predict_lang(spark):
+    rows = [
+        ("the cat and the dog of the house",),  # en
+        ("der hund und die katze ist nicht da",),  # de
+        ("le chat est dans la maison et les chiens",),  # fr
+        ("xyzzy qwerty",),  # no hits -> default en
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r.p for r in df.select(predict_lang("text").alias("p")).collect()]
+    assert got == ["en", "de", "fr", "en"]
+
+
+def test_multimodal_decode_contract(spark, docs):
+    from pubmed_and_method_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_batches,
+    )
+
+    out = decode_batches(attach_binary_payload(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r.modality == "image/fake"
+        assert r.n_bytes > 0
+        assert len(r.checksum) == 32
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        assert len(r.feature) == 8
