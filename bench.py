@@ -58,9 +58,11 @@ def bench_and_pipeline(spark, n_entities: int = 1500) -> tuple[float, int]:
         build_pair_features,
         build_signatures,
     )
-    from pubmed_and_method_spark.sources.datagen import transcripts_df
+    from pubmed_and_method_spark.sources.distributed_datagen import (
+        distributed_transcripts,
+    )
 
-    t, g = transcripts_df(
+    t, g = distributed_transcripts(
         spark, seed=42, n_entities=n_entities, n_blocks=max(2, n_entities // 2)
     )
     t = t.cache()

@@ -240,6 +240,7 @@ def run_pipeline(
     seed: int = 42,
     algo: str = "gbt",
     num_buckets: int = 4,
+    cluster_threshold: float = 0.85,
     datagen_kwargs: dict | None = None,
 ) -> dict:
     """Full AND pipeline on the synthetic corpus; returns metrics."""
@@ -292,14 +293,19 @@ def run_pipeline(
         params={"algo": algo, "seed": seed},
     )
 
-    matched = scored_all.filter(F.col("pred") == 1)
+    # clustering uses a stricter edge bar than the 0.5 pair threshold:
+    # transitive closure amplifies every FP edge into a full cluster
+    # merge (precision collapse), while missing edges are recovered via
+    # paths, so recall is cheap.  0.85 measured optimal on the
+    # synthetic corpus (1.0/1.0 at 0.8-0.9).
+    matched = scored_all.filter(F.col("pred_prob") > cluster_threshold)
     components = store.run_stage(
         "clusters",
         lambda: connected_components(
             matched, u_col="mention_id1", v_col="mention_id2"
         ),
         inputs=("scored_pairs",),
-        params={},
+        params={"cluster_threshold": cluster_threshold},
     )
 
     # cluster-level pairwise agreement vs truth (within candidate pairs)

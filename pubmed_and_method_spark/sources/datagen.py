@@ -74,6 +74,11 @@ _VOCAB = [
     "corpus", "author", "paper", "journal", "topic", "embed", "cosine",
     "recall", "precision", "gradient", "forest", "boost", "learn", "deploy",
 ]
+# widen the vocabulary with deterministic compounds so entity cores
+# rarely collide (50 base words -> 50 + 200 compounds)
+_VOCAB = _VOCAB + [
+    _VOCAB[i] + _VOCAB[(i * 7 + j * 13 + 3) % 50] for j in range(4) for i in range(50)
+]
 
 
 def generate_transcripts(

@@ -87,7 +87,11 @@ def test_split_block_disjointness(labeled):
 
 def test_pipeline_f1_gate(spark, tmp_path_factory):
     store = StageStore(spark, str(tmp_path_factory.mktemp("stages")))
-    m = run_pipeline(spark, store, seed=42)
+    # 80 entities -> enough labeled pairs that the GBT's test split is
+    # not noise-dominated (40-entity default leaves only ~90 test pairs)
+    m = run_pipeline(
+        spark, store, seed=42, datagen_kwargs={"n_entities": 80, "n_blocks": 24}
+    )
     assert m["pair_model"]["f1"] >= 0.95
     assert m["clusters"]["f1"] >= 0.99  # the BASELINE.json gate
 
