@@ -112,6 +112,72 @@ def pairwise_metrics(
     }
 
 
+def grouped_cv(
+    df: DataFrame,
+    feature_cols: list[str],
+    group_col: str = "block_key",
+    label_col: str = "same_entity",
+    n_folds: int = 10,
+    algo: str = "gbt",
+    seed: int = 42,
+) -> list[dict[str, float]]:
+    """Group-aware k-fold CV: fold f tests on blocks with
+    xxhash64(group) % n_folds == f, trains on the rest — the
+    deterministic rebuild of GroupShuffleSplit(n_splits=10)
+    (src/comparison/inner_feature_method.py:48-55).  Returns one
+    metrics dict per fold; average like the reference's np.average
+    (src/comparison/inner_feature_method.py:57)."""
+    fold_col = F.pmod(F.xxhash64(F.col(group_col), F.lit(seed)), F.lit(n_folds))
+    tagged = df.withColumn("__fold", fold_col).cache()
+    out = []
+    try:
+        for f in range(n_folds):
+            train = tagged.filter(F.col("__fold") != f)
+            test = tagged.filter(F.col("__fold") == f)
+            if test.isEmpty() or train.isEmpty():
+                continue
+            model = fit_match_classifier(
+                train, feature_cols, label_col=label_col, algo=algo, seed=seed
+            )
+            m = pairwise_metrics(predict_prob(model, test), label_col=label_col)
+            m["fold"] = f
+            out.append(m)
+    finally:
+        tagged.unpersist()
+    return out
+
+
+def feature_importances(
+    model: PipelineModel, feature_cols: list[str]
+) -> list[tuple[str, float]]:
+    """(feature, importance) sorted desc — rebuild of
+    model.feature_importances_ report (src/error_analysis.py:59-61)."""
+    clf = model.stages[-1]
+    imps = clf.featureImportances.toArray()
+    pairs = list(zip(feature_cols, (float(x) for x in imps)))
+    return sorted(pairs, key=lambda kv: -kv[1])
+
+
+def id_agreement_baseline(
+    pairs: DataFrame,
+    id1_col: str,
+    id2_col: str,
+    label_col: str = "same_entity",
+) -> dict[str, float]:
+    """External-id oracle baseline (M10): predict match iff the two
+    side ids agree (src/comparison/author_id_baseline.py:19-35).
+    Null on either side -> predict 0."""
+    scored = pairs.withColumn(
+        "pred",
+        (
+            F.col(id1_col).isNotNull()
+            & F.col(id2_col).isNotNull()
+            & (F.col(id1_col) == F.col(id2_col))
+        ).cast("int"),
+    )
+    return pairwise_metrics(scored, label_col=label_col)
+
+
 def error_analysis(scored: DataFrame, label_col: str = "same_entity") -> DataFrame:
     """false_positive / false_negative tagging for the error sink
     (analog of database/statistics.sql:717-737,765-781)."""

@@ -1,0 +1,78 @@
+"""Incremental signature frontier via Structured Streaming.
+
+The reference is batch-only (SURVEY §2.14: no streaming anywhere).
+This module adds the natural incremental-append frontier for the
+transcript engine: new conversation files land in a directory; a
+Structured Streaming job folds each micro-batch through the SAME
+signature builder used by the batch pipeline and upserts the result
+into the signature store, so blocking/scoring can run on an
+always-current mention table.
+
+Design notes for scale:
+- file-source streaming with ``maxFilesPerTrigger`` bounds batch size;
+- ``foreachBatch`` reuses the batch ``build_signatures`` (one code
+  path, no drift between batch and streaming semantics);
+- upsert = append + latest-wins dedup view on read (Iceberg MERGE at
+  production; parquet + window in the sandbox);
+- a conversation is assumed complete within a file (the producer
+  writes whole conversations).  For turn-level streams, the stateful
+  variant is ``applyInPandasWithState`` keyed by conv_id with an
+  event-time timeout — noted as the extension point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.plans.pipeline import build_signatures
+from pubmed_and_method_spark.sources.datagen import TRANSCRIPT_SCHEMA
+
+
+def run_incremental_signatures(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+) -> None:
+    """Process all pending transcript files into signature upserts.
+
+    With ``available_now`` the query drains the backlog and stops
+    (test/batch-catchup mode); otherwise it runs continuously.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sig = build_signatures(batch_df).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        sig.write.mode("append").parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()
+
+
+def current_signatures(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Latest-wins view over the appended signature batches (the
+    sandbox stand-in for Iceberg MERGE upserts)."""
+    df = spark.read.parquet(output_dir)
+    w = W.partitionBy("conv_id").orderBy(F.desc("batch_id"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
