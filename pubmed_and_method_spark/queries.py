@@ -828,8 +828,10 @@ def q24(spark, sf):
     """
     WITH fp AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9]+',' ','g'),' +',' ','g'))) AS fingerprint
+               md5(array_to_string(list_slice(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+',' ','g'),' +',' ','g')), ' '),
+                   1, 3), ' ')) AS fingerprint
         FROM documents)
     SELECT doc_id, min(doc_id) OVER (PARTITION BY fingerprint) AS component
     FROM fp
@@ -837,16 +839,23 @@ def q24(spark, sf):
     """,
 )
 def q25(spark, sf):
-    """Large-star/small-star connected components over the exact-dup
-    graph — oracle-checkable because CC of clique groups == min id per
-    fingerprint group.  Exercises the REAL iterative operator."""
+    """Large-star/small-star connected components over the duplicate
+    graph of 3-token-prefix fingerprints (full-text fingerprints find
+    no groups in this corpus; the prefix variant yields real multi-doc
+    clusters) — oracle-checkable because CC of clique groups == min id
+    per fingerprint group.  Exercises the REAL iterative operator."""
     from pubmed_and_method_spark.functions.normalize import normalize_text
     from pubmed_and_method_spark.operators.connected_components import (
         connected_components,
     )
 
     d = load_table(spark, sf, "documents")
-    fp = d.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+    fp = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.split(normalize_text("text"), " "), 1, 3), " ")
+        ).alias("fingerprint"),
+    )
     # star edges: every dup doc -> its group min (edge list, not clique)
     rep = fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("n")

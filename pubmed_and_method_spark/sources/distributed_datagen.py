@@ -53,9 +53,28 @@ def distributed_transcripts(
         F.col("e") < hot_block_entities, F.lit(0)
     ).otherwise(1 + F.pmod(_h(F.col("e"), F.lit("blk"), seed=seed), F.lit(n_blocks - 1)))
     ent = ent.withColumn("block", block.cast("int"))
-    surname = F.element_at(
-        F.array(*[F.lit(s) for s in _SURNAMES]),
-        (F.pmod(F.col("block"), F.lit(len(_SURNAMES))) + 1).cast("int"),
+    # Surname = stem + 4-letter base-26 suffix of the block number so the
+    # block-key space GROWS with n_blocks (distinct key per block; pair
+    # volume stays linear in input).  A fixed stem list alone saturates
+    # at len(_SURNAMES) x 26 keys, which makes block sizes — and the
+    # within-block pair count — grow quadratically with n_entities.
+    # Letters only: the planted self-intro must stay extractable by the
+    # signature stage's name regex ([a-z]+ groups).
+    suffix = F.concat(
+        *[
+            F.chr(
+                F.lit(97)
+                + F.pmod(F.floor(F.col("block") / F.lit(26**k)), F.lit(26))
+            )
+            for k in (3, 2, 1, 0)
+        ]
+    )
+    surname = F.concat(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _SURNAMES]),
+            (F.pmod(F.col("block"), F.lit(len(_SURNAMES))) + 1).cast("int"),
+        ),
+        suffix,
     )
     initial = F.chr(F.lit(97) + F.pmod(F.col("block"), F.lit(26)))
     # distinct given-name stem per entity within its block

@@ -45,7 +45,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--worker", action="store_true")
     p.add_argument("--cores", type=int, default=8)
-    p.add_argument("--entities", type=int, default=3000)
+    p.add_argument("--entities", type=int, default=150000)
     p.add_argument("--levels", default="8,32")
     args = p.parse_args()
 
