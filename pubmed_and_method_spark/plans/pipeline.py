@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pubmed_and_method_spark.functions.normalize import (
     clean_tokens,
+    shingle_hashes_from_hash_seq,
     shingles_from_tokens,
 )
 from pubmed_and_method_spark.functions.strings import (
@@ -68,39 +69,48 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
     W3 pattern (SURVEY.md §2.5) — so the signature is independent of
     input row order (per-turn ordering invariant).
     """
-    turns = transcripts.select(
-        "conv_id",
-        F.struct("turn_idx", "role", "text", "tool", "ts").alias("turn"),
+    # Lean aggregation: collect ordered structs ONLY for assistant turns
+    # and only (turn_idx, text); everything else is a plain aggregate
+    # (min/max/count/collect_set) with map-side partial aggregation.
+    # Collecting all five turn fields for every turn doubles the shuffle
+    # bytes and the reduce-side allocation rate for no consumer.
+    conv = transcripts.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("role") == "assistant", F.struct("turn_idx", "text")
+                )
+            )
+        ).alias("aturns"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("tool") != "", F.col("tool")))
+        ).alias("tool_profile"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.count("*").alias("n_turns"),
     )
-    conv = turns.groupBy("conv_id").agg(
-        F.array_sort(F.collect_list("turn")).alias("turns")
-    )
-    asst = F.filter(F.col("turns"), lambda t: t["role"] == "assistant")
     sig = conv.select(
         "conv_id",
         F.concat_ws(
-            " ", F.transform(asst, lambda t: t["text"])
+            " ", F.transform(F.col("aturns"), lambda t: t["text"])
         ).alias("full_text"),
-        F.array_sort(
-            F.array_distinct(
-                F.filter(
-                    F.transform(F.col("turns"), lambda t: t["tool"]),
-                    lambda x: x != "",
-                )
-            )
-        ).alias("tool_profile"),
-        F.element_at(F.transform(F.col("turns"), lambda t: t["ts"]), 1).alias(
-            "ts_min"
-        ),
-        F.element_at(F.transform(F.col("turns"), lambda t: t["ts"]), -1).alias(
-            "ts_max"
-        ),
-        F.size("turns").alias("n_turns"),
+        # speaker self-identification lives in the first assistant turn
+        # (the byline analog); F.get is null-safe under ANSI mode
+        F.lower(F.get(F.col("aturns"), 0)["text"]).alias("__first_asst"),
+        "tool_profile",
+        "ts_min",
+        "ts_max",
+        "n_turns",
     )
-    low = F.lower(F.col("full_text"))
+    low = F.col("__first_asst")
     sig = (
-        sig.withColumn("given_name", F.regexp_extract(low, NAME_RE, 1))
-        .withColumn("surname", F.regexp_extract(low, NAME_RE, 2))
+        sig.withColumn(
+            "given_name", F.coalesce(F.regexp_extract(low, NAME_RE, 1), F.lit(""))
+        )
+        .withColumn(
+            "surname", F.coalesce(F.regexp_extract(low, NAME_RE, 2), F.lit(""))
+        )
+        .drop("__first_asst")
         .withColumn(
             "block_key",
             F.when(
@@ -117,14 +127,12 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
         # the string arrays (at 10^12 turns the pair-join shuffle is the
         # dominant byte mover).  Jaccard over hashes == jaccard over
         # strings modulo 2^-64 collisions.
+        .withColumn("__th_seq", F.transform("tokens", lambda t: F.xxhash64(t)))
+        .withColumn("token_hashes", F.array_sort(F.array_distinct("__th_seq")))
         .withColumn(
-            "token_hashes",
-            F.array_sort(F.transform(F.array_distinct("tokens"), lambda t: F.xxhash64(t))),
+            "shingle_hashes", shingle_hashes_from_hash_seq(F.col("__th_seq"))
         )
-        .withColumn(
-            "shingle_hashes",
-            F.array_sort(F.transform("shingle_set", lambda s: F.xxhash64(s))),
-        )
+        .drop("__th_seq")
         .withColumn("mention_id", F.concat_ws("#", "conv_id", F.lit("assistant")))
         .withColumn("role", F.lit("assistant"))
     )

@@ -45,8 +45,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--worker", action="store_true")
     p.add_argument("--cores", type=int, default=8)
-    p.add_argument("--entities", type=int, default=150000)
-    p.add_argument("--levels", default="8,32")
+    p.add_argument("--entities", type=int, default=400000)
+    p.add_argument("--levels", default="2,8")
     args = p.parse_args()
 
     if args.worker:
@@ -82,17 +82,9 @@ def main() -> int:
     }
     print(json.dumps(summary, indent=2))
 
-    with open(os.path.join(os.path.dirname(__file__), "BENCH.md"), "w") as f:
-        f.write(
-            "# BENCH — scaling evidence (north rule)\n\n"
-            "Same job, same input, two parallelism levels (the sandbox\n"
-            "stand-in for N vs 4N executors; see scaling_bench.py):\n\n"
-            "| level | seconds | turns | turns/sec |\n|---|---|---|---|\n"
-            f"| local[{lo}] | {r_lo['sec']} | {r_lo['turns']} | {r_lo['turns_per_sec']} |\n"
-            f"| local[{hi}] | {r_hi['sec']} | {r_hi['turns']} | {r_hi['turns_per_sec']} |\n\n"
-            f"speedup {summary['speedup']}x at {ratio}x cores -> "
-            f"**scaling efficiency {efficiency}**\n"
-        )
+    # append the raw record; BENCH.md is curated by hand from these
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_runs.jsonl"), "a") as f:
+        f.write(json.dumps({"levels": [lo, hi], **summary}) + "\n")
     return 0
 
 
