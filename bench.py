@@ -91,7 +91,9 @@ def bench_and_pipeline(spark, n_entities: int = 1500) -> tuple[float, int]:
         "ts_min", "ts_max",
     ]
     sig = build_signatures(t).select(*SIG_COLS).localCheckpoint(eager=True)
-    pairs = build_labeled_pairs(sig, g, num_buckets=4)
+    # multi-pass blocking per the north star: exact normalized-key
+    # blocks + MinHash-LSH over token sketches (pass 2)
+    pairs = build_labeled_pairs(sig, g, num_buckets=4, lsh=True)
     feats = build_pair_features(pairs, sig)
     matched = feats.filter(
         (F.col("name_jw") > 0.95) & (F.col("token_jacc") > 0.2)

@@ -139,18 +139,32 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
     return sig
 
 
-def build_labeled_pairs(
+def build_candidate_pairs(
     signatures: DataFrame,
-    truth: DataFrame,
     num_buckets: int = 1,
     max_block_size: int | None = None,
+    lsh: bool = False,
+    lsh_hashes: int = 16,
+    lsh_bands: int = 8,
+    lsh_col: str = "token_hashes",
 ) -> DataFrame:
-    """Within-block candidate pairs + planted labels.
+    """Multi-pass blocking -> candidate pairs (canonical id1<id2).
 
-    Pair semantics mirror database/and_datasets.sql:56-68 (canonical
-    id1<id2, no self-pairs, block-local).  Labels come from joining
-    the truth table on both sides (same_entity = entity_id1==entity_id2),
-    the SONG construction (and_datasets.sql:44-79).
+    Pass 1: exact normalized-key blocks (J9 semantics,
+    database/and_datasets.sql:56-68).  Pass 2 (``lsh=True``):
+    MinHash-LSH banding over token-shingle sketches — recovers pairs
+    whose mentions fall outside exact blocks (e.g. no parsable
+    self-introduction), the north-star's second blocking pass.  LSH
+    pairs not already produced by pass 1 are tagged
+    ``block_key='__lsh__'``.
+
+    Shingle length: unigram (``token_hashes``) by default — measured
+    same-entity jaccard on multi-turn transcripts is ~0.30 for token
+    sets vs ~0.016 for word-3-gram sets (turn texts are short and
+    order-noisy), so 16 hashes x 8 bands (r=2) gives ~95% per-victim
+    recall through any of ~4 sibling conversations while banding keeps
+    the candidate volume ~6% of cross-entity pairs.  Pass
+    ``lsh_col='shingle_hashes'`` for 3-gram sketches on longer texts.
     """
     members = signatures.select("block_key", "mention_id", "conv_id").filter(
         F.col("block_key") != "__unblocked__"
@@ -162,6 +176,54 @@ def build_labeled_pairs(
         num_buckets=num_buckets,
         max_block_size=max_block_size,
         carry_cols=("conv_id",),
+    )
+    if lsh:
+        from pubmed_and_method_spark.operators.blocking import (
+            lsh_candidate_pairs,
+        )
+
+        cand2 = lsh_candidate_pairs(
+            signatures.select("mention_id", lsh_col),
+            id_col="mention_id",
+            shingle_col=lsh_col,
+            num_hashes=lsh_hashes,
+            bands=lsh_bands,
+            num_buckets=num_buckets,
+        )
+        conv_of = F.substring_index  # mention_id = conv_id#role
+        lsh_pairs = (
+            cand2.join(
+                pairs.select("mention_id1", "mention_id2"),
+                ["mention_id1", "mention_id2"],
+                "left_anti",
+            )
+            .withColumn("block_key", F.lit("__lsh__"))
+            .withColumn("conv_id1", conv_of(F.col("mention_id1"), "#", 1))
+            .withColumn("conv_id2", conv_of(F.col("mention_id2"), "#", 1))
+            .select("block_key", "mention_id1", "mention_id2", "conv_id1", "conv_id2")
+        )
+        pairs = pairs.unionByName(lsh_pairs)
+    return pairs
+
+
+def build_labeled_pairs(
+    signatures: DataFrame,
+    truth: DataFrame,
+    num_buckets: int = 1,
+    max_block_size: int | None = None,
+    lsh: bool = False,
+) -> DataFrame:
+    """Multi-pass candidate pairs + planted labels.
+
+    Labels come from joining the truth table on both sides
+    (same_entity = entity_id1==entity_id2), the SONG construction
+    (and_datasets.sql:44-79).
+    """
+    pairs = build_candidate_pairs(
+        signatures,
+        num_buckets=num_buckets,
+        max_block_size=max_block_size,
+        lsh=lsh,
     )
     t = truth.select("conv_id", "entity_id")
     pairs = (
@@ -264,6 +326,7 @@ def run_pipeline(
     algo: str = "gbt",
     num_buckets: int = 4,
     cluster_threshold: float = 0.85,
+    lsh: bool = True,
     datagen_kwargs: dict | None = None,
 ) -> dict:
     """Full AND pipeline on the synthetic corpus; returns metrics."""
@@ -283,9 +346,11 @@ def run_pipeline(
     )
     pairs = store.run_stage(
         "labeled_pairs",
-        lambda: build_labeled_pairs(signatures, truth, num_buckets=num_buckets),
+        lambda: build_labeled_pairs(
+            signatures, truth, num_buckets=num_buckets, lsh=lsh
+        ),
         inputs=("signatures", "entities_truth"),
-        params={"num_buckets": num_buckets},
+        params={"num_buckets": num_buckets, "lsh": lsh},
     )
     features = store.run_stage(
         "pair_features",

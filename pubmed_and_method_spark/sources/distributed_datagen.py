@@ -149,6 +149,20 @@ def distributed_transcripts(
     k_words = 4 + F.pmod(_h(F.col("conv_id"), F.col("turn_idx"), F.lit("k"), seed=seed), F.lit(8))
     slot = F.sequence(F.lit(0), k_words - 1)
 
+    # Word identities live in a LARGE hash space (stem list x 26^2
+    # letter suffixes x id-space), not the bare 250-stem list: with a
+    # shared 250-word vocabulary every pair of documents has jaccard
+    # ~0.09 and LSH banding degenerates to near-all-pairs — unlike any
+    # real corpus, where cross-document token overlap is ~0.  Core
+    # word ids are functions of (entity, core slot), so same-entity
+    # conversations still overlap (~0.3 jaccard) while cross-entity
+    # overlap is negligible.
+    def _surface(wid):
+        stem = F.element_at(vocab_arr, (F.pmod(wid, F.lit(nv)) + 1).cast("int"))
+        s1 = F.chr(F.lit(97) + F.pmod(F.floor(wid / F.lit(nv)), F.lit(26)))
+        s2 = F.chr(F.lit(97) + F.pmod(F.floor(wid / F.lit(nv * 26)), F.lit(26)))
+        return F.concat(stem, s1, s2)
+
     def word_for(i):
         use_core = (
             F.pmod(_h(F.col("conv_id"), F.col("turn_idx"), i, F.lit("uc"), seed=seed), F.lit(10))
@@ -157,14 +171,15 @@ def distributed_transcripts(
         core_slot = F.pmod(
             _h(F.col("conv_id"), F.col("turn_idx"), i, F.lit("cs"), seed=seed), F.lit(10)
         )
-        core_word_idx = F.pmod(
-            _h(F.col("e"), core_slot, F.lit("core"), seed=seed), F.lit(nv)
+        core_wid = F.pmod(
+            _h(F.col("e"), core_slot, F.lit("core"), seed=seed), F.lit(10_000_000)
         )
-        any_word_idx = F.pmod(
-            _h(F.col("conv_id"), F.col("turn_idx"), i, F.lit("aw"), seed=seed), F.lit(nv)
+        any_wid = F.pmod(
+            F.pmod(_h(F.col("conv_id"), F.col("turn_idx"), i, F.lit("aw"), seed=seed), F.lit(500_000)),
+            F.lit(10_000_000),
         )
-        idx = F.when(use_core, core_word_idx).otherwise(any_word_idx)
-        return F.element_at(vocab_arr, (idx + 1).cast("int"))
+        wid = F.when(use_core, core_wid).otherwise(any_wid)
+        return _surface(wid)
 
     body = F.array_join(F.transform(slot, word_for), " ")
     punct = F.when(

@@ -85,6 +85,43 @@ def test_split_block_disjointness(labeled):
     assert both.count() == 0
 
 
+def test_lsh_second_pass_recovers_unblocked(spark, corpus):
+    """Drop the self-introduction turn for some conversations: exact
+    blocking can no longer pair them (block_key=__unblocked__), but the
+    MinHash-LSH pass over shingle sketches must still produce candidate
+    pairs linking them to their entity's other conversations."""
+    from pubmed_and_method_spark.plans.pipeline import build_candidate_pairs
+
+    t, g = corpus
+    victims = [
+        r["conv_id"]
+        for r in g.select("conv_id").distinct().orderBy("conv_id").limit(6).collect()
+    ]
+    t2 = t.filter(
+        ~(F.col("conv_id").isin(victims) & (F.col("turn_idx") == 1))
+    )
+    sig = build_signatures(t2)
+    unblocked = sig.filter(F.col("block_key") == "__unblocked__")
+    assert unblocked.count() == len(victims)
+
+    pairs = build_candidate_pairs(sig, num_buckets=2, lsh=True)
+    lsh_pairs = pairs.filter(F.col("block_key") == "__lsh__")
+    covered = (
+        lsh_pairs.select(F.col("conv_id1").alias("conv_id"))
+        .union(lsh_pairs.select(F.col("conv_id2").alias("conv_id")))
+        .distinct()
+        .filter(F.col("conv_id").isin(victims))
+        .count()
+    )
+    # the sketch pass must reach a majority of the dropped-intro convs
+    assert covered >= len(victims) // 2
+    # and exact-pass pairs are never duplicated by the LSH pass
+    dup = (
+        pairs.groupBy("mention_id1", "mention_id2").count().filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+
 def test_pipeline_f1_gate(spark, tmp_path_factory):
     store = StageStore(spark, str(tmp_path_factory.mktemp("stages")))
     # 80 entities -> enough labeled pairs that the GBT's test split is
