@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# AND-pipeline corpus size.  400k entities ~= 33M turns — the scale
+# BENCH.md/BASELINE.md quote — so the driver-recorded turns/sec is the
+# real figure, not a fixed-overhead-dominated toy run (round-1 verdict:
+# 1500 entities measured 117x under the headline).
+BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "400000"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -38,6 +43,8 @@ BENCH_QUERIES = [
     "q25_connected_components_dups",
     "q28_lsh_candidates_xxhash",
     "q29_multimodal_decode",
+    "q36_name_feature_block",
+    "q37_tfidf_cosine_pairs",
 ]
 
 
@@ -90,7 +97,13 @@ def bench_and_pipeline(spark, n_entities: int = 1500) -> tuple[float, int]:
         "token_hashes", "shingle_hashes", "tool_profile",
         "ts_min", "ts_max",
     ]
-    sig = build_signatures(t).select(*SIG_COLS).localCheckpoint(eager=True)
+    # tfidf=False: the unsupervised spine's match rule uses name_jw +
+    # token_jacc only, so the TF-IDF weight join would be dead weight
+    # (Catalyst cannot eliminate the left join on its own)
+    sig = (
+        build_signatures(t, tfidf=False).select(*SIG_COLS)
+        .localCheckpoint(eager=True)
+    )
     # multi-pass blocking per the north star: exact normalized-key
     # blocks + MinHash-LSH over token sketches (pass 2)
     pairs = build_labeled_pairs(sig, g, num_buckets=4, lsh=True)
@@ -120,7 +133,7 @@ def main() -> int:
         force(q.QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    and_sec, n_turns = bench_and_pipeline(spark)
+    and_sec, n_turns = bench_and_pipeline(spark, n_entities=BENCH_ENTITIES)
     timings["and_pipeline"] = round(and_sec, 3)
 
     total = round(sum(timings.values()), 3)

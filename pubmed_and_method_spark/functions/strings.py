@@ -120,3 +120,90 @@ def token_overlap(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.size(F.array_intersect(a, b))
+
+
+def _chars(c: Column | str) -> Column:
+    """Distinct character array of a string — native.  The split
+    pattern '(?!$)' breaks at every position except end-of-string, so
+    no trailing empty element appears.  Empty input -> empty array
+    (Spark splits '' into [''], which must not count as a char)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.array_remove(F.array_distinct(F.split(c, "(?!$)")), "")
+
+
+def char_jaccard(a: Column | str, b: Column | str) -> Column:
+    """Jaccard over character SETS — rebuild of
+    jaccard_similarity(list(s1), list(s2))
+    (src/pubmed_inner_feature_extract.py:28-29, X6 dims 1-2), fully
+    native (split -> array_distinct -> intersect/union)."""
+    return token_jaccard(_chars(a), _chars(b))
+
+
+def uniq_char_diff(a: Column | str, b: Column | str) -> Column:
+    """min(|set(a)-set(b)|, |set(b)-set(a)|) — X6 dim 8
+    (src/pubmed_inner_feature_extract.py:20-23 num_uniq_char)."""
+    ca, cb = _chars(a), _chars(b)
+    return F.least(
+        F.size(F.array_except(ca, cb)), F.size(F.array_except(cb, ca))
+    )
+
+
+def edit_diff_char_count(a: Column | str, b: Column | str) -> Column:
+    """len(edit_distinct_diff_chars(a, b)) — X6 dim 7 / X2.
+
+    The reference enumerates python-Levenshtein editops and counts the
+    involved chars (src/eutilities/string_utils.py:59-77, exercised by
+    test/eutilities/string_utils_test.py): every editop contributes
+    exactly one char, so the count IS the Levenshtein distance —
+    native F.levenshtein, no Python."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.levenshtein(a, b)
+
+
+def _editops_diff_chars(s1: str, s2: str) -> list[str]:
+    """The chars touched by a minimal edit script s1 -> s2, with the
+    reference's swap-to-longer convention
+    (src/eutilities/string_utils.py:59-77): delete/replace report the
+    char in the longer string, insert reports the char inserted from
+    the shorter one."""
+    if s1 is None or s2 is None:
+        return []
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    l1, l2 = len(s1), len(s2)
+    # standard DP; backtrack preferring match > replace > delete > insert
+    d = [[0] * (l2 + 1) for _ in range(l1 + 1)]
+    for i in range(l1 + 1):
+        d[i][0] = i
+    for j in range(l2 + 1):
+        d[0][j] = j
+    for i in range(1, l1 + 1):
+        row, prev = d[i], d[i - 1]
+        c1 = s1[i - 1]
+        for j in range(1, l2 + 1):
+            cost = 0 if c1 == s2[j - 1] else 1
+            row[j] = min(prev[j - 1] + cost, prev[j] + 1, row[j - 1] + 1)
+    out = []
+    i, j = l1, l2
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and d[i][j] == d[i - 1][j - 1] and s1[i - 1] == s2[j - 1]:
+            i, j = i - 1, j - 1
+        elif i > 0 and j > 0 and d[i][j] == d[i - 1][j - 1] + 1:
+            out.append(s1[i - 1])  # replace
+            i, j = i - 1, j - 1
+        elif i > 0 and d[i][j] == d[i - 1][j] + 1:
+            out.append(s1[i - 1])  # delete
+            i -= 1
+        else:
+            out.append(s2[j - 1])  # insert
+            j -= 1
+    out.reverse()
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def edit_diff_chars_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Arrow-batched editops diff-chars (X2) for when the chars
+    themselves (not just the count) are needed."""
+    return pd.Series([_editops_diff_chars(a, b) for a, b in zip(s1, s2)])

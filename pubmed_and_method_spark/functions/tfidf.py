@@ -1,0 +1,83 @@
+"""TF-IDF weighted content vectors + cosine — X11 upgrade (SURVEY §2.10).
+
+The reference's content similarity is raw token overlap; SURVEY §2.10
+mandates the HashingTF + IDF + Normalizer cosine upgrade.  Rather than
+wrap MLlib models (whose Vector columns can't ride the pair
+double-join without a Python boundary), the same math is expressed as
+native exprs end-to-end:
+
+- HashingTF  == token -> xxhash64 bucket (the hashing trick; token
+  hash sequences already exist on signatures), tf = in-doc counts;
+- IDF        == Spark MLlib's formula idf(t) = ln((m + 1) / (df + 1))
+  computed with one groupBy over the exploded (doc, token) table and
+  the corpus size m as a broadcast single-row cross join (no collect);
+- Normalizer == L2 per-doc division;
+- cosine     == map_zip_with + aggregate over the two weight maps
+  (already unit norm, so the dot product IS the cosine).
+
+Every step is a DataFrame op: linear in corpus size, shuffles only on
+(doc) and (token) keys, no vocabulary broadcast (Heaps' law makes any
+vocab broadcast an OOM at 100x scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tfidf_weight_maps(
+    df: DataFrame, id_col: str, token_seq_col: str
+) -> DataFrame:
+    """(id, tfidf: map<long,double>) — L2-normalized TF-IDF weights.
+
+    ``token_seq_col`` is an array<long> of hashed tokens WITH
+    duplicates (term frequency matters, array_distinct would erase it).
+    """
+    ex = df.select(F.col(id_col), F.explode(token_seq_col).alias("__h"))
+    tf = ex.groupBy(id_col, "__h").agg(F.count("*").alias("__tf"))
+    docfreq = tf.groupBy("__h").agg(F.count("*").alias("__df"))
+    ndocs = df.agg(F.count("*").alias("__m"))
+    w = (
+        tf.join(docfreq, "__h")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "__w",
+            F.col("__tf")
+            * F.log((F.col("__m") + 1) / (F.col("__df") + 1)),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
+    )
+    return (
+        w.join(norms, id_col)
+        .withColumn(
+            "__wn",
+            F.when(F.col("__n") > 0, F.col("__w") / F.col("__n")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__h", "__wn")))
+            ).alias("tfidf")
+        )
+    )
+
+
+def map_cosine(m1: Column | str, m2: Column | str) -> Column:
+    """Dot product of two unit-norm weight maps == cosine similarity.
+    Keys absent on one side contribute 0.  Null map -> 0.0."""
+    m1 = F.col(m1) if isinstance(m1, str) else m1
+    m2 = F.col(m2) if isinstance(m2, str) else m2
+    prod = F.map_zip_with(
+        m1,
+        m2,
+        lambda _, v1, v2: F.coalesce(v1, F.lit(0.0)) * F.coalesce(v2, F.lit(0.0)),
+    )
+    dot = F.aggregate(
+        F.map_values(prod), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.coalesce(dot, F.lit(0.0))

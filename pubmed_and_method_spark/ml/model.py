@@ -16,10 +16,28 @@ DataFrame aggregations.
 from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    GBTClassifier,
+    LinearSVC,
+    LogisticRegression,
+    MultilayerPerceptronClassifier,
+    RandomForestClassifier,
+)
 from pyspark.ml.feature import MinMaxScaler, StandardScaler, VectorAssembler
+from pyspark.ml.regression import LinearRegression
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: the reference's 9-way model zoo (src/model/available_model.py,
+#: src/model/classification.py:18-40) re-expressed in Spark ML.
+#: ``xgboost``/``gb`` both map to GBTClassifier (Spark's gradient
+#: boosting; no xgboost lib here), ``c45`` to an entropy-criterion
+#: decision tree (C4.5's information-gain split, src/model/c45.py),
+#: ``svm`` to LinearSVC (Spark has no kernel SVC).
+AVAILABLE_ALGOS = (
+    "linear", "logistic", "dt", "c45", "svm", "xgboost", "rf", "gbt", "mlp",
+)
 
 
 def grouped_split(
@@ -36,9 +54,34 @@ def grouped_split(
     deterministic (the reference's split depends on sklearn RNG).
     """
     bucket = F.pmod(F.xxhash64(F.col(group_col), F.lit(salt)), F.lit(100))
-    return df.withColumn("split_group", bucket.cast("int")).withColumn(
-        "is_train", (F.col("split_group") < train_pct).cast("int")
+    return df.withColumn("__split_bucket", bucket.cast("int")).withColumn(
+        "is_train", (F.col("__split_bucket") < train_pct).cast("int")
     )
+
+
+def downsample_majority(
+    df: DataFrame,
+    label_col: str = "same_entity",
+    ratio: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """M4 class down-sampling: keep all minority-class rows, sample the
+    majority class to ``ratio`` x the minority count.
+
+    Rebuild of down_sample (src/eutilities/preprocessor.py:11-22),
+    distributed (sampleBy, no driver materialization) and seeded (the
+    reference uses np.random.randint with replacement; we sample
+    without replacement, which only improves sample diversity)."""
+    counts = {
+        r[label_col]: r["n"]
+        for r in df.groupBy(label_col).agg(F.count("*").alias("n")).collect()
+    }
+    if len(counts) < 2:
+        return df
+    minority = min(counts, key=counts.get)
+    majority = max(counts, key=counts.get)
+    want = min(1.0, ratio * counts[minority] / counts[majority])
+    return df.sampleBy(label_col, {minority: 1.0, majority: want}, seed=seed)
 
 
 def fit_match_classifier(
@@ -56,7 +99,7 @@ def fit_match_classifier(
     std = StandardScaler(
         inputCol="mm_features", outputCol="features", withMean=False
     )
-    if algo == "gbt":
+    if algo in ("gbt", "xgboost"):
         clf = GBTClassifier(
             labelCol=label_col, featuresCol="features", maxIter=40, seed=seed
         )
@@ -66,21 +109,70 @@ def fit_match_classifier(
         clf = RandomForestClassifier(
             labelCol=label_col, featuresCol="features", numTrees=100, seed=seed
         )
+    elif algo == "logistic":
+        # LogisticRegression(max_iter=1000, tol=1e-4, C=2) ->
+        # regParam = 1/(2*n) approximated by a small fixed reg
+        # (src/model/classification.py:51-57)
+        clf = LogisticRegression(
+            labelCol=label_col, featuresCol="features",
+            maxIter=1000, tol=1e-4, regParam=1e-4,
+        )
+    elif algo == "dt":
+        clf = DecisionTreeClassifier(
+            labelCol=label_col, featuresCol="features", seed=seed
+        )
+    elif algo == "c45":
+        # C4.5 = entropy/information-gain splits (src/model/c45.py:10-84)
+        clf = DecisionTreeClassifier(
+            labelCol=label_col, featuresCol="features",
+            impurity="entropy", seed=seed,
+        )
+    elif algo == "svm":
+        clf = LinearSVC(labelCol=label_col, featuresCol="features", maxIter=100)
+    elif algo == "mlp":
+        # sklearn MLPClassifier default ~ one hidden layer of 100
+        # (src/model/classification.py:126-131); binary softmax head
+        clf = MultilayerPerceptronClassifier(
+            labelCol=label_col, featuresCol="features",
+            layers=[len(feature_cols), 100, 2], seed=seed, maxIter=100,
+        )
+    elif algo == "linear":
+        # LinearRegression + 0.5 threshold (classification.py:43-48);
+        # thresholding happens in predict_prob
+        clf = LinearRegression(
+            labelCol=label_col, featuresCol="features", predictionCol="__linpred"
+        )
     else:
-        raise ValueError(f"unknown algo {algo!r}")
+        raise ValueError(f"unknown algo {algo!r}; one of {AVAILABLE_ALGOS}")
     return Pipeline(stages=[assembler, mm, std, clf]).fit(train)
 
 
 def predict_prob(model: PipelineModel, df: DataFrame) -> DataFrame:
     """Append pred_prob (P(match)) and pred (threshold 0.5,
-    src/metric/metric.py:7-8)."""
+    src/metric/metric.py:7-8).
+
+    Handles all zoo heads: probabilistic classifiers use
+    probability[1]; LinearSVC maps its margin through a sigmoid;
+    the linear-regression head thresholds its raw prediction at 0.5
+    exactly like the reference (src/model/classification.py:43-48).
+    """
     from pyspark.ml.functions import vector_to_array
 
-    get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)
-    scored = model.transform(df).withColumn("pred_prob", get_p1.cast("double"))
+    scored = model.transform(df)
+    if "probability" in scored.columns:
+        p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    elif "__linpred" in scored.columns:
+        p1 = F.col("__linpred")
+    else:  # LinearSVC: margin -> pseudo-probability
+        margin = F.element_at(vector_to_array(F.col("rawPrediction")), 2)
+        p1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    scored = scored.withColumn("pred_prob", p1.cast("double"))
     return scored.withColumn(
-        "pred", (F.col("pred_prob") > 0.5).cast("int")
-    ).drop("raw_features", "mm_features", "features", "rawPrediction", "probability", "prediction")
+        "pred", (F.col("pred_prob") >= 0.5).cast("int")
+    ).drop(
+        "raw_features", "mm_features", "features",
+        "rawPrediction", "probability", "prediction", "__linpred",
+    )
 
 
 def pairwise_metrics(
@@ -151,9 +243,19 @@ def feature_importances(
     model: PipelineModel, feature_cols: list[str]
 ) -> list[tuple[str, float]]:
     """(feature, importance) sorted desc — rebuild of
-    model.feature_importances_ report (src/error_analysis.py:59-61)."""
+    model.feature_importances_ report (src/error_analysis.py:59-61).
+
+    Tree models expose featureImportances; linear heads expose
+    coefficients (the reference likewise returns model.coef_ for
+    linear/logistic/svm, classification.py:48,57); MLP exposes
+    neither -> empty list."""
     clf = model.stages[-1]
-    imps = clf.featureImportances.toArray()
+    if hasattr(clf, "featureImportances"):
+        imps = clf.featureImportances.toArray()
+    elif hasattr(clf, "coefficients"):
+        imps = [abs(c) for c in clf.coefficients.toArray()]
+    else:
+        return []
     pairs = list(zip(feature_cols, (float(x) for x in imps)))
     return sorted(pairs, key=lambda kv: -kv[1])
 

@@ -201,14 +201,23 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     num_buckets: int = 1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs from MinHash-LSH banding (pass-2
-    blocking).  Pairs colliding in several bands are deduped."""
+    blocking).  Pairs colliding in several bands are deduped.
+
+    ``max_block_size`` caps band buckets: a degenerate band key (empty
+    token lists, identical signatures) would otherwise go quadratic.
+    Dropping an oversized bucket trades recall, not correctness — a
+    true near-dup pair usually collides in several bands and survives
+    via the others; set None for exact oracle parity at small scale.
+    """
     blocks = minhash_lsh_blocks(df, id_col, shingle_col, num_hashes, bands)
     blocks = blocks.withColumn(
         "block_key", F.concat_ws("_", F.col("band"), F.col("band_key"))
     )
     pairs = generate_pairs(
-        blocks, key_col="block_key", id_col=id_col, num_buckets=num_buckets
+        blocks, key_col="block_key", id_col=id_col, num_buckets=num_buckets,
+        max_block_size=max_block_size,
     )
     return pairs.select(f"{id_col}1", f"{id_col}2").distinct()

@@ -105,14 +105,23 @@ def simhash64(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, token_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_hamming: int = 3,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Blocking: split the 64-bit hash into (max_hamming+1) bands — by
     pigeonhole any pair within the distance agrees exactly on at least
     one band, so candidate generation is a band-key self-join (never
-    all-pairs).  Verify with bit_count(xor)."""
+    all-pairs).  Verify with bit_count(xor).
+
+    ``max_block_size`` caps a band bucket's membership before the
+    self-join (a degenerate bucket — e.g. thousands of identical
+    simhashes — goes quadratic otherwise).  Pairs dropped from an
+    oversized bucket can still surface via their other bands."""
     nb = max_hamming + 1
     width = 64 // nb
     sh = simhash64(df, id_col, token_col)
@@ -133,6 +142,11 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    if max_block_size is not None:
+        sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("__bs"))
+        bands = bands.join(
+            sizes.filter(F.col("__bs") <= max_block_size), ["band", "band_key"]
+        ).drop("__bs")
     a = bands.select(
         "band", "band_key",
         F.col(id_col).alias(f"{id_col}1"), F.col("simhash").alias("sh1"),

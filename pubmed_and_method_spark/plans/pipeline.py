@@ -25,11 +25,16 @@ from pubmed_and_method_spark.functions.normalize import (
     shingles_from_tokens,
 )
 from pubmed_and_method_spark.functions.strings import (
+    char_jaccard,
+    edit_diff_char_count,
     jaro_winkler_udf,
     levenshtein_ratio,
     token_jaccard,
+    uniq_char_diff,
 )
+from pubmed_and_method_spark.functions.tfidf import map_cosine
 from pubmed_and_method_spark.ml.model import (
+    error_analysis,
     fit_match_classifier,
     grouped_split,
     pairwise_metrics,
@@ -47,21 +52,39 @@ from pubmed_and_method_spark.plans.checkpoint import StageStore
 
 NAME_RE = r"[Ii] am agent ([a-z]+)\.? ([a-z]+)"
 
+# the full feature stack: the X6 9-dim name block
+# (src/pubmed_inner_feature_extract.py:16-35), X2 editops count
+# (src/eutilities/string_utils.py:59-77), content/tool/time features,
+# ambiguity, and the X11 TF-IDF cosine upgrade (SURVEY §2.10).
 FEATURE_COLS = [
-    "name_jw",
-    "name_lev_ratio",
-    "initial_eq",
+    # --- name-based (X6 dims 1-9 + X2 ratio) ---
+    "name_char_jacc_li",    # X6.1 char-jaccard(last+initial)
+    "name_char_jacc_lf",    # X6.2 char-jaccard(last+first)
+    "name_jw",              # X6.3 SONG full-name JW
+    "lastname_len_avg",     # X6.4 GS last-name length
+    "given_jw",             # X6.5 GS first-name JW
+    "initial_eq",           # X6.6 GS initials
+    "name_edit_diff_chars", # X6.7 editops char-diff count (X2)
+    "name_uniq_char_diff",  # X6.8 excluded uniq-char diff
+    "initial_len_score",    # X6.9 abbreviation-length score
+    "name_lev_ratio",       # X2 ratio form
+    # --- content / coauthor-analog / temporal ---
     "token_jacc",
     "shingle_jacc",
+    "content_tfidf_cos",    # X11 TF-IDF cosine
     "tool_jacc",
     "time_diff_days",
     "time_overlap",
-    "ambiguity_score",
+    "ambiguity_score",      # X16
 ]
 
 
-def build_signatures(transcripts: DataFrame) -> DataFrame:
+def build_signatures(transcripts: DataFrame, tfidf: bool = True) -> DataFrame:
     """One row per (conv_id, role=assistant) mention.
+
+    ``tfidf=True`` additionally attaches the L2-normalized TF-IDF
+    weight map (X11, functions/tfidf.py) — two extra token-keyed
+    shuffles; pass False for lean blocking-only runs.
 
     The analog of and.pubmed_inner_feature (one wide row per mention,
     database/pubmed_inner_outer_feature.sql:111-203).  Turn order is
@@ -69,6 +92,58 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
     W3 pattern (SURVEY.md §2.5) — so the signature is independent of
     input row order (per-turn ordering invariant).
     """
+    # Name extraction runs as a NARROW pre-aggregation (first assistant
+    # turn per conv via min_by — map-side partial agg, shuffle ~1 short
+    # row per conv), NOT inside the wide collect aggregation.  Both
+    # aggregations hash-partition by conv_id, so the final join is
+    # co-partitioned: no extra shuffle of the wide signature rows.
+    # This is also where N2 reconstruction lives — on the narrow table
+    # it costs one tiny block-keyed agg + join instead of a wide
+    # shuffle (measured: a window over the full signature row was 2x
+    # the whole stage).
+    low = F.lower(F.col("__first_asst"))
+    names = (
+        transcripts.filter(F.col("role") == "assistant")
+        .groupBy("conv_id")
+        .agg(F.min_by("text", "turn_idx").alias("__first_asst"))
+        .select(
+            "conv_id",
+            F.coalesce(F.regexp_extract(low, NAME_RE, 1), F.lit("")).alias(
+                "given_name"
+            ),
+            F.coalesce(F.regexp_extract(low, NAME_RE, 2), F.lit("")).alias(
+                "surname"
+            ),
+        )
+        .withColumn(
+            "block_key",
+            F.when(
+                (F.col("surname") != "") & (F.col("given_name") != ""),
+                F.concat_ws(
+                    "_", F.col("surname"), F.substring("given_name", 1, 1)
+                ),
+            ).otherwise(F.lit("__unblocked__")),
+        )
+    )
+
+    # N2 well-formed-name reconstruction + N4 shape flags
+    # (functions/names.py): abbreviated self-intros inherit the longest
+    # given name seen in their exact block, so name features compare
+    # full forms ("john" vs "john"), not "j" vs "john".  The shown
+    # form is kept in given_name_shown.
+    from pubmed_and_method_spark.functions.names import (
+        name_shape_flags,
+        reconstruct_given_names,
+    )
+
+    names = reconstruct_given_names(names)
+    names = (
+        names.withColumn("given_name_shown", F.col("given_name"))
+        .withColumn("given_name", F.col("given_name_wellform"))
+        .drop("given_name_wellform")
+    )
+    names = name_shape_flags(names)
+
     # Lean aggregation: collect ordered structs ONLY for assistant turns
     # and only (turn_idx, text); everything else is a plain aggregate
     # (min/max/count/collect_set) with map-side partial aggregation.
@@ -94,31 +169,21 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
         F.concat_ws(
             " ", F.transform(F.col("aturns"), lambda t: t["text"])
         ).alias("full_text"),
-        # speaker self-identification lives in the first assistant turn
-        # (the byline analog); F.get is null-safe under ANSI mode
-        F.lower(F.get(F.col("aturns"), 0)["text"]).alias("__first_asst"),
         "tool_profile",
         "ts_min",
         "ts_max",
         "n_turns",
     )
-    low = F.col("__first_asst")
     sig = (
-        sig.withColumn(
-            "given_name", F.coalesce(F.regexp_extract(low, NAME_RE, 1), F.lit(""))
+        sig.join(names, "conv_id", "left")
+        .withColumn("given_name", F.coalesce("given_name", F.lit("")))
+        .withColumn("given_name_shown", F.coalesce("given_name_shown", F.lit("")))
+        .withColumn("surname", F.coalesce("surname", F.lit("")))
+        .withColumn(
+            "block_key", F.coalesce("block_key", F.lit("__unblocked__"))
         )
         .withColumn(
-            "surname", F.coalesce(F.regexp_extract(low, NAME_RE, 2), F.lit(""))
-        )
-        .drop("__first_asst")
-        .withColumn(
-            "block_key",
-            F.when(
-                (F.col("surname") != "") & (F.col("given_name") != ""),
-                F.concat_ws(
-                    "_", F.col("surname"), F.substring("given_name", 1, 1)
-                ),
-            ).otherwise(F.lit("__unblocked__")),
+            "name_reconstructed", F.coalesce("name_reconstructed", F.lit(0))
         )
         .withColumn("tokens", clean_tokens("full_text"))
         .withColumn("shingle_set", shingles_from_tokens(F.col("tokens"), n=3))
@@ -132,11 +197,18 @@ def build_signatures(transcripts: DataFrame) -> DataFrame:
         .withColumn(
             "shingle_hashes", shingle_hashes_from_hash_seq(F.col("__th_seq"))
         )
-        .drop("__th_seq")
         .withColumn("mention_id", F.concat_ws("#", "conv_id", F.lit("assistant")))
         .withColumn("role", F.lit("assistant"))
     )
-    return sig
+    if tfidf:
+        from pubmed_and_method_spark.functions.tfidf import tfidf_weight_maps
+
+        # __th_seq keeps duplicates -> true term frequencies
+        weights = tfidf_weight_maps(
+            sig.select("conv_id", "__th_seq"), "conv_id", "__th_seq"
+        )
+        sig = sig.join(weights, "conv_id", "left")
+    return sig.drop("__th_seq")
 
 
 def build_candidate_pairs(
@@ -165,6 +237,16 @@ def build_candidate_pairs(
     recall through any of ~4 sibling conversations while banding keeps
     the candidate volume ~6% of cross-entity pairs.  Pass
     ``lsh_col='shingle_hashes'`` for 3-gram sketches on longer texts.
+
+    Every pair also carries ``split_group``, the key the train/test
+    group split must use: exact pairs use their block key; LSH pairs
+    use the lexicographic min of the two members' own exact block keys
+    (falling back to a conv-derived key for unblocked mentions).  The
+    literal '__lsh__' tag is NEVER a split group — hashing it would
+    send every LSH-recovered pair to one side of the split wholesale
+    and let the same entity straddle train (exact pairs) and test
+    (LSH pairs), breaking the GroupShuffleSplit leakage guarantee
+    (src/comparison/inner_feature_method.py:48-55).
     """
     members = signatures.select("block_key", "mention_id", "conv_id").filter(
         F.col("block_key") != "__unblocked__"
@@ -176,7 +258,7 @@ def build_candidate_pairs(
         num_buckets=num_buckets,
         max_block_size=max_block_size,
         carry_cols=("conv_id",),
-    )
+    ).withColumn("split_group", F.col("block_key"))
     if lsh:
         from pubmed_and_method_spark.operators.blocking import (
             lsh_candidate_pairs,
@@ -191,16 +273,38 @@ def build_candidate_pairs(
             num_buckets=num_buckets,
         )
         conv_of = F.substring_index  # mention_id = conv_id#role
+        # each member's entity-bearing group key: its exact block key,
+        # or a conv-derived key when it never parsed into a block
+        mention_groups = signatures.select(
+            "mention_id",
+            F.when(
+                F.col("block_key") != "__unblocked__", F.col("block_key")
+            ).otherwise(F.concat(F.lit("__c_"), F.col("conv_id"))).alias("__sg"),
+        )
         lsh_pairs = (
             cand2.join(
                 pairs.select("mention_id1", "mention_id2"),
                 ["mention_id1", "mention_id2"],
                 "left_anti",
             )
+            .join(
+                mention_groups.withColumnRenamed("mention_id", "mention_id1")
+                .withColumnRenamed("__sg", "__sg1"),
+                "mention_id1",
+            )
+            .join(
+                mention_groups.withColumnRenamed("mention_id", "mention_id2")
+                .withColumnRenamed("__sg", "__sg2"),
+                "mention_id2",
+            )
             .withColumn("block_key", F.lit("__lsh__"))
+            .withColumn("split_group", F.least("__sg1", "__sg2"))
             .withColumn("conv_id1", conv_of(F.col("mention_id1"), "#", 1))
             .withColumn("conv_id2", conv_of(F.col("mention_id2"), "#", 1))
-            .select("block_key", "mention_id1", "mention_id2", "conv_id1", "conv_id2")
+            .select(
+                "block_key", "split_group",
+                "mention_id1", "mention_id2", "conv_id1", "conv_id2",
+            )
         )
         pairs = pairs.unionByName(lsh_pairs)
     return pairs
@@ -263,6 +367,9 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
         "ts_max",
         "block_key",
     ]
+    has_tfidf = "tfidf" in signatures.columns
+    if has_tfidf:
+        feat_cols.append("tfidf")
     s = signatures.select(*feat_cols)
     s1 = s.select([F.col(c).alias(f"{c}1") for c in feat_cols]).withColumnRenamed(
         "block_key1", "bk1"
@@ -286,7 +393,15 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     overlap_start = F.greatest(F.unix_timestamp("ts_min1"), F.unix_timestamp("ts_min2"))
     overlap_end = F.least(F.unix_timestamp("ts_max1"), F.unix_timestamp("ts_max2"))
 
-    return (
+    # X6 name block inputs: the transcript analog of (lastname,
+    # firstname, initials) is (surname, given_name, first letter of the
+    # given name as shown — empty when the name never parsed).
+    init1 = F.substring("given_name1", 1, 1)
+    init2 = F.substring("given_name2", 1, 1)
+    full1 = F.concat(F.col("surname1"), F.col("given_name1"))
+    full2 = F.concat(F.col("surname2"), F.col("given_name2"))
+
+    df = (
         df.withColumn(
             "name_jw",
             jaro_winkler_udf(
@@ -294,17 +409,42 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
                 F.concat_ws(" ", "given_name2", "surname2"),
             ),
         )
+        # X6.1 / X6.2: char-set jaccards (pubmed_inner_feature_extract.py:28-29)
+        .withColumn(
+            "name_char_jacc_li",
+            char_jaccard(F.concat(F.col("surname1"), init1),
+                         F.concat(F.col("surname2"), init2)),
+        )
+        .withColumn("name_char_jacc_lf", char_jaccard(full1, full2))
+        # X6.4: GS last-name length (:31)
+        .withColumn(
+            "lastname_len_avg",
+            ((F.length("surname1") + F.length("surname2")) / 2.0),
+        )
+        # X6.5: GS first-name JW (:32)
+        .withColumn(
+            "given_jw", jaro_winkler_udf(F.col("given_name1"), F.col("given_name2"))
+        )
+        # X6.7 (X2): editops char-diff count == levenshtein (:17,34)
+        .withColumn("name_edit_diff_chars", edit_diff_char_count(full1, full2))
+        # X6.8: excluded uniq-char diff (:20-23)
+        .withColumn(
+            "name_uniq_char_diff",
+            uniq_char_diff(F.concat(full1, init1), F.concat(full2, init2)),
+        )
+        # X6.9: initial-length score 2*min(len) (:26-27)
+        .withColumn(
+            "initial_len_score",
+            (
+                F.length(init1) + F.length(init2)
+                - F.abs(F.length(init1) - F.length(init2))
+            ).cast("int"),
+        )
         .withColumn(
             "name_lev_ratio",
             levenshtein_ratio(F.col("given_name1"), F.col("given_name2")),
         )
-        .withColumn(
-            "initial_eq",
-            (
-                F.substring("given_name1", 1, 1)
-                == F.substring("given_name2", 1, 1)
-            ).cast("int"),
-        )
+        .withColumn("initial_eq", (init1 == init2).cast("int"))
         .withColumn("token_jacc", token_jaccard("token_hashes1", "token_hashes2"))
         .withColumn(
             "shingle_jacc", token_jaccard("shingle_hashes1", "shingle_hashes2")
@@ -317,6 +457,15 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
         )
         .withColumn("ambiguity_score", F.coalesce("ambiguity_score", F.lit(0.0)))
     )
+    # X11: TF-IDF cosine (functions/tfidf.py); 0.0 when signatures were
+    # built lean (tfidf=False)
+    if has_tfidf:
+        df = df.withColumn(
+            "content_tfidf_cos", map_cosine("tfidf1", "tfidf2")
+        ).drop("tfidf1", "tfidf2")
+    else:
+        df = df.withColumn("content_tfidf_cos", F.lit(0.0))
+    return df
 
 
 def run_pipeline(
@@ -359,7 +508,9 @@ def run_pipeline(
         params={},
     )
 
-    split = grouped_split(features, "block_key", train_pct=70, salt=seed)
+    # split on split_group (exact block key, or min member block key
+    # for LSH-recovered pairs) — never the literal '__lsh__' tag
+    split = grouped_split(features, "split_group", train_pct=70, salt=seed)
     train = split.filter(F.col("is_train") == 1)
     test = split.filter(F.col("is_train") == 0)
     model = fit_match_classifier(train, FEATURE_COLS, algo=algo, seed=seed)
@@ -379,6 +530,17 @@ def run_pipeline(
         ),
         inputs=("pair_features",),
         params={"algo": algo, "seed": seed},
+    )
+
+    # M9 error-analysis sink: misclassified pairs land in their own
+    # stage table (analog of database/statistics.sql:717-781)
+    store.run_stage(
+        "error_analysis",
+        lambda: error_analysis(scored_all).filter(
+            F.col("error_type").isNotNull()
+        ),
+        inputs=("scored_pairs",),
+        params={"algo": algo},
     )
 
     # clustering uses a stricter edge bar than the 0.5 pair threshold:

@@ -201,9 +201,12 @@ def q05(spark, sf):
     """
     SELECT user_id,
            count(*) AS n_events,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clicks,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_errors,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchases,
            round(avg(value), 6) AS avg_value,
            round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6)
                AS purchase_value
@@ -240,28 +243,38 @@ def q06(spark, sf):
     """
     WITH monthly AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
-               sum(o_totalprice) AS rev
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents
         FROM orders GROUP BY 1
     )
-    SELECT month, round(rev, 6) AS revenue,
-           round(sum(rev) OVER (ORDER BY month
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-               AS cum_revenue
+    SELECT month,
+           CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+           CAST(CAST(sum(rev_cents) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS DOUBLE) / 100 AS cum_revenue
     FROM monthly
     """,
 )
 def q07(spark, sf):
     """W2 cumulative sum over an ordered series
-    (arrayCumSum rebuild, database/statistics.sql:18-58)."""
+    (arrayCumSum rebuild, database/statistics.sql:18-58).
+
+    Money is summed as exact integer cents (bigint) so the running sum
+    is order-insensitive and bit-identical across engines; the /100
+    double conversion at the end is deterministic on both sides."""
     o = load_table(spark, sf, "orders")
     monthly = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("rev_cents")
+    )
     w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
     return monthly.select(
         "month",
-        F.round("rev", 6).alias("revenue"),
-        F.round(F.sum("rev").over(w), 6).alias("cum_revenue"),
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        (F.sum("rev_cents").over(w).cast("double") / 100).alias("cum_revenue"),
     )
 
 
@@ -536,21 +549,24 @@ def q17(spark, sf):
 def q18(spark, sf):
     """n-gram/token Jaccard near-dup candidates inside
     (lang, source) blocks — the J9 within-block pair pattern on
-    documents, jaccard X3 as native array math."""
+    documents, jaccard X3 as native array math.
+
+    Blocks are low-cardinality (~25 (lang, source) keys), so the
+    self-join goes through generate_pairs' triangle-split salting
+    (8 buckets -> 36 tasks per block) instead of an unsalted join
+    that concentrates each block's O(n^2) work in one task.  Salting
+    is result-preserving: same pair set, identical oracle."""
+    from pubmed_and_method_spark.operators.blocking import generate_pairs
+
     d = load_table(spark, sf, "documents")
     toks = d.select(
-        "doc_id", "lang", "source", F.array_distinct(clean_tokens("text")).alias("toks")
+        F.concat_ws("\x1f", "lang", "source").alias("block_key"),
+        "doc_id",
+        F.array_distinct(clean_tokens("text")).alias("toks"),
     )
-    a = toks.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_id1"),
-        F.col("toks").alias("toks1"),
-    )
-    b = toks.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_id2"),
-        F.col("toks").alias("toks2"),
-    )
-    pairs = a.join(b, ["lang", "source"]).where(
-        F.col("doc_id1") < F.col("doc_id2")
+    pairs = generate_pairs(
+        toks, key_col="block_key", id_col="doc_id", num_buckets=8,
+        carry_cols=("toks",),
     )
     inter = F.size(F.array_intersect("toks1", "toks2"))
     union = F.size("toks1") + F.size("toks2") - inter
@@ -600,9 +616,10 @@ def q19(spark, sf):
         "doc_id", F.explode(F.array_distinct(clean_tokens("text"))).alias("tok")
     )
     # hash the vocabulary, not the occurrences: with Zipfian text the
-    # distinct-token table is tiny vs the exploded (doc, tok) table, so
-    # 8 md5s run once per vocab word and reach occurrences via a
-    # broadcast join instead of 8 md5s per occurrence.
+    # distinct-token table is small vs the exploded (doc, tok) table,
+    # so 8 md5s run once per vocab word.  No broadcast hint: vocabulary
+    # grows with corpus size (Heaps' law), so at 100x data a forced
+    # broadcast OOMs the driver — AQE picks broadcast when it fits.
     vocab = toks.select("tok").distinct().select(
         "tok",
         *[
@@ -611,7 +628,7 @@ def q19(spark, sf):
         ],
     )
     sig = (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(8)])
     )
@@ -657,7 +674,8 @@ def q19(spark, sf):
         FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
         GROUP BY doc_id, b.bit)
     SELECT doc_id,
-           sum(CASE WHEN score > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN score > 0 THEN (1::bigint << bit) ELSE 0 END)
+               AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -668,14 +686,14 @@ def q20(spark, sf):
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(clean_tokens("text"))).alias("tok")
     )
-    # vocabulary-hash broadcast join (see q19): md5 once per distinct
-    # token, then fold the 16 bit-contributions in ONE groupBy pass by
-    # pre-expanding each hash into a +/-1 contribution array.
+    # vocabulary-hash join (see q19): md5 once per distinct token.
+    # No broadcast hint — vocab scales with the corpus; AQE broadcasts
+    # when the build side actually fits.
     vocab = toks.select("tok").distinct().select(
         "tok",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
     )
-    ex = toks.join(F.broadcast(vocab), "tok")
+    ex = toks.join(vocab, "tok")
     bits = ex.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "h"
     ).groupBy("doc_id", "bit").agg(
@@ -884,7 +902,7 @@ def q26(spark, sf):
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
     t, _ = transcripts_df(spark, seed=42)
-    return build_signatures(t).select(
+    return build_signatures(t, tfidf=False).select(
         "mention_id", "block_key", "given_name", "surname", "n_turns"
     )
 
@@ -1095,6 +1113,186 @@ def q35(spark, sf):
     verified = jaccard_verify(cands, toks, "doc_id", "toks", threshold=0.5)
     return verified.select(
         "doc_id1", "doc_id2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# DuckDB helpers for q36: charset(x) = distinct chars, no empties
+_CS = (
+    "list_filter(list_distinct(regexp_split_to_array({x}, '')), c -> c != '')"
+)
+_CJ = (
+    "CASE WHEN len(list_distinct(list_concat(" + _CS.format(x="{a}") + ", "
+    + _CS.format(x="{b}") + "))) = 0 THEN 0.0 "
+    "ELSE len(list_intersect(" + _CS.format(x="{a}") + ", " + _CS.format(x="{b}")
+    + ")) * 1.0 / len(list_distinct(list_concat(" + _CS.format(x="{a}") + ", "
+    + _CS.format(x="{b}") + "))) END"
+)
+
+
+@q(
+    "q36_name_feature_block",
+    f"""
+    WITH p AS (
+        SELECT p_partkey, p_brand,
+               lower(string_split(p_name, ' ')[1]) AS sn,
+               lower(list_reverse(string_split(p_name, ' '))[1]) AS gn
+        FROM part WHERE p_partkey <= 80),
+    pairs AS (
+        SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+               a.sn AS s1, a.gn AS g1, substr(a.gn, 1, 1) AS i1,
+               b.sn AS s2, b.gn AS g2, substr(b.gn, 1, 1) AS i2
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+    SELECT id1, id2,
+           round({_CJ.format(a="s1 || i1", b="s2 || i2")}, 6) AS char_jacc_li,
+           round({_CJ.format(a="s1 || g1", b="s2 || g2")}, 6) AS char_jacc_lf,
+           (len(s1) + len(s2)) / 2.0 AS lastname_len_avg,
+           CAST(i1 = i2 AS INTEGER) AS initial_eq,
+           CAST(levenshtein(s1 || g1, s2 || g2) AS INTEGER)
+               AS edit_diff_chars,
+           CAST(least(
+               len(list_filter({_CS.format(x="s1 || g1 || i1")},
+                   c -> not list_contains({_CS.format(x="s2 || g2 || i2")}, c))),
+               len(list_filter({_CS.format(x="s2 || g2 || i2")},
+                   c -> not list_contains({_CS.format(x="s1 || g1 || i1")}, c)))
+           ) AS INTEGER) AS uniq_char_diff,
+           CAST(len(i1) + len(i2) - abs(len(i1) - len(i2)) AS INTEGER)
+               AS initial_len_score
+    FROM pairs
+    """,
+)
+def q36(spark, sf):
+    """X6 9-dim name-feature block, native exprs
+    (src/pubmed_inner_feature_extract.py:16-35): char-set jaccards,
+    lastname length, initials, editops char-diff count (X2,
+    string_utils.py:59-77), excluded uniq-char diff, initial-length
+    score — on part-name pairs within brand blocks (JW dims are
+    oracle-covered by q21)."""
+    from pubmed_and_method_spark.functions.strings import (
+        char_jaccard,
+        edit_diff_char_count,
+        uniq_char_diff,
+    )
+
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 80)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.lower(F.element_at(F.split("p_name", " "), 1)).alias("sn"),
+            F.lower(F.element_at(F.split("p_name", " "), -1)).alias("gn"),
+        )
+        .withColumn("ini", F.substring("gn", 1, 1))
+    )
+    a = p.select(
+        "p_brand", F.col("p_partkey").alias("id1"),
+        F.col("sn").alias("s1"), F.col("gn").alias("g1"), F.col("ini").alias("i1"),
+    )
+    b = p.select(
+        "p_brand", F.col("p_partkey").alias("id2"),
+        F.col("sn").alias("s2"), F.col("gn").alias("g2"), F.col("ini").alias("i2"),
+    )
+    pr = a.join(b, "p_brand").where(F.col("id1") < F.col("id2"))
+    li1, li2 = F.concat("s1", "i1"), F.concat("s2", "i2")
+    lf1, lf2 = F.concat("s1", "g1"), F.concat("s2", "g2")
+    all1, all2 = F.concat("s1", "g1", "i1"), F.concat("s2", "g2", "i2")
+    return pr.select(
+        "id1",
+        "id2",
+        F.round(char_jaccard(li1, li2), 6).alias("char_jacc_li"),
+        F.round(char_jaccard(lf1, lf2), 6).alias("char_jacc_lf"),
+        ((F.length("s1") + F.length("s2")) / 2.0).alias("lastname_len_avg"),
+        (F.col("i1") == F.col("i2")).cast("int").alias("initial_eq"),
+        edit_diff_char_count(lf1, lf2).alias("edit_diff_chars"),
+        uniq_char_diff(all1, all2).alias("uniq_char_diff"),
+        (
+            F.length("i1") + F.length("i2")
+            - F.abs(F.length("i1") - F.length("i2"))
+        ).cast("int").alias("initial_len_score"),
+    )
+
+
+@q(
+    "q37_tfidf_cosine_pairs",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
+        FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    m AS (SELECT count(*) AS m FROM tk),
+    w AS (
+        SELECT doc_id, tok, tf.tf * ln((m.m + 1.0) / (dfr.df + 1.0)) AS w
+        FROM tf JOIN dfr USING (tok) CROSS JOIN m),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM w GROUP BY 1),
+    wn AS (
+        SELECT w.doc_id, tok,
+               CASE WHEN n > 0 THEN w / n ELSE 0.0 END AS wn
+        FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+    docs AS (
+        SELECT doc_id, lang, source FROM documents WHERE doc_id <= 100),
+    pairs AS (
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id)
+    SELECT p.doc_id1, p.doc_id2,
+           round(coalesce(sum(w1.wn * w2.wn), 0.0), 4) AS tfidf_cos
+    FROM pairs p
+    LEFT JOIN wn w1 ON w1.doc_id = p.doc_id1
+    LEFT JOIN wn w2 ON w2.doc_id = p.doc_id2 AND w1.tok = w2.tok
+    GROUP BY 1, 2
+    """,
+)
+def q37(spark, sf):
+    """X11 TF-IDF cosine (HashingTF+IDF+Normalizer semantics as native
+    exprs, functions/tfidf.py): corpus-global idf over all documents,
+    L2-normalized weight maps, map_zip_with dot product on pairs
+    within (lang, source) blocks.  Rounded to 4 decimals: the dot
+    product's float sum order differs between engines."""
+    from pubmed_and_method_spark.functions.tfidf import (
+        map_cosine,
+        tfidf_weight_maps,
+    )
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(clean_tokens("text"), lambda t: F.xxhash64(t)).alias(
+            "th"
+        ),
+    )
+    weights = tfidf_weight_maps(toks, "doc_id", "th")
+    docs = d.filter(F.col("doc_id") <= 100).select("doc_id", "lang", "source")
+    a = docs.select(
+        "lang", "source", F.col("doc_id").alias("doc_id1")
+    )
+    b = docs.select(
+        "lang", "source", F.col("doc_id").alias("doc_id2")
+    )
+    pairs = (
+        a.join(b, ["lang", "source"])
+        .where(F.col("doc_id1") < F.col("doc_id2"))
+        .select("doc_id1", "doc_id2")
+    )
+    w1 = weights.select(
+        F.col("doc_id").alias("doc_id1"), F.col("tfidf").alias("t1")
+    )
+    w2 = weights.select(
+        F.col("doc_id").alias("doc_id2"), F.col("tfidf").alias("t2")
+    )
+    return (
+        pairs.join(w1, "doc_id1", "left")
+        .join(w2, "doc_id2", "left")
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.round(F.coalesce(map_cosine("t1", "t2"), F.lit(0.0)), 4).alias(
+                "tfidf_cos"
+            ),
+        )
     )
 
 

@@ -17,6 +17,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _mem_available_gib() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 8.0
+
+
 def get_spark(
     app_name: str = "pubmed_and_method_spark",
     cores: int | str | None = None,
@@ -35,7 +46,13 @@ def get_spark(
     if shuffle_partitions is None:
         n = os.cpu_count() or 8 if cores == "*" else int(cores)
         shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, n)
-    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM")
+    if driver_mem is None:
+        # 48g (the measured sweet spot for this workload) unless the
+        # host can't back it: the -Xms pre-touch below commits the full
+        # heap at JVM start, so never ask for more than ~75% of
+        # MemAvailable (a fixed default OOM-kills smaller hosts).
+        driver_mem = f"{max(2, min(48, int(_mem_available_gib() * 0.75)))}g"
 
     builder = (
         SparkSession.builder.master(master)

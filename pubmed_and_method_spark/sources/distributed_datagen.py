@@ -175,7 +175,7 @@ def distributed_transcripts(
             _h(F.col("e"), core_slot, F.lit("core"), seed=seed), F.lit(10_000_000)
         )
         any_wid = F.pmod(
-            F.pmod(_h(F.col("conv_id"), F.col("turn_idx"), i, F.lit("aw"), seed=seed), F.lit(500_000)),
+            _h(F.col("conv_id"), F.col("turn_idx"), i, F.lit("aw"), seed=seed),
             F.lit(10_000_000),
         )
         wid = F.when(use_core, core_wid).otherwise(any_wid)

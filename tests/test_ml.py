@@ -5,6 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pubmed_and_method_spark.ml.model import (
+    AVAILABLE_ALGOS,
+    downsample_majority,
     error_analysis,
     feature_importances,
     fit_match_classifier,
@@ -56,6 +58,76 @@ def test_id_agreement_baseline_is_oracle(features):
     baseline (src/comparison/author_id_baseline.py)."""
     m = id_agreement_baseline(features, "entity_id1", "entity_id2")
     assert m["f1"] == 1.0 and m["accuracy"] == 1.0
+
+
+@pytest.mark.parametrize("algo", sorted(set(AVAILABLE_ALGOS)))
+def test_classifier_zoo_parity(features, algo):
+    """Every zoo member (the reference's 9-model dispatch,
+    src/model/classification.py:18-40 run per-model by
+    src/main_app.py:43) trains and clears a sanity F1 bar on a
+    70/30 grouped split."""
+    from pubmed_and_method_spark.ml.model import grouped_split
+
+    split = grouped_split(features, "block_key", train_pct=70, salt=7)
+    train = split.filter(F.col("is_train") == 1)
+    test = split.filter(F.col("is_train") == 0)
+    model = fit_match_classifier(train, FEATURE_COLS, algo=algo, seed=42)
+    m = pairwise_metrics(predict_prob(model, test))
+    assert m["n"] > 0
+    assert m["f1"] > 0.8, f"{algo}: {m}"
+
+
+def test_downsample_majority_balances(features):
+    ds = downsample_majority(features, "same_entity", ratio=1.0, seed=1)
+    counts = {
+        r["same_entity"]: r["n"]
+        for r in ds.groupBy("same_entity").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        r["same_entity"]: r["n"]
+        for r in features.groupBy("same_entity").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    minority = min(orig, key=orig.get)
+    majority = max(orig, key=orig.get)
+    # all minority rows kept; majority within ~3 sigma of the target
+    assert counts[minority] == orig[minority]
+    assert counts[majority] < orig[majority]
+    assert abs(counts[majority] - counts[minority]) < 4 * (counts[minority] ** 0.5) + 10
+
+
+def test_feature_group_ablation(spark, features):
+    """The result.txt-table analog (src/comparison/feature_group.py +
+    inner_feature_method.py:43-58): per (feature_group, model)
+    fold-averaged metrics; name features must beat time-only."""
+    from pubmed_and_method_spark.ml.ablation import (
+        ablation_table,
+        feature_group_ablation,
+    )
+
+    groups = {
+        "name_based": [
+            "name_char_jacc_lf", "name_jw", "given_jw", "initial_eq",
+            "name_edit_diff_chars",
+        ],
+        "content_based": ["token_jacc", "shingle_jacc", "content_tfidf_cos"],
+        "time_based": ["time_diff_days", "time_overlap"],
+    }
+    rows = feature_group_ablation(
+        features, groups=groups, algos=("rf",), group_col="block_key",
+        n_folds=3, seed=42,
+    )
+    assert {r["feature_group"] for r in rows} == set(groups)
+    by = {r["feature_group"]: r for r in rows}
+    # same-block entities are homonyms by construction (the AND
+    # ambiguity model), so content must dominate; name-only is weak
+    # within blocks — exactly the reference's SONG-vs-GS style spread
+    assert by["content_based"]["f1"] > by["time_based"]["f1"]
+    assert by["content_based"]["f1"] > by["name_based"]["f1"]
+    tbl = ablation_table(spark, rows)
+    assert tbl.count() == len(rows)
+    assert "f1" in tbl.columns
 
 
 def test_error_analysis_tags(spark):

