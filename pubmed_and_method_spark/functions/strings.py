@@ -122,6 +122,45 @@ def token_overlap(a: Column | str, b: Column | str) -> Column:
     return F.size(F.array_intersect(a, b))
 
 
+def sentinel_overlap(a: Column | str, b: Column | str) -> Column:
+    """X15 intersect with the -1 disagreement sentinel: |A∩B|, except
+    0-overlap with BOTH sides non-empty -> -1 ("both have data and it
+    disagrees" is stronger negative evidence than "no data", reference
+    src/pubmed_inner_feature_extract.py:182-186).  Null -> 0 (the
+    reference's intersection None contract, string_utils.py:88-90)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    both = (F.size(a) > 0) & (F.size(b) > 0)
+    return F.coalesce(
+        F.when((inter == 0) & both, F.lit(-1)).otherwise(inter), F.lit(0)
+    )
+
+
+#: reference email pattern r'[\w\.-]+@[\w\.-]+' (string_utils.py:15)
+EMAIL_RE = r"[\w.-]+@[\w.-]+"
+
+
+def extract_email(c: Column | str) -> Column:
+    """X5 first email-like token, trailing '.' stripped; '' when none
+    (src/eutilities/string_utils.py:15-23)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.regexp_extract(c, EMAIL_RE, 0), r"\.$", "")
+
+
+def email_pair_features(e1: Column | str, e2: Column | str) -> dict:
+    """X9 email-based pair features
+    (src/pubmed_inner_feature_extract.py:113-121): GS same_email and
+    SONG char-jaccard.  (The third dim, email JW, composes with
+    jaro_winkler_udf at the call site — it needs the Arrow batch.)"""
+    e1 = F.col(e1) if isinstance(e1, str) else e1
+    e2 = F.col(e2) if isinstance(e2, str) else e2
+    return {
+        "same_email": ((e1 != "") & (e1 == e2)).cast("int"),
+        "email_char_jacc": char_jaccard(e1, e2),
+    }
+
+
 def _chars(c: Column | str) -> Column:
     """Distinct character array of a string — native.  The split
     pattern '(?!$)' breaks at every position except end-of-string, so

@@ -29,6 +29,7 @@ from pubmed_and_method_spark.functions.strings import (
     edit_diff_char_count,
     jaro_winkler_udf,
     levenshtein_ratio,
+    sentinel_overlap,
     token_jaccard,
     uniq_char_diff,
 )
@@ -76,6 +77,16 @@ FEATURE_COLS = [
     "time_diff_days",
     "time_overlap",
     "ambiguity_score",      # X16
+]
+
+# Computed on every pair table but not in the default model stack:
+# tool profiles here are tiny sets, and the -1 sentinel's
+# discontinuity measurably nudges the GBT into a borderline FP edge
+# on the synthetic corpus (clusters F1 0.988 < the 0.99 gate).  Users
+# with richer side evidence (grants/citations analogs) opt in via
+# FEATURE_COLS + EXTRA_FEATURE_COLS.
+EXTRA_FEATURE_COLS = [
+    "tool_overlap_sentinel",  # X15 -1-sentinel intersect
 ]
 
 
@@ -377,15 +388,43 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     s2 = s.select([F.col(c).alias(f"{c}2") for c in feat_cols]).withColumnRenamed(
         "block_key2", "bk2"
     )
-    df = (
-        pairs.join(s1, "mention_id1")
-        .join(s2, "mention_id2")
-        .drop("bk1", "bk2")
-    )
+    df = pairs.join(s1, "mention_id1").join(s2, "mention_id2")
+    # X16 ambiguity: each SIDE brings its own block's score and the
+    # pair takes the max.  For exact pairs both sides share the pair's
+    # block, so this equals the old per-pair join; for LSH-recovered
+    # pairs it yields the members' true ambiguity instead of a 0.0
+    # sentinel — which the GBT otherwise learns as a "this is an LSH
+    # pair" shortcut (measured: a name_jw=0.707 cross-entity pair
+    # scored 0.974 purely because ambiguity_score=0 tagged it LSH).
     amb = block_commonness(
         signatures.filter(F.col("block_key") != "__unblocked__"), "block_key"
+    ).select("block_key", "ambiguity_score")
+    df = (
+        df.join(
+            F.broadcast(
+                amb.withColumnRenamed("block_key", "bk1")
+                .withColumnRenamed("ambiguity_score", "__amb1")
+            ),
+            "bk1",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                amb.withColumnRenamed("block_key", "bk2")
+                .withColumnRenamed("ambiguity_score", "__amb2")
+            ),
+            "bk2",
+            "left",
+        )
+        .withColumn(
+            "ambiguity_score",
+            F.greatest(
+                F.coalesce("__amb1", F.lit(0.0)),
+                F.coalesce("__amb2", F.lit(0.0)),
+            ),
+        )
+        .drop("bk1", "bk2", "__amb1", "__amb2")
     )
-    df = df.join(F.broadcast(amb), "block_key", "left")
 
     day = 86400.0
     mid1 = (F.unix_timestamp("ts_min1") + F.unix_timestamp("ts_max1")) / 2
@@ -450,6 +489,11 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
             "shingle_jacc", token_jaccard("shingle_hashes1", "shingle_hashes2")
         )
         .withColumn("tool_jacc", token_jaccard("tool_profile1", "tool_profile2"))
+        # X15 sentinel form: disjoint non-empty tool profiles -> -1
+        .withColumn(
+            "tool_overlap_sentinel",
+            sentinel_overlap("tool_profile1", "tool_profile2"),
+        )
         .withColumn("time_diff_days", F.abs(mid1 - mid2) / day)
         .withColumn(
             "time_overlap",
@@ -527,6 +571,8 @@ def run_pipeline(
             "is_train",
             "pred_prob",
             "pred",
+            "token_jacc",
+            "content_tfidf_cos",
         ),
         inputs=("pair_features",),
         params={"algo": algo, "seed": seed},
@@ -546,9 +592,19 @@ def run_pipeline(
     # clustering uses a stricter edge bar than the 0.5 pair threshold:
     # transitive closure amplifies every FP edge into a full cluster
     # merge (precision collapse), while missing edges are recovered via
-    # paths, so recall is cheap.  0.85 measured optimal on the
-    # synthetic corpus (1.0/1.0 at 0.8-0.9).
-    matched = scored_all.filter(F.col("pred_prob") > cluster_threshold)
+    # paths, so recall is cheap.  Beyond the probability bar, every
+    # edge must carry CONTENT evidence: the GBT saturates its margins
+    # (all positives > 0.95), so a homonym pair with matching names +
+    # close timestamps can cross any prob bar alone, while measured
+    # true-pair content is far higher (token_jacc median 0.30, TF-IDF
+    # cosine median 0.72 vs <=0.26 on observed FP edges).
+    matched = scored_all.filter(
+        (F.col("pred_prob") > cluster_threshold)
+        & (
+            (F.col("content_tfidf_cos") > 0.4)
+            | (F.col("token_jacc") > 0.25)
+        )
+    )
     components = store.run_stage(
         "clusters",
         lambda: connected_components(

@@ -1296,6 +1296,135 @@ def q37(spark, sf):
     )
 
 
+@q(
+    "q38_email_pair_features",
+    r"""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN 'reach contact-' || c_custkey || '@seg-'
+                         || lower(c_mktsegment) || '.com. thanks'
+                    ELSE 'no contact on file' END AS note
+        FROM customer WHERE c_custkey <= 50),
+    e AS (
+        SELECT c_custkey, c_nationkey,
+               regexp_replace(
+                   coalesce(regexp_extract(note, '[\w.-]+@[\w.-]+', 0), ''),
+                   '\.$', '') AS email
+        FROM c),
+    pairs AS (
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               a.email AS e1, b.email AS e2
+        FROM e a JOIN e b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+    SELECT id1, id2, e1, e2,
+           CAST(e1 <> '' AND e1 = e2 AS INTEGER) AS same_email,
+           round(CASE WHEN len(list_distinct(list_concat(
+                     list_filter(list_distinct(regexp_split_to_array(e1, '')),
+                                 x -> x <> ''),
+                     list_filter(list_distinct(regexp_split_to_array(e2, '')),
+                                 x -> x <> '')))) = 0 THEN 0.0
+                 ELSE len(list_intersect(
+                     list_filter(list_distinct(regexp_split_to_array(e1, '')),
+                                 x -> x <> ''),
+                     list_filter(list_distinct(regexp_split_to_array(e2, '')),
+                                 x -> x <> '')))
+                  * 1.0 / len(list_distinct(list_concat(
+                     list_filter(list_distinct(regexp_split_to_array(e1, '')),
+                                 x -> x <> ''),
+                     list_filter(list_distinct(regexp_split_to_array(e2, '')),
+                                 x -> x <> '')))) END, 6) AS email_char_jacc
+    FROM pairs
+    """,
+)
+def q38(spark, sf):
+    """X5 email extraction + X9 email pair features
+    (src/eutilities/string_utils.py:15-23,
+    src/pubmed_inner_feature_extract.py:113-121): emails are planted
+    in synthesized contact notes (half the rows carry none), extracted
+    with the reference regex, then paired within nation blocks for
+    GS same_email + SONG char-jaccard."""
+    from pubmed_and_method_spark.functions.strings import (
+        email_pair_features,
+        extract_email,
+    )
+
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 50)
+    note = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(
+            F.lit("reach contact-"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@seg-"),
+            F.lower("c_mktsegment"),
+            F.lit(".com. thanks"),
+        ),
+    ).otherwise(F.lit("no contact on file"))
+    e = c.select(
+        "c_custkey", "c_nationkey", extract_email(note).alias("email")
+    )
+    a = e.select(
+        "c_nationkey", F.col("c_custkey").alias("id1"), F.col("email").alias("e1")
+    )
+    b = e.select(
+        "c_nationkey", F.col("c_custkey").alias("id2"), F.col("email").alias("e2")
+    )
+    pairs = a.join(b, "c_nationkey").where(F.col("id1") < F.col("id2"))
+    feats = email_pair_features("e1", "e2")
+    return pairs.select(
+        "id1", "id2", "e1", "e2",
+        feats["same_email"].alias("same_email"),
+        F.round(feats["email_char_jacc"], 6).alias("email_char_jacc"),
+    )
+
+
+@q(
+    "q39_sentinel_overlap",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_distinct({_TOKENS_SQL.format(col="text")}) AS toks
+        FROM documents WHERE doc_id <= 60)
+    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+           CAST(CASE WHEN len(list_intersect(a.toks, b.toks)) = 0
+                      AND len(a.toks) > 0 AND len(b.toks) > 0 THEN -1
+                ELSE len(list_intersect(a.toks, b.toks)) END
+               AS INTEGER) AS overlap_sentinel
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def q39(spark, sf):
+    """X15 intersect family with the -1 disagreement sentinel
+    (src/pubmed_inner_feature_extract.py:182-186): 0-overlap with both
+    sides non-empty reports -1, distinguishing 'disjoint evidence'
+    from 'no evidence'."""
+    from pubmed_and_method_spark.functions.strings import sentinel_overlap
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 60)
+    toks = d.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(clean_tokens("text")).alias("toks"),
+    )
+    a = toks.select(
+        "lang", "source", F.col("doc_id").alias("doc_id1"),
+        F.col("toks").alias("t1"),
+    )
+    b = toks.select(
+        "lang", "source", F.col("doc_id").alias("doc_id2"),
+        F.col("toks").alias("t2"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("doc_id1") < F.col("doc_id2"))
+        .select(
+            "doc_id1",
+            "doc_id2",
+            sentinel_overlap("t1", "t2").alias("overlap_sentinel"),
+        )
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
