@@ -30,17 +30,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
     """(u,v) -> for every neighbor v > u: (v, min(N(u) ∪ {u})).
 
     groupBy + join rather than a window min: groupBy gets map-side
     partial aggregation, so a hub node's edge list is reduced to one
     row per map partition BEFORE the shuffle — a window would shuffle
     and buffer the hub's entire neighborhood in a single task.
+
+    Partitioning is pinned per-plan with repartition(n, u) — the
+    groupBy and the min-join both reuse it, and no session conf is
+    touched (the loop must be safe to run concurrently with other
+    queries in the same session).
     """
     bidir = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).repartition(n_parts, "u")
     mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.withColumn("mn", F.least("mn", "u"))
     # no trailing distinct: the next _small_star dedupes on entry, and
@@ -54,12 +59,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
     """Direct edges high->low, then point each neighborhood at its min."""
     directed = (
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .repartition(n_parts, "u")
     )
     mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
     relinked = (
@@ -103,39 +109,35 @@ def connected_components(
             ).alias("h"),
         ).first()
 
-    conf = spark.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    old_parts = conf.get("spark.sql.shuffle.partitions", "200")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
-    try:
-        prev = _checksum(e)
-        for _ in range(max_iter):
-            # materialize EVERY star: each star's plan references its
-            # input 2-4x (union + groupBy branch + join branch), so
-            # fusing k stars into one lazy plan recomputes the base up
-            # to 4^k times — measured 90s/round fused vs ~6s/round
-            # materialized on a 1.3M-edge graph.  Spark's ReuseExchange
-            # only dedupes identical exchanges inside one stage tree,
-            # not across nested star compositions.
-            e1 = _large_star(e).localCheckpoint(eager=True)
-            e2 = _small_star(e1).localCheckpoint(eager=True)
-            e1.unpersist()
-            new = _checksum(e2)
-            # free the previous iteration's checkpointed blocks —
-            # without this the loop accumulates one stale RDD per round
-            # in the block manager.
-            e.unpersist()
-            e = e2
-            if prev.c == new.c and prev.h == new.h:
-                break
-            prev = new
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
+    # Partitioning inside the loop is pinned per-plan via
+    # repartition(n, u) in the stars — NOT by mutating session conf
+    # (spark.conf.set is process-global: it would silently re-plan any
+    # concurrently-planned query in this session and make the loop
+    # non-reentrant).  Explicit repartition also keeps AQE from
+    # inserting a re-optimization round-trip per tiny fixed-size stage:
+    # AQE does not coalesce user-specified repartitionings.
+    n_parts = spark.sparkContext.defaultParallelism
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        # materialize EVERY star: each star's plan references its
+        # input 2-4x (union + groupBy branch + join branch), so
+        # fusing k stars into one lazy plan recomputes the base up
+        # to 4^k times — measured 90s/round fused vs ~6s/round
+        # materialized on a 1.3M-edge graph.  Spark's ReuseExchange
+        # only dedupes identical exchanges inside one stage tree,
+        # not across nested star compositions.
+        e1 = _large_star(e, n_parts).localCheckpoint(eager=True)
+        e2 = _small_star(e1, n_parts).localCheckpoint(eager=True)
+        e1.unpersist()
+        new = _checksum(e2)
+        # free the previous iteration's checkpointed blocks —
+        # without this the loop accumulates one stale RDD per round
+        # in the block manager.
+        e.unpersist()
+        e = e2
+        if prev.c == new.c and prev.h == new.h:
+            break
+        prev = new
 
     members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn(

@@ -1,0 +1,57 @@
+"""Ordering/sampling operators: seeded global shuffle (O3) and
+deterministic split/sample helpers.
+
+The reference shuffles with non-reproducible entropy — ``order by
+rand()`` / ``xxHash32(now64())`` (database/and_datasets.sql sampling
+blocks; round-1 SURVEY flagged the seed leak) — so the rebuild makes
+the seed explicit: ordering key = hash(row key, seed).  A global sort
+in Spark is a range-partitioned total order (sampling pass + range
+exchange), which is exactly the declarative form a 1000-executor sort
+needs; never collect-and-shuffle on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffle_key(
+    cols: list[str | Column], seed: int = 0, portable: bool = False
+) -> Column:
+    """Deterministic pseudo-random ordering key.
+
+    ``portable=True`` uses md5 (string hex, reproducible in any SQL
+    engine — the oracle-checkable twin); default is xxhash64 (fast JVM
+    path)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if portable:
+        return F.md5(
+            F.concat_ws("#", *[c.cast("string") for c in cs], F.lit(str(seed)))
+        )
+    return F.xxhash64(*cs, F.lit(seed))
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """O3: seeded global shuffle — a total order that is stable across
+    runs, partitionings, and cluster sizes (same seed -> same order),
+    unlike ``orderBy(rand())`` whose sample depends on task layout."""
+    return df.orderBy(shuffle_key(key_cols, seed, portable), *key_cols)
+
+
+def seeded_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose seeded
+    hash bucket falls under ``fraction`` (the O2/F6 hash-bucket
+    pattern; reproducible unlike df.sample at partition changes)."""
+    bucket = F.pmod(shuffle_key(key_cols, seed), F.lit(1_000_000))
+    return df.where(bucket < int(fraction * 1_000_000))

@@ -1055,13 +1055,35 @@ def q33(spark, sf):
 @q("q34_embedding_near_dups")
 def q34(spark, sf):
     """Embedding-cosine near-duplicate pairs via sign-LSH candidates
-    (float threshold -> rows-only check)."""
+    (float threshold -> rows-only check).
+
+    The driver's random embeddings contain no true near-dups at 0.9
+    (round-1 verdict: vacuous 0-row check), so the corpus is augmented
+    with PLANTED near-duplicates: every 20th vector gets a copy
+    (vec_id + 10^9) with a tiny deterministic perturbation on one
+    coordinate — cosine ~0.999, which the sign-LSH bucket pass must
+    recover.  Non-vacuous by construction: result must contain one
+    pair per planted copy."""
     from pubmed_and_method_spark.operators.similarity import (
         cosine_near_dup_pairs,
     )
 
     e = load_table(spark, sf, "embeddings")
-    return cosine_near_dup_pairs(e, "vec_id", "embedding", dim=64, threshold=0.9)
+    planted = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    corpus = e.unionByName(planted)
+    return cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", dim=64, threshold=0.9
+    )
 
 
 @q(
@@ -1422,6 +1444,97 @@ def q39(spark, sf):
             "doc_id2",
             sentinel_overlap("t1", "t2").alias("overlap_sentinel"),
         )
+    )
+
+
+@q(
+    "q40_delimited_ingest",
+    f"""
+    SELECT doc_id, lang, source,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), ' +'))
+                END AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q40(spark, sf):
+    """S1/S2: TSV bulk load with a DECLARED schema + transform-on-
+    ingest (sources/text_source.py; the clickhouse-client 'FORMAT
+    TSVWithNames' pattern, database/and_datasets.sql:7,177).  The
+    documents table is exported to TSV once per sf (idempotent) and
+    read back with an explicit StructType — values must round-trip
+    exactly, checked against the parquet oracle."""
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    from pubmed_and_method_spark.sources.text_source import (
+        read_delimited,
+        write_delimited,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_tsv_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_delimited(d, path, delimiter="\t", header=True)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    loaded = read_delimited(
+        spark,
+        path,
+        schema,
+        delimiter="\t",
+        header=True,
+        # S2 transform-on-ingest: whitespace-split the packed text col
+        transforms={"text": lambda c: F.split(F.trim(F.coalesce(c, F.lit(""))), " +")},
+    )
+    return loaded.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            (F.size("text") == 1) & (F.element_at("text", 1) == ""), 0
+        ).otherwise(F.size("text")).alias("n_ws_tokens"),
+    )
+
+
+@q(
+    "q41_seeded_shuffle",
+    """
+    SELECT CAST(rnk AS INTEGER) AS rnk, c_custkey FROM (
+        SELECT c_custkey,
+               row_number() OVER (
+                   ORDER BY md5(c_custkey || '#7'), c_custkey) AS rnk
+        FROM customer)
+    WHERE rnk <= 100
+    """,
+)
+def q41(spark, sf):
+    """O3 seeded global shuffle (operators/sampling.py): explicit-seed
+    total order replacing the reference's order-by-rand()/now64()
+    non-reproducible sampling.  Portable md5 key so DuckDB replays the
+    exact permutation."""
+    from pyspark.sql import Window
+
+    from pubmed_and_method_spark.operators.sampling import shuffle_key
+
+    c = load_table(spark, sf, "customer")
+    key = shuffle_key(["c_custkey"], seed=7, portable=True)
+    w = Window.orderBy(key, "c_custkey")
+    return (
+        c.select("c_custkey", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 100)
+        .select("rnk", "c_custkey")
     )
 
 
