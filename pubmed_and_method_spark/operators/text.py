@@ -94,3 +94,39 @@ def fingerprint(c: Column | str) -> Column:
     """Normalized-content fingerprint (md5 of the canonical text) —
     the exact-dedup key."""
     return F.md5(normalize_text(c))
+
+
+def gazetteer_lookup(
+    df,
+    id_col: str,
+    token_col: str,
+    gazetteer,
+    term_col: str = "term",
+    tag_col: str = "tag",
+    out_col: str = "gazetteer_tags",
+):
+    """E4: dictionary/gazetteer extraction as a broadcast hash join.
+
+    The reference ships location/organization gazetteers into its Java
+    NER sidecar (SURVEY §2.13); Spark-first the dictionary is a small
+    DataFrame broadcast to every task, tokens join against it, and
+    matched tags aggregate per doc.  Broadcast is CORRECT here (unlike
+    the banned vocabulary broadcast): a curated gazetteer is
+    fixed-size, not corpus-growing.
+
+    Returns ``df`` + ``out_col``: sorted distinct matched tags
+    (empty array when none).
+    """
+    gaz = gazetteer.select(
+        F.col(term_col).alias("__term"), F.col(tag_col).alias("__tag")
+    )
+    ex = df.select(F.col(id_col), F.explode(token_col).alias("__term"))
+    hits = (
+        ex.join(F.broadcast(gaz), "__term")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__tag")).alias(out_col))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    )

@@ -1538,6 +1538,49 @@ def q41(spark, sf):
     )
 
 
+@q(
+    "q42_gazetteer_lookup",
+    f"""
+    WITH gaz(term, tag) AS (
+        VALUES ('join', 'OP'), ('scan', 'OP'), ('merge', 'OP'),
+               ('vector', 'DATA'), ('column', 'DATA')),
+    d AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL.format(col="text")}) AS toks
+        FROM documents WHERE doc_id <= 200),
+    ex AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    h AS (
+        SELECT doc_id, list_sort(list_distinct(list(tag))) AS tags
+        FROM ex JOIN gaz USING (term) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(h.tags, CAST([] AS VARCHAR[])) AS gazetteer_tags
+    FROM d LEFT JOIN h USING (doc_id)
+    """,
+)
+def q42(spark, sf):
+    """E4 gazetteer/dictionary extraction (operators/text.py
+    gazetteer_lookup): fixed-size curated dict broadcast to every
+    task, tokens hash-joined against it, matched tags aggregated per
+    doc — the Spark-first form of the reference's NER-sidecar
+    dictionaries (SURVEY §2.13)."""
+    from pubmed_and_method_spark.operators.text import gazetteer_lookup
+
+    gaz = spark.createDataFrame(
+        [("join", "OP"), ("scan", "OP"), ("merge", "OP"),
+         ("vector", "DATA"), ("column", "DATA")],
+        ["term", "tag"],
+    )
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") <= 200)
+        .select(
+            "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+        )
+    )
+    return gazetteer_lookup(d, "doc_id", "toks", gaz).select(
+        "doc_id", "gazetteer_tags"
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
