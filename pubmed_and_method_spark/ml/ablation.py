@@ -86,6 +86,30 @@ def feature_group_ablation(
     return out
 
 
+def model_comparison(
+    features: DataFrame,
+    feature_cols: list[str],
+    algos: tuple[str, ...] | None = None,
+    group_col: str = "split_group",
+    n_folds: int = 4,
+    seed: int = 42,
+) -> list[dict]:
+    """The reference's per-model comparison loop (src/main_app.py:43
+    iterates available_modes() and CV-evaluates each): one fold-avg
+    metrics row per classifier over the full feature stack."""
+    from pubmed_and_method_spark.ml.model import AVAILABLE_ALGOS
+
+    algos = tuple(AVAILABLE_ALGOS) if algos is None else algos
+    return feature_group_ablation(
+        features,
+        groups={"all_features": list(feature_cols)},
+        algos=algos,
+        group_col=group_col,
+        n_folds=n_folds,
+        seed=seed,
+    )
+
+
 def ablation_table(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Materialize the ablation rows as a DataFrame (StageStore-ready,
     the result.txt artifact analog)."""

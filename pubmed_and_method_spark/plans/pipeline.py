@@ -87,6 +87,8 @@ FEATURE_COLS = [
 # FEATURE_COLS + EXTRA_FEATURE_COLS.
 EXTRA_FEATURE_COLS = [
     "tool_overlap_sentinel",  # X15 -1-sentinel intersect
+    "lang_eq",                # X12 language agreement (constant on the
+                              # monolingual synthetic corpus)
 ]
 
 
@@ -211,6 +213,11 @@ def build_signatures(transcripts: DataFrame, tfidf: bool = True) -> DataFrame:
         .withColumn("mention_id", F.concat_ws("#", "conv_id", F.lit("assistant")))
         .withColumn("role", F.lit("assistant"))
     )
+    # X12 language feature: native lexicon argmax (operators/text.py);
+    # feeds the lang_eq pair feature
+    from pubmed_and_method_spark.operators.text import predict_lang
+
+    sig = sig.withColumn("lang", predict_lang("full_text"))
     if tfidf:
         from pubmed_and_method_spark.functions.tfidf import tfidf_weight_maps
 
@@ -378,6 +385,9 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
         "ts_max",
         "block_key",
     ]
+    has_lang = "lang" in signatures.columns
+    if has_lang:
+        feat_cols.append("lang")
     has_tfidf = "tfidf" in signatures.columns
     if has_tfidf:
         feat_cols.append("tfidf")
@@ -493,6 +503,14 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
         .withColumn(
             "tool_overlap_sentinel",
             sentinel_overlap("tool_profile1", "tool_profile2"),
+        )
+        # X12 language agreement (GS language feature analog); 1 when
+        # signatures were built without the lang column
+        .withColumn(
+            "lang_eq",
+            (F.col("lang1") == F.col("lang2")).cast("int")
+            if has_lang
+            else F.lit(1),
         )
         .withColumn("time_diff_days", F.abs(mid1 - mid2) / day)
         .withColumn(
