@@ -11,6 +11,74 @@ from pubmed_and_method_spark.streaming.incremental import (
 )
 
 
+def test_stateful_turn_sessions_cross_batch(spark, corpus, tmp_path_factory):
+    """applyInPandasWithState keyed by conv_id: turns of the SAME
+    conversation arrive across two micro-batches; the second emit must
+    aggregate both (state persisted) and full_text must be in
+    (turn_idx) order regardless of arrival order."""
+    from pubmed_and_method_spark.sources.datagen import TRANSCRIPT_SCHEMA
+    from pubmed_and_method_spark.streaming.stateful import (
+        stateful_conversation_sessions,
+    )
+
+    t, _ = corpus
+    base = tmp_path_factory.mktemp("stateful")
+    inp, ckpt, out = (str(base / "in"), str(base / "ckpt"), str(base / "out"))
+    os.makedirs(inp)
+
+    # split TURNS (not conversations): even turn_idx first, odd second,
+    # so every conversation straddles the two files
+    t.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(inp, "f1")
+    )
+    t.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(inp, "f2")
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stateful_conversation_sessions(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window as W
+
+    emitted = spark.read.parquet(out)
+    w = W.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+    latest = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+
+    batch = build_signatures(t, tfidf=False).select(
+        "conv_id",
+        F.col("full_text").alias("expect_text"),
+        F.col("n_turns").alias("expect_turns"),
+    )
+    joined = latest.join(batch, "conv_id")
+    assert joined.count() == batch.count()
+    # state crossed batches: final aggregates equal the batch builder's
+    assert joined.filter(
+        (F.col("full_text") != F.col("expect_text"))
+        | (F.col("n_turns") != F.col("expect_turns"))
+    ).count() == 0
+
+
 def test_incremental_matches_batch(spark, corpus, tmp_path_factory):
     t, _ = corpus
     base = tmp_path_factory.mktemp("stream")
