@@ -29,4 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # q26/q27 oracles read the materialized synthetic corpus — make
+    # sure the parquet exists before any of these SQL strings can run
+    _q.ensure_transcript_corpus()
     return dict(_q.ORACLES)

@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# trials per headline query; the reported time is the MEDIAN (machine
+# noise on this box is up to 2x run-to-run — BENCH.md "Round-2
+# re-baseline"; medians close the single-trial loophole)
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 # AND-pipeline corpus size.  400k entities ~= 33M turns — the scale
 # BENCH.md/BASELINE.md quote — so the driver-recorded turns/sec is the
 # real figure, not a fixed-overhead-dominated toy run (round-1 verdict:
@@ -43,6 +47,7 @@ BENCH_QUERIES = [
     "q25_connected_components_dups",
     "q28_lsh_candidates_xxhash",
     "q29_multimodal_decode",
+    "q32_simhash_near_dups",
     "q36_name_feature_block",
     "q37_tfidf_cosine_pairs",
 ]
@@ -118,20 +123,47 @@ def bench_and_pipeline(spark, n_entities: int = 1500) -> tuple[float, int]:
     return time.time() - t0, n_turns
 
 
+def load_anchor() -> dict | None:
+    """Embed the same-day A/B anchor (BENCH_anchor.json) if present:
+    a paired run of the PREVIOUS round's code and the current code,
+    measured back-to-back in one session on this machine — the only
+    comparison that survives this box's day-over-day machine-state
+    drift (round 2: identical code re-measured 9x slower a day later).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_anchor.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            anchor = json.load(f)
+        anchor["age_hours"] = round(
+            (time.time() - anchor.get("epoch", 0)) / 3600, 1
+        )
+        return anchor
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
 def main() -> int:
     from pubmed_and_method_spark import queries as q
     from pubmed_and_method_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cores=CPUS)
     timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
 
     # warm the JVM/session so q01 doesn't pay startup costs
     force(q.QUERIES["q01_pricing_summary"](spark, SF_DIR))
 
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        force(q.QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(TRIALS):
+            t0 = time.time()
+            force(q.QUERIES[name](spark, SF_DIR))
+            runs.append(round(time.time() - t0, 3))
+        trials[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]  # median
 
     and_sec, n_turns = bench_and_pipeline(spark, n_entities=BENCH_ENTITIES)
     timings["and_pipeline"] = round(and_sec, 3)
@@ -144,9 +176,14 @@ def main() -> int:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
+        "trials_per_query": TRIALS,
+        "query_trials": trials,
         "and_pipeline_turns": n_turns,
         "and_pipeline_turns_per_sec": round(n_turns / and_sec, 1),
     }
+    anchor = load_anchor()
+    if anchor is not None:
+        out["anchor"] = anchor
     print(json.dumps(out))
     return 0
 

@@ -33,6 +33,7 @@ AUDIT = [
     ("q19_minhash_band_candidates", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
     ("q22_cosine_topk", [], []),  # documented bounded brute-force
     ("q36_name_feature_block", [r"PushedFilters: \[IsNotNull\(p_partkey\), LessThanOrEqual\(p_partkey,80\)"], [r"CartesianProduct"]),
+    ("q32_simhash_near_dups", [r"HashAggregate"], [r"CartesianProduct"]),
     ("q37_tfidf_cosine_pairs", [r"HashAggregate"], [r"CartesianProduct"]),
     ("q40_delimited_ingest", [], [r"CartesianProduct"]),
     ("q42_gazetteer_lookup", [r"BroadcastHashJoin", r"PushedFilters: \[IsNotNull\(doc_id\), LessThanOrEqual\(doc_id,200\)"], [r"CartesianProduct"]),

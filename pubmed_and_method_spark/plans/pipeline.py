@@ -261,10 +261,20 @@ def build_candidate_pairs(
     use the lexicographic min of the two members' own exact block keys
     (falling back to a conv-derived key for unblocked mentions).  The
     literal '__lsh__' tag is NEVER a split group — hashing it would
-    send every LSH-recovered pair to one side of the split wholesale
-    and let the same entity straddle train (exact pairs) and test
-    (LSH pairs), breaking the GroupShuffleSplit leakage guarantee
-    (src/comparison/inner_feature_method.py:48-55).
+    send every LSH-recovered pair to one side of the split wholesale.
+
+    The guarantee is EXACT for exact-block pairs (whole blocks land on
+    one side, the GroupShuffleSplit contract of
+    src/comparison/inner_feature_method.py:48-55) but APPROXIMATE for
+    LSH-recovered pairs: least(__sg1, __sg2) can pick the partner's
+    conv-derived '__c_<conv>' key (which sorts below lowercase block
+    keys), so a mention whose exact pairs hash to one side can have an
+    LSH pair hash to the other.  A strict guarantee would need a
+    union-find over member keys (one canonical entity-bearing group
+    per connected mention set) before assigning split groups — at the
+    cost of an iterative stage before training.  Measured on the
+    synthetic corpus the straddle rate is small (LSH pairs are a few
+    percent of pairs and most carry a real block key on both sides).
     """
     members = signatures.select("block_key", "mention_id", "conv_id").filter(
         F.col("block_key") != "__unblocked__"
@@ -579,6 +589,10 @@ def run_pipeline(
     scored_test = predict_prob(model, test)
     metrics = pairwise_metrics(scored_test)
 
+    # the error-analysis contract (database/statistics.sql:765-781):
+    # misclassified pairs must carry EVERYTHING the model saw, so the
+    # full feature stack rides into the scored/error stages — a user
+    # can ask "what did the model see on this FP?" without recomputing
     scored_all = store.run_stage(
         "scored_pairs",
         lambda: predict_prob(model, split).select(
@@ -589,8 +603,8 @@ def run_pipeline(
             "is_train",
             "pred_prob",
             "pred",
-            "token_jacc",
-            "content_tfidf_cos",
+            *FEATURE_COLS,
+            *EXTRA_FEATURE_COLS,
         ),
         inputs=("pair_features",),
         params={"algo": algo, "seed": seed},

@@ -51,7 +51,13 @@ def run_incremental_signatures(
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        sig = build_signatures(batch_df).withColumn(
+        # tfidf=False, deliberately: IDF is a CORPUS-level statistic —
+        # computed inside foreachBatch it would be batch-local and
+        # drift from the batch pipeline's weights.  Streaming maintains
+        # the lean signature columns; TF-IDF (and anything else needing
+        # global document frequencies) is recomputed downstream over
+        # the full current_signatures view.
+        sig = build_signatures(batch_df, tfidf=False).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
         sig.write.mode("append").parquet(output_dir)

@@ -17,13 +17,17 @@ emit, so late/out-of-order turns within the state horizon are handled
 
 Scale notes: state is O(turns per conversation) per key, partitioned
 by conv_id across executors (RocksDB state store in production);
-emit-per-batch keeps the sink append-only.  A GroupStateTimeout can
-evict idle conversations — kept NoTimeout here because the sandbox
-drains with availableNow (timeouts only fire on later triggers).
+emit-per-batch keeps the sink append-only.  Pass ``idle_timeout`` to
+evict idle conversations via event-time timeout + watermark — without
+it, a 24/7 stream's state store grows monotonically (every
+conversation ever seen).  An evicted conversation whose turns arrive
+later is rebuilt from scratch (fresh state), exactly like a brand-new
+conversation.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 from typing import Any, Iterator
 
 import pandas as pd
@@ -54,8 +58,14 @@ OUTPUT_SCHEMA = T.StructType(
 
 
 def _fold_conversation(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any, idle_seconds: int | None = None
 ) -> Iterator[pd.DataFrame]:
+    if getattr(state, "hasTimedOut", False):
+        # watermark passed this conversation's idle deadline with no
+        # new turns: evict.  No tombstone emit — the sink keeps the
+        # last aggregate; a later turn rebuilds state from scratch.
+        state.remove()
+        return
     if state.exists:
         turn_idxs, texts, tools, ts_min, ts_max, n_turns = state.get
         turn_idxs, texts, tools = list(turn_idxs), list(texts), list(tools)
@@ -76,6 +86,11 @@ def _fold_conversation(
 
     tools = sorted(set(tools))
     state.update((turn_idxs, texts, tools, ts_min, ts_max, n_turns))
+    if idle_seconds is not None and ts_max is not None:
+        # event-time idle deadline: evict when the watermark passes
+        # last-seen-turn + idle_seconds (timeout fires on a LATER
+        # trigger in which this conversation has no data)
+        state.setTimeoutTimestamp((ts_max + idle_seconds) * 1000)
 
     order = sorted(range(len(turn_idxs)), key=lambda i: (turn_idxs[i], texts[i]))
     yield pd.DataFrame(
@@ -90,22 +105,43 @@ def _fold_conversation(
     )
 
 
-def stateful_conversation_sessions(turns: DataFrame) -> DataFrame:
+def stateful_conversation_sessions(
+    turns: DataFrame,
+    idle_timeout: _dt.timedelta | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
     """Streaming turn feed -> per-conversation running aggregates.
 
     ``turns`` is a streaming DataFrame with the transcript schema
     (conv_id, turn_idx, role, text, tool, ts).  Returns the update
     stream of conversation aggregates.
+
+    ``idle_timeout``: when set, the input is watermarked on ``ts`` by
+    ``watermark_delay`` and a conversation's state is EVICTED
+    (event-time timeout) once the watermark passes its last turn +
+    idle_timeout — bounding total state for 24/7 streams.  Turns of an
+    evicted conversation arriving later re-key a fresh state (clean
+    restart, same as a new conversation).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if idle_timeout is None:
+        fold, conf = _fold_conversation, GroupStateTimeout.NoTimeout
+    else:
+        idle_s = int(idle_timeout.total_seconds())
+        turns = turns.withWatermark("ts", watermark_delay)
+
+        def fold(key, pdfs, state):
+            return _fold_conversation(key, pdfs, state, idle_seconds=idle_s)
+
+        conf = GroupStateTimeout.EventTimeTimeout
     return (
         turns.groupBy("conv_id")
         .applyInPandasWithState(
-            _fold_conversation,
+            fold,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )

@@ -153,15 +153,53 @@ def test_lsh_second_pass_recovers_unblocked(spark, corpus):
     assert dup.count() == 0
 
 
-def test_pipeline_f1_gate(spark, tmp_path_factory):
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
     store = StageStore(spark, str(tmp_path_factory.mktemp("stages")))
     # 80 entities -> enough labeled pairs that the GBT's test split is
     # not noise-dominated (40-entity default leaves only ~90 test pairs)
     m = run_pipeline(
         spark, store, seed=42, datagen_kwargs={"n_entities": 80, "n_blocks": 24}
     )
+    return store, m
+
+
+def test_pipeline_f1_gate(pipeline_run):
+    _, m = pipeline_run
     assert m["pair_model"]["f1"] >= 0.95
     assert m["clusters"]["f1"] >= 0.99  # the BASELINE.json gate
+
+
+def test_error_analysis_carries_full_features(pipeline_run):
+    """M9 parity with database/statistics.sql:765-781: every
+    misclassified pair in the error_analysis stage must carry the FULL
+    feature vector the model saw — and the values must equal the
+    pair_features stage's row for the same pair key."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        EXTRA_FEATURE_COLS,
+        FEATURE_COLS,
+    )
+
+    store, _ = pipeline_run
+    err = store.read("error_analysis")
+    for c in FEATURE_COLS + EXTRA_FEATURE_COLS:
+        assert c in err.columns, f"error_analysis missing feature {c}"
+    if err.isEmpty():
+        pytest.skip("no misclassified pairs on this run")
+    feats = store.read("pair_features").select(
+        "mention_id1", "mention_id2",
+        *[F.col(c).alias(f"__f_{c}") for c in FEATURE_COLS],
+    )
+    joined = err.join(feats, ["mention_id1", "mention_id2"], "inner")
+    # every error row rejoins to exactly one feature row...
+    assert joined.count() == err.count()
+    # ...and the persisted feature values are the ones the model saw
+    mismatch = joined.filter(
+        " OR ".join(
+            f"(NOT ({c} <=> __f_{c}))" for c in FEATURE_COLS
+        )
+    )
+    assert mismatch.count() == 0
 
 
 def test_pipeline_resume_identical(spark, tmp_path_factory):

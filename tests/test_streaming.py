@@ -79,6 +79,76 @@ def test_stateful_turn_sessions_cross_batch(spark, corpus, tmp_path_factory):
     ).count() == 0
 
 
+def test_stateful_idle_eviction_and_clean_restart(spark, tmp_path_factory):
+    """Event-time timeout: an idle conversation's state is evicted once
+    the watermark passes last-turn + idle_timeout; turns arriving after
+    eviction rebuild state from scratch (n_turns restarts) instead of
+    accumulating onto stale state."""
+    import datetime as dt
+
+    from pubmed_and_method_spark.sources.datagen import TRANSCRIPT_SCHEMA
+    from pubmed_and_method_spark.streaming.stateful import (
+        stateful_conversation_sessions,
+    )
+
+    base = tmp_path_factory.mktemp("evict")
+    inp, ckpt, out = (str(base / "in"), str(base / "ckpt"), str(base / "out"))
+    os.makedirs(inp)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def turns(conv, start, n, prefix):
+        return [
+            (conv, i, "assistant", f"{prefix} turn {i}", "",
+             start + dt.timedelta(seconds=60 * i))
+            for i in range(n)
+        ]
+
+    batches = [
+        turns("cA", t0, 4, "early"),                       # A: 4 turns, day 0
+        turns("cB", t0 + dt.timedelta(days=10), 2, "b"),   # watermark -> day 10
+        turns("cC", t0 + dt.timedelta(days=20), 2, "c"),   # A evicted here
+        turns("cA", t0 + dt.timedelta(days=30), 3, "late"),  # A re-keyed
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(inp, f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stateful_conversation_sessions(
+            stream, idle_timeout=dt.timedelta(hours=1)
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out).filter(F.col("conv_id") == "cA")
+    # two emissions for cA: the pre-eviction aggregate and the
+    # re-keyed one
+    rows = {r.n_turns: r for r in emitted.collect()}
+    assert 4 in rows and 3 in rows, f"got n_turns {sorted(rows)}"
+    late = rows[3]
+    # clean restart: the rebuilt state saw ONLY the post-eviction turns
+    assert "early" not in late.full_text
+    assert late.ts_min >= int(
+        (dt.datetime(2024, 1, 31) - dt.datetime(1970, 1, 1)).total_seconds()
+    )
+
+
 def test_incremental_matches_batch(spark, corpus, tmp_path_factory):
     t, _ = corpus
     base = tmp_path_factory.mktemp("stream")
