@@ -27,12 +27,20 @@ from pyspark.sql import functions as F
 
 
 def tfidf_weight_maps(
-    df: DataFrame, id_col: str, token_seq_col: str
+    df: DataFrame, id_col: str, token_seq_col: str, top_k: int | None = None
 ) -> DataFrame:
     """(id, tfidf: map<long,double>) — L2-normalized TF-IDF weights.
 
     ``token_seq_col`` is an array<long> of hashed tokens WITH
     duplicates (term frequency matters, array_distinct would erase it).
+
+    ``top_k``: keep only the k highest-weight terms per doc (ties
+    broken by hash for determinism), L2-normalizing AFTER truncation.
+    The weight map rides BOTH sides of the pair double-join — for long
+    documents it dominates the pair-shuffle bytes at 10^12-turn scale;
+    top-k caps that at O(k) per mention while preserving the cosine's
+    head mass (idf-weighted tails contribute little).  None = exact
+    (default; oracle-parity paths must use None).
     """
     ex = df.select(F.col(id_col), F.explode(token_seq_col).alias("__h"))
     tf = ex.groupBy(id_col, "__h").agg(F.count("*").alias("__tf"))
@@ -47,6 +55,15 @@ def tfidf_weight_maps(
             * F.log((F.col("__m") + 1) / (F.col("__df") + 1)),
         )
     )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy(id_col).orderBy(F.desc("__w"), "__h")
+        w = (
+            w.withColumn("__rk", F.row_number().over(wnd))
+            .filter(F.col("__rk") <= top_k)
+            .drop("__rk")
+        )
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
     )

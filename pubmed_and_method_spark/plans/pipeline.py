@@ -92,12 +92,17 @@ EXTRA_FEATURE_COLS = [
 ]
 
 
-def build_signatures(transcripts: DataFrame, tfidf: bool = True) -> DataFrame:
+def build_signatures(
+    transcripts: DataFrame, tfidf: bool = True, tfidf_top_k: int | None = None
+) -> DataFrame:
     """One row per (conv_id, role=assistant) mention.
 
     ``tfidf=True`` additionally attaches the L2-normalized TF-IDF
     weight map (X11, functions/tfidf.py) — two extra token-keyed
     shuffles; pass False for lean blocking-only runs.
+    ``tfidf_top_k`` truncates each map to its k heaviest terms (the
+    map rides both sides of the pair double-join; at 10^12 turns this
+    caps the dominant shuffle bytes — see tfidf_weight_maps).
 
     The analog of and.pubmed_inner_feature (one wide row per mention,
     database/pubmed_inner_outer_feature.sql:111-203).  Turn order is
@@ -223,7 +228,8 @@ def build_signatures(transcripts: DataFrame, tfidf: bool = True) -> DataFrame:
 
         # __th_seq keeps duplicates -> true term frequencies
         weights = tfidf_weight_maps(
-            sig.select("conv_id", "__th_seq"), "conv_id", "__th_seq"
+            sig.select("conv_id", "__th_seq"), "conv_id", "__th_seq",
+            top_k=tfidf_top_k,
         )
         sig = sig.join(weights, "conv_id", "left")
     return sig.drop("__th_seq")
@@ -237,6 +243,7 @@ def build_candidate_pairs(
     lsh_hashes: int = 16,
     lsh_bands: int = 8,
     lsh_col: str = "token_hashes",
+    strict_split: bool = False,
 ) -> DataFrame:
     """Multi-pass blocking -> candidate pairs (canonical id1<id2).
 
@@ -269,12 +276,16 @@ def build_candidate_pairs(
     LSH-recovered pairs: least(__sg1, __sg2) can pick the partner's
     conv-derived '__c_<conv>' key (which sorts below lowercase block
     keys), so a mention whose exact pairs hash to one side can have an
-    LSH pair hash to the other.  A strict guarantee would need a
-    union-find over member keys (one canonical entity-bearing group
-    per connected mention set) before assigning split groups — at the
-    cost of an iterative stage before training.  Measured on the
-    synthetic corpus the straddle rate is small (LSH pairs are a few
-    percent of pairs and most carry a real block key on both sides).
+    LSH pair hash to the other.  Measured on the synthetic corpus the
+    straddle rate is small (LSH pairs are a few percent of pairs and
+    most carry a real block key on both sides).
+
+    ``strict_split=True`` buys the EXACT guarantee: a union-find
+    (connected components) over the group-key graph linked by LSH
+    pairs collapses every connected set of groups to one canonical
+    component key, so ALL pairs touching a mention share one split
+    group.  Costs an O(log n)-round iterative stage over the (small)
+    group-key graph before training.
     """
     members = signatures.select("block_key", "mention_id", "conv_id").filter(
         F.col("block_key") != "__unblocked__"
@@ -309,7 +320,7 @@ def build_candidate_pairs(
                 F.col("block_key") != "__unblocked__", F.col("block_key")
             ).otherwise(F.concat(F.lit("__c_"), F.col("conv_id"))).alias("__sg"),
         )
-        lsh_pairs = (
+        lsh_tagged = (
             cand2.join(
                 pairs.select("mention_id1", "mention_id2"),
                 ["mention_id1", "mention_id2"],
@@ -329,12 +340,37 @@ def build_candidate_pairs(
             .withColumn("split_group", F.least("__sg1", "__sg2"))
             .withColumn("conv_id1", conv_of(F.col("mention_id1"), "#", 1))
             .withColumn("conv_id2", conv_of(F.col("mention_id2"), "#", 1))
-            .select(
-                "block_key", "split_group",
-                "mention_id1", "mention_id2", "conv_id1", "conv_id2",
-            )
+        )
+        lsh_pairs = lsh_tagged.select(
+            "block_key", "split_group",
+            "mention_id1", "mention_id2", "conv_id1", "conv_id2",
         )
         pairs = pairs.unionByName(lsh_pairs)
+        if strict_split:
+            # union-find over group keys: any two groups linked by an
+            # LSH pair must land on one side of the split, so remap
+            # every linked group to its component's canonical key.
+            # The graph has one node per group KEY (not per mention or
+            # pair) — tiny relative to the data, so the iterative CC
+            # stage is cheap even at corpus scale.
+            edges = (
+                lsh_tagged.select(
+                    F.col("__sg1").alias("u"), F.col("__sg2").alias("v")
+                )
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            mapping = connected_components(edges).select(
+                F.col("id").alias("split_group"),
+                F.col("component").alias("__sgc"),
+            )
+            pairs = (
+                pairs.join(mapping, "split_group", "left")
+                .withColumn(
+                    "split_group", F.coalesce("__sgc", F.col("split_group"))
+                )
+                .drop("__sgc")
+            )
     return pairs
 
 
@@ -344,6 +380,7 @@ def build_labeled_pairs(
     num_buckets: int = 1,
     max_block_size: int | None = None,
     lsh: bool = False,
+    strict_split: bool = False,
 ) -> DataFrame:
     """Multi-pass candidate pairs + planted labels.
 
@@ -356,6 +393,7 @@ def build_labeled_pairs(
         num_buckets=num_buckets,
         max_block_size=max_block_size,
         lsh=lsh,
+        strict_split=strict_split,
     )
     t = truth.select("conv_id", "entity_id")
     pairs = (

@@ -60,7 +60,8 @@ def main() -> int:
         out = subprocess.run(
             [sys.executable, __file__, "--worker", "--cores", str(cores),
              "--entities", str(args.entities)],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "7200")),
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)

@@ -107,3 +107,47 @@ def test_shingles(spark):
     assert rows[0].s == ["alpha beta gamma", "beta gamma delta"]
     assert rows[1].s == ["tiny one"]
     assert rows[2].s == []
+
+
+def test_tfidf_top_k_truncation(spark):
+    """top_k=None and top_k>=vocab are identical; small top_k bounds
+    map size and re-normalizes to unit L2 after truncation."""
+    from pubmed_and_method_spark.functions.tfidf import tfidf_weight_maps
+
+    df = spark.createDataFrame(
+        [(1, [10, 10, 20, 30, 40]), (2, [10, 20, 20, 50, 60]), (3, [70, 80])],
+        "id long, toks array<long>",
+    )
+    exact = {r.id: r.tfidf for r in tfidf_weight_maps(df, "id", "toks").collect()}
+    big = {
+        r.id: r.tfidf
+        for r in tfidf_weight_maps(df, "id", "toks", top_k=100).collect()
+    }
+    assert exact == big
+    for r in tfidf_weight_maps(df, "id", "toks", top_k=2).collect():
+        assert len(r.tfidf) <= 2
+        norm2 = sum(v * v for v in r.tfidf.values())
+        assert abs(norm2 - 1.0) < 1e-9
+
+
+def test_sentinel_overlap_null_contract(spark):
+    """Null array input must yield 0 (the reference's None contract),
+    never the -1 disagreement sentinel — regression for the legacy
+    sizeOfNull=-1 aliasing (r02 advice)."""
+    from pubmed_and_method_spark.functions.strings import sentinel_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"], ["c", "d"]),   # disjoint non-empty -> -1
+            (2, ["a", "b"], ["b", "c"]),   # overlap -> 1
+            (3, None, ["a"]),              # null -> 0
+            (4, ["a"], None),              # null -> 0
+            (5, [], ["a"]),                # empty -> 0 (not "both sides")
+        ],
+        "id long, a array<string>, b array<string>",
+    )
+    got = {
+        r.id: r.s
+        for r in df.select("id", sentinel_overlap("a", "b").alias("s")).collect()
+    }
+    assert got == {1: -1, 2: 1, 3: 0, 4: 0, 5: 0}

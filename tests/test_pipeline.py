@@ -116,6 +116,29 @@ def test_lsh_split_group_not_wholesale(spark, corpus):
     assert both.count() == 0
 
 
+def test_strict_split_no_mention_straddle(spark, corpus):
+    """strict_split=True: union-find over the LSH-linked group-key
+    graph makes the leakage guarantee EXACT — no mention may have
+    pairs on both sides of the split (the property the approximate
+    least(__sg1,__sg2) groups only mostly deliver)."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_candidate_pairs,
+        build_signatures,
+    )
+
+    t, _ = corpus
+    sig = build_signatures(t, tfidf=False)
+    pairs = build_candidate_pairs(sig, num_buckets=2, lsh=True, strict_split=True)
+    split = grouped_split(pairs, "split_group", train_pct=70, salt=42)
+    sides = (
+        split.select(F.col("mention_id1").alias("m"), "is_train")
+        .union(split.select(F.col("mention_id2").alias("m"), "is_train"))
+        .distinct()
+    )
+    straddle = sides.groupBy("m").count().filter(F.col("count") > 1)
+    assert straddle.count() == 0
+
+
 def test_lsh_second_pass_recovers_unblocked(spark, corpus):
     """Drop the self-introduction turn for some conversations: exact
     blocking can no longer pair them (block_key=__unblocked__), but the
