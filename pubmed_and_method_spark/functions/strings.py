@@ -122,9 +122,11 @@ _C_JW = _probe_c_jaro_winkler()
 #: executor worker.  Pair stages score the same small set of distinct
 #: name pairs thousands of times (block members share surnames and a
 #: short given-name vocabulary), so the hit rate is very high; capped
-#: and cleared to bound worker memory at 10^12-turn scale.
+#: and cleared to bound worker memory at 10^12-turn scale (262k
+#: entries ~ 25 MB/worker; pair batches are block-clustered, so
+#: locality keeps the hit rate after a clear).
 _JW_CACHE: dict[tuple[str, str], float] = {}
-_JW_CACHE_MAX = 1 << 20
+_JW_CACHE_MAX = 1 << 18
 
 
 @F.pandas_udf(T.DoubleType())
