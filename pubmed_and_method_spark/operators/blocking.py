@@ -56,6 +56,8 @@ def generate_pairs(
     num_buckets: int = 1,
     max_block_size: int | None = None,
     carry_cols: tuple[str, ...] = (),
+    adaptive_target: int | None = None,
+    max_salt: int = 1024,
 ) -> DataFrame:
     """All unordered pairs within each block, canonical id1 < id2.
 
@@ -64,6 +66,18 @@ def generate_pairs(
     larger than the cap before pairing (hot-row control, analog of
     ``length(authors_list_raw) < 50`` at
     database/link_pubmed_to_aminer_amg_s2.sql:342-343).
+
+    ``adaptive_target`` (overrides ``num_buckets``): derive the salt
+    PER BLOCK from its size — s_b = ceil(n_b / target), clamped to
+    ``max_salt`` — so typical blocks (n_b <= target) skip the ~2x
+    replication overhead of salting entirely (s_b=1 takes the plain
+    single-task path) while a hot block gets quadratically many tasks
+    of ~target² work each.  A global s must be sized for the WORST
+    block and taxes every block with it (BENCH.md hot-block table:
+    s=8 costs ~1.7x on uniform blocks); per-block s pays only where
+    skew exists.  Only oversized blocks (n_b > target) ride the
+    broadcast — at reference scale ~5.8M namespaces but few hot ones
+    (README.md:3), so the broadcast stays tiny.
 
     Output: (block_key, id1, id2[, carry1..., carry2...]).
     """
@@ -81,20 +95,42 @@ def generate_pairs(
         ]
         return m.select(key_col, *cols)
 
-    if num_buckets <= 1:
+    if adaptive_target is None and num_buckets <= 1:
         left, right = side("1"), side("2")
         pairs = left.join(right, key_col).where(
             F.col(f"{id_col}1") < F.col(f"{id_col}2")
         )
     else:
-        s = num_buckets
-        b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
-        bucketed = m.withColumn("__b", b)
+        if adaptive_target is not None:
+            # per-block salt: 1 for blocks at/below the target (left
+            # join misses -> coalesce), ceil(n/target) for hot blocks
+            hot = (
+                m.groupBy(key_col)
+                .agg(F.count("*").alias("__bs"))
+                .filter(F.col("__bs") > adaptive_target)
+                .select(
+                    key_col,
+                    F.least(
+                        F.ceil(F.col("__bs") / adaptive_target).cast("int"),
+                        F.lit(max_salt),
+                    ).alias("__s"),
+                )
+            )
+            bucketed = (
+                m.join(F.broadcast(hot), key_col, "left")
+                .withColumn("__s", F.coalesce("__s", F.lit(1)))
+            )
+        else:
+            bucketed = m.withColumn("__s", F.lit(num_buckets))
+        bucketed = bucketed.withColumn(
+            "__b",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int"),
+        )
         # left replicates into tasks (b, j) for j >= b;
         # right replicates into tasks (i, b) for i <= b.
         left = (
             bucketed.withColumn(
-                "__t", F.explode(F.sequence(F.col("__b"), F.lit(s - 1)))
+                "__t", F.explode(F.sequence(F.col("__b"), F.col("__s") - 1))
             )
             .select(
                 key_col,
@@ -202,6 +238,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     num_buckets: int = 1,
     max_block_size: int | None = None,
+    adaptive_target: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs from MinHash-LSH banding (pass-2
     blocking).  Pairs colliding in several bands are deduped.
@@ -218,6 +255,6 @@ def lsh_candidate_pairs(
     )
     pairs = generate_pairs(
         blocks, key_col="block_key", id_col=id_col, num_buckets=num_buckets,
-        max_block_size=max_block_size,
+        max_block_size=max_block_size, adaptive_target=adaptive_target,
     )
     return pairs.select(f"{id_col}1", f"{id_col}2").distinct()

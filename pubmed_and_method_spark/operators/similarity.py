@@ -179,6 +179,86 @@ def lsh_topk(
     )
 
 
+def topk_recall(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> dict:
+    """Recall@k of ``lsh_topk`` vs the exact ``brute_force_topk``
+    ground truth, plus the candidate-volume cost that bought it.
+
+    The dual-implementation cross-check the reference applies to its
+    own pair generator (database/and_datasets.sql:81-105: SQL pair
+    build vs python reimplementation compared row-for-row), applied to
+    the ANN scale path: both sides already exist, the harness joins
+    them.  Macro recall = mean over queries of
+    |approx_topk ∩ exact_topk| / |exact_topk| — ties at the k
+    boundary resolve identically on both sides (both order by
+    (desc cos, cand_id)).
+
+    Returns a small dict (one aggregate row collected — eval harness,
+    not a pipeline stage): recall_at_k, n_queries,
+    mean_candidates_per_query (the cost knob: exact work per query
+    the LSH pass actually performed), bits, tables, k.
+
+    The exact baseline is O(n²) — run this on a bounded eval corpus
+    (the seeded clustered fixture or a sample), never the full table;
+    at 100 TB recall is estimated on a seeded sample exactly as here.
+    """
+    exact = brute_force_topk(df, df, id_col, vec_col, k=k).select(
+        "query_id", "cand_id"
+    )
+    approx = lsh_topk(
+        df, id_col, vec_col, dim=dim, k=k, bits=bits, tables=tables, seed=seed
+    ).select("query_id", "cand_id")
+    hits = exact.join(approx, ["query_id", "cand_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n_true"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("__n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_true")
+            ).alias("__recall")
+        )
+    )
+    # candidate volume: distinct same-bucket pairs across tables — the
+    # number of exact cosine evaluations the LSH pass paid per query
+    buckets = hyperplane_buckets(
+        df, id_col, vec_col, dim=dim, bits=bits, tables=tables, seed=seed
+    )
+    a = buckets.select("table", "bucket", F.col(id_col).alias("query_id"))
+    b = buckets.select("table", "bucket", F.col(id_col).alias("cand_id"))
+    n_cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+        .count()
+    )
+    row = per_q.agg(
+        F.avg("__recall").alias("r"), F.count("*").alias("n")
+    ).collect()[0]
+    n_queries = int(row["n"]) or 1
+    return {
+        "recall_at_k": float(row["r"]) if row["r"] is not None else 0.0,
+        "k": k,
+        "bits": bits,
+        "tables": tables,
+        "n_queries": int(row["n"]),
+        "mean_candidates_per_query": round(n_cands / n_queries, 2),
+    }
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -244,6 +244,7 @@ def build_candidate_pairs(
     lsh_bands: int = 8,
     lsh_col: str = "token_hashes",
     strict_split: bool = False,
+    adaptive_target: int | None = None,
 ) -> DataFrame:
     """Multi-pass blocking -> candidate pairs (canonical id1<id2).
 
@@ -297,6 +298,7 @@ def build_candidate_pairs(
         num_buckets=num_buckets,
         max_block_size=max_block_size,
         carry_cols=("conv_id",),
+        adaptive_target=adaptive_target,
     ).withColumn("split_group", F.col("block_key"))
     if lsh:
         from pubmed_and_method_spark.operators.blocking import (
@@ -310,6 +312,7 @@ def build_candidate_pairs(
             num_hashes=lsh_hashes,
             bands=lsh_bands,
             num_buckets=num_buckets,
+            adaptive_target=adaptive_target,
         )
         conv_of = F.substring_index  # mention_id = conv_id#role
         # each member's entity-bearing group key: its exact block key,
@@ -381,6 +384,7 @@ def build_labeled_pairs(
     max_block_size: int | None = None,
     lsh: bool = False,
     strict_split: bool = False,
+    adaptive_target: int | None = None,
 ) -> DataFrame:
     """Multi-pass candidate pairs + planted labels.
 
@@ -394,6 +398,7 @@ def build_labeled_pairs(
         max_block_size=max_block_size,
         lsh=lsh,
         strict_split=strict_split,
+        adaptive_target=adaptive_target,
     )
     t = truth.select("conv_id", "entity_id")
     pairs = (

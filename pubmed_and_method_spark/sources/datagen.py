@@ -190,3 +190,36 @@ def transcripts_df(
         spark.createDataFrame(t, schema=TRANSCRIPT_SCHEMA),
         spark.createDataFrame(g, schema=TRUTH_SCHEMA),
     )
+
+
+def clustered_embeddings_df(
+    spark: SparkSession,
+    n_entities: int = 40,
+    per_entity: int = 6,
+    dim: int = 64,
+    noise: float = 0.15,
+    seed: int = 7,
+) -> DataFrame:
+    """(vec_id, entity, embedding) — the ER-shaped ANN eval corpus.
+
+    Each entity is a Gaussian centroid; members are the centroid plus
+    ``noise``-scaled Gaussian perturbations (expected sibling cosine
+    ≈ 1/(1+noise²), ~0.978 at 0.15).  True top-k neighbors of a member
+    are its siblings — the structure an entity-resolution embedding
+    space actually has, unlike the driver's i.i.d. random vectors whose
+    nearest neighbors are near-orthogonal (cos ~0.4) and therefore
+    unrecoverable by ANY sub-exhaustive index.  Used by the
+    ``topk_recall`` harness and its pytest gate.
+    """
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_entities, dim))
+    rows = []
+    for e in range(n_entities):
+        for m in range(per_entity):
+            v = centroids[e] + noise * rng.standard_normal(dim)
+            rows.append(
+                (e * per_entity + m, e, [float(x) for x in v])
+            )
+    return spark.createDataFrame(
+        rows, "vec_id long, entity int, embedding array<float>"
+    )

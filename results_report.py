@@ -3,11 +3,15 @@
 published quality tables (src/comparison/result.txt: per-feature-group
 and per-model fold-averaged grouped-CV metrics).
 
-Runs the full feature stack on the seeded synthetic corpus (80
-entities / 24 blocks — the F1-gate configuration), then:
+Runs the full feature stack on the seeded synthetic corpus
+($SPARK_GRAFT_RESULTS_ENTITIES entities, default 5000 — non-trivial
+scale per the r03 verdict; 80 reproduces the old F1-gate table), then:
 - feature-group ablation (ml/ablation.FEATURE_GROUPS, GBT), the analog
   of result.txt's outer_name / song_gs_combine / ... blocks;
-- the 9-classifier model comparison (src/main_app.py:43 loop).
+- the 9-classifier model comparison (src/main_app.py:43 loop);
+- the ANN recall@k tuning grid for lsh_topk vs the exact brute-force
+  ground truth (r03 verdict #1 — the dual-implementation cross-check,
+  database/and_datasets.sql:81-105, applied to the ANN scale path).
 
 Usage: python results_report.py   (writes RESULTS.md)
 """
@@ -19,6 +23,66 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_ENTITIES = int(os.environ.get("SPARK_GRAFT_RESULTS_ENTITIES", "5000"))
+
+
+def ann_recall_section(spark) -> list[str]:
+    """Recall@5 x candidate-cost grid: lsh_topk vs brute_force_topk on
+    the ER-shaped clustered corpus, plus the i.i.d.-random corpus at
+    the default knobs as the honesty row (structureless data has no
+    recoverable neighbors at any sub-exhaustive setting)."""
+    from pubmed_and_method_spark.operators.similarity import topk_recall
+    from pubmed_and_method_spark.sources.datagen import clustered_embeddings_df
+
+    emb = clustered_embeddings_df(
+        spark, n_entities=40, per_entity=6, dim=64, noise=0.15, seed=7
+    ).cache()
+    n = emb.count()
+    lines = [
+        "## ANN recall grid (lsh_topk vs exact top-5)",
+        "",
+        f"Clustered eval corpus: 40 entities x 6 members, dim 64, noise",
+        f"0.15 (sibling cosine ~0.978), n={n}; exact work per query =",
+        f"{n - 1} candidates.  recall@5 = macro-average overlap with",
+        "`brute_force_topk`; cands/query = distinct same-bucket pairs",
+        "(the exact cosine evaluations the index paid).  Pytest gate:",
+        "recall@5 >= 0.9 at the default 8 bits x 4 tables",
+        "(tests/test_training_ops.py::test_lsh_topk_recall_gate).",
+        "",
+        "| bits | tables | recall@5 | cands/query |",
+        "|---|---|---|---|",
+    ]
+    for bits in (4, 8, 12):
+        for tables in (1, 2, 4, 8):
+            m = topk_recall(emb, dim=64, k=5, bits=bits, tables=tables, seed=42)
+            mark = " **(default)**" if (bits, tables) == (8, 4) else ""
+            lines.append(
+                f"| {bits} | {tables} | {m['recall_at_k']:.3f}{mark} "
+                f"| {m['mean_candidates_per_query']:.1f} |"
+            )
+    emb.unpersist()
+    # honesty row: the driver's i.i.d. embeddings have near-orthogonal
+    # "nearest" neighbors — recall is structurally low there and tuning
+    # cannot fix it; report it so nobody reads the grid as universal
+    from pubmed_and_method_spark.session import load_table
+
+    raw = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    nr = raw.count()
+    m = topk_recall(raw, dim=64, k=5, bits=8, tables=4, seed=42)
+    raw.unpersist()
+    lines += [
+        "",
+        f"Contrast (i.i.d. random corpus, sf0.001 embeddings, n={nr}):",
+        f"recall@5 = {m['recall_at_k']:.3f} at the default knobs with",
+        f"{m['mean_candidates_per_query']:.1f} cands/query — neighbors",
+        "of i.i.d. Gaussian vectors sit near cos 0.4 where sign-LSH",
+        "collision probability is ~0.03/table; no index setting",
+        "recovers them without near-exhaustive work.  ANN presumes",
+        "clustered structure; measure recall on YOUR corpus with",
+        "`operators.similarity.topk_recall` before trusting the knobs.",
+    ]
+    return lines
 
 
 def main() -> int:
@@ -36,7 +100,10 @@ def main() -> int:
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
     spark = get_spark(app_name="results_report", cores="16")
-    t, g = transcripts_df(spark, seed=42, n_entities=80, n_blocks=24)
+    n_blocks = max(24, N_ENTITIES * 3 // 10)
+    t, g = transcripts_df(
+        spark, seed=42, n_entities=N_ENTITIES, n_blocks=n_blocks
+    )
     sig = build_signatures(t)
     pairs = build_labeled_pairs(sig, g, num_buckets=4, lsh=True)
     features = build_pair_features(pairs, sig).localCheckpoint(eager=True)
@@ -45,6 +112,7 @@ def main() -> int:
     t0 = time.time()
     groups = feature_group_ablation(features, algos=("gbt",))
     models = model_comparison(features, FEATURE_COLS)
+    ann_lines = ann_recall_section(spark)
     wall = round(time.time() - t0, 1)
 
     def table(rows: list[dict], key: str) -> list[str]:
@@ -64,8 +132,8 @@ def main() -> int:
         "# RESULTS — grouped-CV quality tables (analog of "
         "src/comparison/result.txt)",
         "",
-        "Corpus: seeded synthetic transcripts (seed 42, 80 entities / 24",
-        f"blocks), {n_pairs} labeled candidate pairs (exact blocks +",
+        f"Corpus: seeded synthetic transcripts (seed 42, {N_ENTITIES}",
+        f"entities / {n_blocks} blocks), {n_pairs} labeled candidate pairs (exact blocks +",
         "MinHash-LSH pass 2).  Every cell is 4-fold group-aware CV",
         "(folds split on `split_group` — whole blocks per side, the",
         "GroupShuffleSplit rebuild), fold-averaged like the reference",
@@ -104,8 +172,10 @@ def main() -> int:
         "planted truth (test_pipeline_f1_gate), which the full pipeline",
         "meets at 0.997.",
         "",
+        *ann_lines,
+        "",
         f"Generated by `python results_report.py` in {wall}s "
-        f"(model fits only).",
+        f"(model fits + ANN grid).",
     ]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
     with open(path, "w") as f:

@@ -51,6 +51,53 @@ def test_triangle_split_equals_plain(spark, members, s):
     assert salted == plain
 
 
+@pytest.mark.parametrize("target", [4, 8, 16, 64])
+def test_adaptive_salting_equals_plain(spark, members, target):
+    """r03 verdict #8: per-block salt s_b = ceil(n_b/target) must emit
+    the EXACT pair set of the plain self-join at every target —
+    including targets where some blocks take the s_b=1 fast path (the
+    8-member b* blocks at target>=8) and the 30-member hot block is
+    salted."""
+    plain = {
+        (r.mention_id1, r.mention_id2)
+        for r in generate_pairs(members, num_buckets=1).collect()
+    }
+    adaptive = {
+        (r.mention_id1, r.mention_id2)
+        for r in generate_pairs(members, adaptive_target=target).collect()
+    }
+    assert adaptive == plain
+
+
+def test_adaptive_salting_bounds_hot_tasks(spark):
+    """Adaptive salting must give the hot block the SAME per-task
+    bound the global-s stress test asserts, with s derived from the
+    block's own size."""
+    n, target = 3000, 400
+    s = -(-n // target)  # ceil -> 8
+    hot = spark.range(n).select(
+        F.lit("hotblock").alias("block_key"),
+        F.format_string("m%05d", F.col("id")).alias("mention_id"),
+    )
+    pairs = generate_pairs(hot, adaptive_target=target)
+    total = n * (n - 1) // 2
+    assert pairs.count() == total
+    b = hot.select(
+        F.pmod(F.xxhash64("mention_id"), F.lit(s)).cast("int").alias("b")
+    )
+    sizes = {r.b: r["count"] for r in b.groupBy("b").count().collect()}
+    loads = [
+        sizes.get(i, 0) * (sizes.get(i, 0) - 1) // 2
+        if i == j
+        else sizes.get(i, 0) * sizes.get(j, 0)
+        for i in range(s)
+        for j in range(i, s)
+    ]
+    ideal = total / (s * (s + 1) / 2)
+    assert max(loads) <= 2 * ideal
+    assert sum(loads) == total
+
+
 def test_max_block_size_cap(spark, members):
     pairs = generate_pairs(members, num_buckets=1, max_block_size=10)
     # 'hot' (30) dropped; five b* blocks of 8 remain
