@@ -49,6 +49,22 @@ def worker(repo: str) -> None:
 
     import bench
 
+    import pubmed_and_method_spark as _pkg
+
+    # guard against silent fallback (ADVICE r03): sys.path.insert only
+    # SHADOWS — if the target tree is missing a module (partial
+    # archive extraction), Python would import the current repo's copy
+    # and the A/B would honestly-looking measure current-vs-current.
+    # Every timed module must come from `repo`.
+    want = os.path.abspath(repo) + os.sep
+    for mod in (_pkg, q, bench):
+        got = os.path.abspath(mod.__file__)
+        assert got.startswith(want), (
+            f"anchor worker loaded {mod.__name__} from {got}, "
+            f"expected under {want} — aborting (would measure the "
+            "wrong tree)"
+        )
+
     spark = get_spark(app_name="anchor_ab", cores="32")
 
     def force(df):

@@ -88,7 +88,16 @@ def _probe_c_jaro_winkler():
     parity depends on exact agreement with DuckDB.  Neither lib ships
     in this container — the gate exists for real deployments, where
     the C path removes the O(|s1|*|s2|) pure-Python inner loop from
-    the hottest pair stage (VERDICT r02 weak #2)."""
+    the hottest pair stage (VERDICT r02 weak #2).
+
+    Probes are anchored to THIS module's ``jaro_winkler`` (codepoint
+    semantics).  Note the unicode caveat: DuckDB's
+    jaro_winkler_similarity walks UTF-8 BYTES, so it diverges from any
+    codepoint implementation on non-ASCII input (measured: 'café' vs
+    'cafe' -> 0.8483 duckdb vs 0.8833 here).  Every oracle-checked
+    name path is ASCII ([a-z]+ regex extraction), where byte ==
+    codepoint and parity is exact; the unicode probes below pin the
+    ENGINE's own semantics so a C lib cannot silently flip them."""
     fn = None
     try:
         from rapidfuzz.distance import JaroWinkler as _RF
@@ -101,19 +110,40 @@ def _probe_c_jaro_winkler():
             fn = _jf.jaro_winkler_similarity
         except ImportError:
             return None
-    probes = [
-        ("martha", "marhta"), ("dixon", "dicksonx"), ("dwayne", "duane"),
-        ("jellyfish", "smellyfish"), ("michelle", "michael"),
-        ("abc", "xbc"), ("ab", "ba"), ("a", "b"), ("abcd", "wxyz"),
-        ("same", "same"), ("prefixxxxx", "prefixyyyy"), ("x", "xyzw"),
-    ]
     try:
-        for a, b in probes:
+        for a, b in _JW_PROBES:
             if abs(fn(a, b) - jaro_winkler(a, b)) > 1e-12:
                 return None
     except Exception:
         return None
     return fn
+
+
+#: parity-probe pairs for _probe_c_jaro_winkler (module-level so tests
+#: can pin their coverage properties: boost-boundary, 4-char-prefix cap,
+#: unicode, long strings)
+_JW_PROBES = [
+    ("martha", "marhta"), ("dixon", "dicksonx"), ("dwayne", "duane"),
+    ("jellyfish", "smellyfish"), ("michelle", "michael"),
+    ("abc", "xbc"), ("ab", "ba"), ("a", "b"), ("abcd", "wxyz"),
+    ("same", "same"), ("prefixxxxx", "prefixyyyy"), ("x", "xyzw"),
+    # unicode: accents / umlaut expansion / CJK / combining marks —
+    # C libs that operate on bytes instead of codepoints diverge
+    # here, and the pair stage DOES see folded + unfolded forms
+    ("café", "cafe"), ("müller", "mueller"), ("josé", "jose"),
+    ("北京大学", "北京之学"), ("straße", "strasse"),
+    ("nuñez", "nunez"),
+    # long strings: window/transposition bookkeeping differences
+    # only surface past typical test lengths
+    ("a" * 64 + "bcdefgh" * 8, "a" * 64 + "bdcefhg" * 8),
+    ("the quick brown fox jumps over the lazy dog " * 3,
+     "the quick brown fox jumped over the lazy dogs " * 3),
+    # prefix boundary: exactly 4 common chars vs 5+ (the cap), and
+    # a sub-threshold jaro (<0.7) that must NOT get the boost
+    ("abcdefgh", "abcdwxyz"), ("abcdefgh", "abcdezzz"),
+    ("abcdeffff", "abcdegggg"), ("aaaaaaab", "aaaabbbb"),
+    ("acegik", "bdfhjl"), ("abxxxx", "abyyyy"),
+]
 
 
 _C_JW = _probe_c_jaro_winkler()

@@ -84,6 +84,93 @@ def tfidf_weight_maps(
     )
 
 
+def idf_snapshot(
+    df: DataFrame, id_col: str, token_seq_col: str
+) -> DataFrame:
+    """(token hash __h, __idf) corpus-level IDF table, plus ONE
+    sentinel row (__h = NULL) carrying the unseen-token default
+    idf = ln(m + 1) (the df=0 case of the same formula).
+
+    This is the materialization point for the incremental frontier
+    (r03 verdict missing #3): IDF is a CORPUS statistic, so streaming
+    micro-batches must not recompute it batch-locally — they join a
+    periodically refreshed snapshot of THIS table instead
+    (streaming/incremental.py).  One StageStore stage / Iceberg table
+    in production; rows are (distinct token, idf) — vocabulary-sized,
+    but never broadcast or collected (the join in
+    ``tfidf_weight_maps_from_idf`` is a plain token-keyed shuffle).
+    """
+    ex = df.select(F.col(id_col), F.explode(token_seq_col).alias("__h")).distinct()
+    docfreq = ex.groupBy("__h").agg(F.count("*").alias("__df"))
+    ndocs = df.agg(F.count("*").alias("__m"))
+    idf = docfreq.crossJoin(F.broadcast(ndocs)).select(
+        "__h",
+        F.log((F.col("__m") + 1) / (F.col("__df") + 1)).alias("__idf"),
+    )
+    default = ndocs.select(
+        F.lit(None).cast("long").alias("__h"),
+        F.log(F.col("__m") + 1).alias("__idf"),
+    )
+    return idf.unionByName(default)
+
+
+def tfidf_weight_maps_from_idf(
+    df: DataFrame,
+    id_col: str,
+    token_seq_col: str,
+    idf: DataFrame,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(id, tfidf) weight maps using a PRE-MATERIALIZED ``idf_snapshot``
+    instead of corpus-derived document frequencies — the streaming /
+    incremental path.  Tokens absent from the snapshot get the
+    sentinel default (df=0 semantics).  When ``idf`` was built from
+    exactly this ``df``, the output is bit-identical to
+    ``tfidf_weight_maps`` (pinned by
+    tests/test_streaming.py::test_incremental_idf_snapshot_parity)."""
+    ex = df.select(F.col(id_col), F.explode(token_seq_col).alias("__h"))
+    tf = ex.groupBy(id_col, "__h").agg(F.count("*").alias("__tf"))
+    known = idf.filter(F.col("__h").isNotNull())
+    default = idf.filter(F.col("__h").isNull()).select(
+        F.col("__idf").alias("__default_idf")
+    )
+    w = (
+        tf.join(known, "__h", "left")
+        .crossJoin(F.broadcast(default))
+        .withColumn(
+            "__w",
+            F.col("__tf") * F.coalesce(F.col("__idf"), F.col("__default_idf")),
+        )
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy(id_col).orderBy(F.desc("__w"), "__h")
+        w = (
+            w.withColumn("__rk", F.row_number().over(wnd))
+            .filter(F.col("__rk") <= top_k)
+            .drop("__rk")
+        )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
+    )
+    return (
+        w.join(norms, id_col)
+        .withColumn(
+            "__wn",
+            F.when(F.col("__n") > 0, F.col("__w") / F.col("__n")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__h", "__wn")))
+            ).alias("tfidf")
+        )
+    )
+
+
 def map_cosine(m1: Column | str, m2: Column | str) -> Column:
     """Dot product of two unit-norm weight maps == cosine similarity.
     Keys absent on one side contribute 0.  Null map -> 0.0."""

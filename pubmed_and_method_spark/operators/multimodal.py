@@ -2,10 +2,15 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct.  The Spark-side plumbing (schema, partition-friendly
-batch iteration, Arrow batch shape) is real and tested; the actual
-codec step is stubbed deterministically because decode libraries are
-not in this container — swap ``_fake_decode`` for a real decoder
-(PIL/librosa/av) in production.
+batch iteration, Arrow batch shape) is real and tested.  The codec is
+GUARDED (the same probe pattern as the C Jaro-Winkler hook,
+functions/strings.py): when Pillow is importable — the ``multimodal``
+extra in pyproject.toml — ``codec='auto'`` decodes/resizes real image
+bytes with PIL; otherwise it falls back to the documented
+deterministic stub.  ``codec='stub'`` pins the fake path (used by q29
+so its checksum column is byte-identical in every environment);
+``codec='pil'`` forces the real one (raises without Pillow).  Video
+frame demux (av/ffmpeg) remains stub-only.
 """
 
 from __future__ import annotations
@@ -15,6 +20,32 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _probe_pil():
+    """Pillow when importable, else None (never raises)."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception:
+        return None
+
+
+_PIL = _probe_pil()
+
+
+def _resolve_codec(codec: str) -> str:
+    if codec == "auto":
+        return "pil" if _PIL is not None else "stub"
+    if codec == "pil" and _PIL is None:
+        raise ImportError(
+            "codec='pil' requires Pillow (pip install "
+            "'pubmed-and-method-spark[multimodal]')"
+        )
+    if codec not in ("pil", "stub"):
+        raise ValueError(f"unknown codec {codec!r}; 'auto'|'pil'|'stub'")
+    return codec
 
 DECODED_SCHEMA = (
     "doc_id long, modality string, n_bytes int, checksum string, "
@@ -48,14 +79,30 @@ def _fake_decode(blob: bytes) -> tuple[int, int, list[float]]:
     return w, h, feat
 
 
-def decode_batches(df: DataFrame) -> DataFrame:
+def _pil_decode(blob: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode + 8-bin luminance-histogram feature (PIL)."""
+    from io import BytesIO
+
+    if blob is None:
+        raise ValueError("null payload")
+    img = _PIL.open(BytesIO(blob)).convert("L")
+    w, h = img.size
+    hist = img.histogram()  # 256 luminance bins
+    tot = float(sum(hist)) or 1.0
+    feat = [sum(hist[i * 32:(i + 1) * 32]) / tot for i in range(8)]
+    return w, h, feat
+
+
+def decode_batches(df: DataFrame, codec: str = "auto") -> DataFrame:
     """mapInPandas decode: per-partition Arrow batches in, typed rows
     out — the scale-path shape for a real decoder (each batch is
-    decoded inside one Python worker; no per-row serde)."""
+    decoded inside one Python worker; no per-row serde).  ``codec``:
+    'auto' (PIL when importable, else stub) | 'pil' | 'stub'."""
+    decode = _pil_decode if _resolve_codec(codec) == "pil" else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(b) for b in pdf["payload"]]
+            decoded = [decode(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -91,18 +138,32 @@ def _fake_resize(blob: bytes, target_w: int, target_h: int) -> bytes:
     return blob[::step][:out_len]
 
 
+def _pil_resize(blob: bytes, target_w: int, target_h: int) -> bytes:
+    """Real PIL resample to (target_w, target_h), re-encoded PNG."""
+    from io import BytesIO
+
+    if blob is None:
+        raise ValueError("null payload")
+    img = _PIL.open(BytesIO(blob)).resize((target_w, target_h))
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def resize_batches(
-    df: DataFrame, target_w: int = 224, target_h: int = 224
+    df: DataFrame, target_w: int = 224, target_h: int = 224,
+    codec: str = "auto",
 ) -> DataFrame:
     """mapInPandas resize: the standard vision-pipeline preprocessing
     step (decode -> resize to model input size).  1 row in -> 1 row
-    out, payload bytes shrink to the target budget; batch shape and
-    schema are production-real, the resample itself is the documented
-    deterministic stub."""
+    out; batch shape and schema are production-real.  ``codec='auto'``
+    resamples with PIL when importable, else the deterministic stub."""
+    use_pil = _resolve_codec(codec) == "pil"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _pil_resize if use_pil else _fake_resize
         for pdf in batches:
-            resized = [_fake_resize(b, target_w, target_h) for b in pdf["payload"]]
+            resized = [fn(b, target_w, target_h) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -1043,14 +1043,16 @@ def q28(spark, sf):
 @q("q29_multimodal_decode")
 def q29(spark, sf):
     """Binary-payload plumbing: encode -> mapInPandas batch decode
-    (deterministic stub codec) -> typed features."""
+    -> typed features.  codec='stub' is PINNED (not 'auto'): the demo
+    payloads are text bytes, and the checksum column must be
+    byte-identical whether or not Pillow is installed."""
     from pubmed_and_method_spark.operators.multimodal import (
         attach_binary_payload,
         decode_batches,
     )
 
     d = load_table(spark, sf, "documents")
-    return decode_batches(attach_binary_payload(d)).select(
+    return decode_batches(attach_binary_payload(d), codec="stub").select(
         "doc_id", "modality", "n_bytes", "checksum", "width", "height"
     )
 

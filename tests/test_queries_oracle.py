@@ -71,6 +71,38 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
 
 
+def test_q34_threshold_margin(duck):
+    """ADVICE r03: q34's Spark-vs-DuckDB ID-set comparison is only
+    engine-stable because no pair's cosine sits near the 0.9
+    threshold (planted dups ~0.999, random 64-dim pairs far below).
+    Pin that invariant: the exact all-pairs cosine distribution on the
+    q34 corpus must keep a >=1e-3 exclusion band around the
+    threshold, so float accumulation-order differences between
+    engines cannot flip a pair's membership.  A corpus change that
+    violates this fails HERE, not as a flaky driver hash."""
+    n = duck.execute(
+        """
+        WITH planted AS (
+            SELECT vec_id + 1000000000 AS vec_id,
+                   list_transform(embedding,
+                       (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+                       AS embedding
+            FROM embeddings WHERE vec_id % 20 = 0),
+        corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id, embedding FROM planted),
+        sims AS (
+            SELECT list_dot_product(a.embedding, b.embedding)
+                     / (sqrt(list_dot_product(a.embedding, a.embedding))
+                        * sqrt(list_dot_product(b.embedding, b.embedding)))
+                     AS cos
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        SELECT count(*) FROM sims WHERE abs(cos - 0.9) < 1e-3
+        """
+    ).fetchone()[0]
+    assert n == 0, f"{n} pairs within 1e-3 of the q34 threshold"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0

@@ -149,6 +149,49 @@ def test_stateful_idle_eviction_and_clean_restart(spark, tmp_path_factory):
     )
 
 
+def test_incremental_idf_snapshot_parity(spark, corpus, tmp_path_factory):
+    """r03 verdict missing #3: incremental signatures built against a
+    materialized corpus-level IDF snapshot must carry the SAME tfidf
+    weight maps as the batch builder on a static corpus — every
+    (conv, token) weight equal, no keys missing on either side."""
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.streaming.incremental import (
+        materialize_idf_snapshot,
+    )
+
+    t, _ = corpus
+    base = tmp_path_factory.mktemp("idfsnap")
+    inp = str(base / "in")
+    os.makedirs(inp)
+    t.coalesce(2).write.parquet(os.path.join(inp, "all"))
+
+    # bootstrap pass (no tfidf) -> snapshot from the full store
+    ck1, out1 = str(base / "ck1"), str(base / "out1")
+    run_incremental_signatures(spark, inp + "/*", ck1, out1)
+    snap = str(base / "snap")
+    materialize_idf_snapshot(spark, out1, snap)
+
+    # second pass over the same corpus, snapshot attached
+    ck2, out2 = str(base / "ck2"), str(base / "out2")
+    run_incremental_signatures(
+        spark, inp + "/*", ck2, out2, idf_snapshot_dir=snap
+    )
+    streamed = current_signatures(spark, out2).select(
+        "conv_id", F.explode("tfidf").alias("k", "v_stream")
+    )
+    batch = build_signatures(t, tfidf=True).select(
+        "conv_id", F.explode("tfidf").alias("k", "v_batch")
+    )
+    j = streamed.join(batch, ["conv_id", "k"], "full_outer")
+    assert j.filter(
+        F.col("v_stream").isNull() | F.col("v_batch").isNull()
+    ).count() == 0
+    worst = j.agg(
+        F.max(F.abs(F.col("v_stream") - F.col("v_batch"))).alias("d")
+    ).collect()[0]["d"]
+    assert worst < 1e-9, worst
+
+
 def test_incremental_matches_batch(spark, corpus, tmp_path_factory):
     t, _ = corpus
     base = tmp_path_factory.mktemp("stream")

@@ -185,7 +185,7 @@ def test_multimodal_decode_contract(spark, docs):
         decode_batches,
     )
 
-    out = decode_batches(attach_binary_payload(docs)).collect()
+    out = decode_batches(attach_binary_payload(docs), codec="stub").collect()
     assert len(out) == docs.count()
     for r in out:
         assert r.modality == "image/fake"
@@ -205,14 +205,65 @@ def test_multimodal_resize_contract(spark, docs):
     )
 
     payloads = attach_binary_payload(docs)
-    a = sorted(resize_batches(payloads, 8, 8).collect())
-    b = sorted(resize_batches(payloads, 8, 8).collect())
+    a = sorted(resize_batches(payloads, 8, 8, codec="stub").collect())
+    b = sorted(resize_batches(payloads, 8, 8, codec="stub").collect())
     assert a == b  # deterministic
     assert len(a) == docs.count()
     for r in a:
         assert (r.width, r.height) == (8, 8)
         assert 1 <= len(r.resized) <= max(1, 8 * 8 // 64)
         assert 0 < r.resize_ratio <= 1.0
+
+
+def test_multimodal_codec_resolution(spark):
+    """codec='auto' must resolve to PIL exactly when Pillow imports;
+    'pil' without Pillow must raise ImportError at plan-build time
+    (not inside an executor); unknown codecs rejected."""
+    from pubmed_and_method_spark.operators import multimodal as M
+
+    assert M._resolve_codec("auto") == ("pil" if M._PIL else "stub")
+    assert M._resolve_codec("stub") == "stub"
+    with pytest.raises(ValueError):
+        M._resolve_codec("ffmpeg")
+    if M._PIL is None:
+        with pytest.raises(ImportError):
+            M._resolve_codec("pil")
+
+
+def test_multimodal_pil_real_codec(spark):
+    """Real-codec path (runs only where Pillow is installed — the
+    `multimodal` extra): decode must report true pixel dimensions and
+    a valid luminance histogram; resize must produce a PNG that
+    round-trips to the target size."""
+    from pubmed_and_method_spark.operators import multimodal as M
+
+    if M._PIL is None:
+        pytest.skip("Pillow not installed in this environment")
+    from io import BytesIO
+
+    def png_bytes(w, h, val):
+        img = M._PIL.new("L", (w, h), color=val)
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(10, 6, 0)), (2, png_bytes(32, 8, 255))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("payload").alias("n_bytes"),
+        ),
+    )
+    dec = {r.doc_id: r for r in M.decode_batches(df, codec="pil").collect()}
+    assert (dec[1].width, dec[1].height) == (10, 6)
+    assert (dec[2].width, dec[2].height) == (32, 8)
+    assert dec[1].feature[0] == pytest.approx(1.0)  # all-black -> bin 0
+    assert dec[2].feature[7] == pytest.approx(1.0)  # all-white -> bin 7
+    res = {r.doc_id: r for r in M.resize_batches(df, 4, 4, codec="pil").collect()}
+    for r in res.values():
+        img = M._PIL.open(BytesIO(bytes(r.resized)))
+        assert img.size == (4, 4)
 
 
 def test_multimodal_frame_sample_expansion(spark, docs):
