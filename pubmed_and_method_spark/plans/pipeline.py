@@ -592,8 +592,18 @@ def run_pipeline(
     cluster_threshold: float = 0.85,
     lsh: bool = True,
     datagen_kwargs: dict | None = None,
+    tfidf_top_k: int | None = 64,
 ) -> dict:
-    """Full AND pipeline on the synthetic corpus; returns metrics."""
+    """Full AND pipeline on the synthetic corpus; returns metrics.
+
+    ``tfidf_top_k=64`` is the SCALE DEFAULT: the TF-IDF weight map
+    rides both sides of the pair double-join, and truncating each map
+    to its 64 heaviest terms (L2-renormalized) caps the dominant
+    pair-shuffle bytes at O(k) per mention (functions/tfidf.py).
+    Measured on this corpus the cluster F1 is unchanged (the
+    F1-gate pytest runs THIS default); pass None for exact untruncated
+    weights — every oracle-paired query builds its own signatures and
+    is unaffected by this default."""
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
     transcripts, truth = transcripts_df(spark, seed=seed, **(datagen_kwargs or {}))
@@ -604,9 +614,9 @@ def run_pipeline(
 
     signatures = store.run_stage(
         "signatures",
-        lambda: build_signatures(transcripts),
+        lambda: build_signatures(transcripts, tfidf_top_k=tfidf_top_k),
         inputs=("transcripts",),
-        params={"seed": seed},
+        params={"seed": seed, "tfidf_top_k": tfidf_top_k},
     )
     pairs = store.run_stage(
         "labeled_pairs",

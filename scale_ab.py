@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Same-session A/B harness for the round-4 scale decisions
+(r03 verdict #2, #6, #8): each config runs the 33M-turn pipeline spine
+in its OWN subprocess (fresh JVM) back-to-back, so pairs of configs
+see the same machine state — the only comparison that survives this
+box's ±2x local[32] drift (BENCH.md).
+
+Configs (over distributed_transcripts at $SPARK_GRAFT_BENCH_ENTITIES,
+default 400k entities ≈ 33M turns):
+
+  base        signatures(tfidf=False) -> labeled pairs (num_buckets=4,
+              lsh) -> features -> noop      [the bench.py spine]
+  adaptive    same, but adaptive_target=32 instead of global s=4
+  strict      base + strict_split=True      [exact split guarantee]
+  tfidf_none  signatures WITH untruncated TF-IDF maps -> same spine
+              (features include map-cosine)
+  tfidf_64    same with tfidf_top_k=64      [O(k) map per mention]
+
+Each worker reports wall seconds AND total shuffle write bytes
+(Spark UI REST, enabled per-subprocess on an ephemeral port) — the
+byte number is what the tfidf truncation exists to cap.
+
+Quality side (fast, seeded gate corpus): run_pipeline cluster F1 at
+tfidf_top_k=None vs 64 — the delta that licenses the truncated scale
+default.
+
+Usage:  python scale_ab.py                  (writes SCALE_AB.json)
+        python scale_ab.py --worker CONFIG  (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "400000"))
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+CONFIGS = ("base", "adaptive", "strict", "tfidf_none", "tfidf_64")
+
+
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle write bytes so far, from the in-process UI REST."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return -1
+    try:
+        apps = json.load(
+            urllib.request.urlopen(f"{url}/api/v1/applications", timeout=10)
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=30,
+            )
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def worker(config: str) -> None:
+    from pyspark.sql import functions as F
+
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.session import get_spark
+    from pubmed_and_method_spark.sources.distributed_datagen import (
+        distributed_transcripts,
+    )
+
+    spark = get_spark(
+        app_name=f"scale_ab_{config}",
+        cores=CPUS,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+    )
+
+    t, g = distributed_transcripts(
+        spark, seed=42, n_entities=ENTITIES, n_blocks=max(2, ENTITIES // 4)
+    )
+    t = t.localCheckpoint(eager=True)
+    n_turns = t.count()
+    g = g.localCheckpoint(eager=True)
+
+    with_tfidf = config.startswith("tfidf")
+    top_k = 64 if config == "tfidf_64" else None
+    SIG_COLS = [
+        "mention_id", "conv_id", "block_key", "given_name", "surname",
+        "token_hashes", "shingle_hashes", "tool_profile",
+        "ts_min", "ts_max",
+    ] + (["tfidf"] if with_tfidf else [])
+
+    t0 = time.time()
+    sig = (
+        build_signatures(t, tfidf=with_tfidf, tfidf_top_k=top_k)
+        .select(*SIG_COLS)
+        .localCheckpoint(eager=True)
+    )
+    sb0 = _shuffle_write_bytes(spark)  # pair stages measured from here
+    t_pairs = time.time()
+    kwargs = dict(lsh=True)
+    if config == "adaptive":
+        kwargs["adaptive_target"] = 32
+    else:
+        kwargs["num_buckets"] = 4
+    if config == "strict":
+        kwargs["strict_split"] = True
+    pairs = build_labeled_pairs(sig, g, **kwargs)
+    feats = build_pair_features(pairs, sig)
+    matched = feats.filter(
+        (F.col("name_jw") > 0.95) & (F.col("token_jacc") > 0.2)
+    )
+    out_cols = ["mention_id1", "mention_id2", "split_group"] + (
+        ["content_tfidf_cos"] if with_tfidf else []
+    )
+    matched.select(*out_cols).write.format("noop").mode("overwrite").save()
+    wall_pairs = time.time() - t_pairs
+    wall_total = time.time() - t0
+    sb1 = _shuffle_write_bytes(spark)
+    print(json.dumps({
+        "config": config,
+        "n_turns": n_turns,
+        "wall_total_sec": round(wall_total, 3),
+        "wall_pair_stage_sec": round(wall_pairs, 3),
+        "pair_stage_shuffle_bytes": (sb1 - sb0) if sb0 >= 0 and sb1 >= 0 else -1,
+        "turns_per_sec": round(n_turns / wall_total, 1),
+    }))
+
+
+def f1_quality_ab() -> dict:
+    """Cluster-F1 at tfidf_top_k None vs 64 on the seeded gate corpus
+    (quality is scale-independent; measured where it's cheap)."""
+    import shutil
+    import tempfile
+
+    from pubmed_and_method_spark.plans.checkpoint import StageStore
+    from pubmed_and_method_spark.plans.pipeline import run_pipeline
+    from pubmed_and_method_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_ab_f1", cores="16")
+    out = {}
+    for top_k in (None, 64):
+        d = tempfile.mkdtemp(prefix="scale_ab_f1_")
+        try:
+            m = run_pipeline(
+                spark,
+                StageStore(spark, d),
+                seed=42,
+                datagen_kwargs={"n_entities": 80, "n_blocks": 24},
+                tfidf_top_k=top_k,
+            )
+            out[f"top_k_{top_k}"] = {
+                "cluster_f1": round(m["clusters"]["f1"], 6),
+                "pair_f1": round(m["pair_model"]["f1"], 6),
+                "n_pairs": m["n_pairs"],
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", default=None, choices=CONFIGS)
+    p.add_argument("--skip-f1", action="store_true")
+    p.add_argument("--configs", default=",".join(CONFIGS))
+    args = p.parse_args()
+
+    if args.worker:
+        worker(args.worker)
+        return 0
+
+    results = {"entities": ENTITIES, "cpus": CPUS,
+               "date": time.strftime("%Y-%m-%d %H:%M"), "epoch": time.time()}
+    if not args.skip_f1:
+        results["f1_quality"] = f1_quality_ab()
+        print(json.dumps({"f1_quality": results["f1_quality"]}))
+
+    for config in args.configs.split(","):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", config],
+            capture_output=True, text=True, timeout=5400, cwd=HERE,
+        )
+        lines = [l for l in out.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"{config} produced no JSON:\n{out.stderr[-2000:]}"
+            )
+        results[config] = json.loads(lines[-1])
+        print(lines[-1])
+
+    with open(os.path.join(HERE, "SCALE_AB.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
