@@ -588,7 +588,8 @@ def run_pipeline(
     store: StageStore,
     seed: int = 42,
     algo: str = "gbt",
-    num_buckets: int = 4,
+    num_buckets: int = 1,
+    adaptive_target: int | None = 32,
     cluster_threshold: float = 0.85,
     lsh: bool = True,
     datagen_kwargs: dict | None = None,
@@ -603,7 +604,13 @@ def run_pipeline(
     Measured on this corpus the cluster F1 is unchanged (the
     F1-gate pytest runs THIS default); pass None for exact untruncated
     weights — every oracle-paired query builds its own signatures and
-    is unaffected by this default."""
+    is unaffected by this default.
+
+    ``adaptive_target=32`` is likewise the scale default for salting
+    (r04 A/B, SCALE_AB.json): per-block s_b = ceil(n_b/32) beat the
+    global s=4 by ~3% on the pair stage at 33M turns while giving hot
+    LSH buckets quadratically more tasks; pair-set identity with the
+    plain join is pytest-pinned, so metrics are unchanged."""
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
     transcripts, truth = transcripts_df(spark, seed=seed, **(datagen_kwargs or {}))
@@ -621,10 +628,14 @@ def run_pipeline(
     pairs = store.run_stage(
         "labeled_pairs",
         lambda: build_labeled_pairs(
-            signatures, truth, num_buckets=num_buckets, lsh=lsh
+            signatures, truth, num_buckets=num_buckets, lsh=lsh,
+            adaptive_target=adaptive_target,
         ),
         inputs=("signatures", "entities_truth"),
-        params={"num_buckets": num_buckets, "lsh": lsh},
+        params={
+            "num_buckets": num_buckets, "lsh": lsh,
+            "adaptive_target": adaptive_target,
+        },
     )
     features = store.run_stage(
         "pair_features",

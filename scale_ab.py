@@ -44,7 +44,7 @@ sys.path.insert(0, HERE)
 ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "400000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-CONFIGS = ("base", "adaptive", "strict", "tfidf_none", "tfidf_64")
+CONFIGS = ("base", "adaptive", "strict", "tfidf_none", "tfidf_64", "tfidf_16")
 
 
 def _shuffle_write_bytes(spark) -> int:
@@ -95,7 +95,7 @@ def worker(config: str) -> None:
     g = g.localCheckpoint(eager=True)
 
     with_tfidf = config.startswith("tfidf")
-    top_k = 64 if config == "tfidf_64" else None
+    top_k = {"tfidf_64": 64, "tfidf_16": 16}.get(config)
     SIG_COLS = [
         "mention_id", "conv_id", "block_key", "given_name", "surname",
         "token_hashes", "shingle_hashes", "tool_profile",
