@@ -148,6 +148,42 @@ _JW_PROBES = [
 
 _C_JW = _probe_c_jaro_winkler()
 
+
+def _probe_batch_kernel():
+    """Return the runtime-compiled C batch kernel (functions._cjw) IFF
+    it reproduces ``jaro_winkler`` bit-for-bit on the full probe set;
+    else None.  Same gate as the external-library path — the kernel is
+    trusted only by measurement, never by construction."""
+    try:
+        from pubmed_and_method_spark.functions._cjw import load_batch_kernel
+
+        kern = load_batch_kernel()
+        if kern is None:
+            return None
+        got = kern([a for a, _ in _JW_PROBES], [b for _, b in _JW_PROBES])
+        for (a, b), v in zip(_JW_PROBES, got):
+            if abs(v - jaro_winkler(a, b)) > 1e-12:
+                return None
+    except Exception:
+        return None
+    return kern
+
+
+def _get_batch_kernel():
+    """Per-process, lazily-probed C batch kernel (or None).
+
+    The kernel wraps a ctypes CDLL, which cannot cross the cloudpickle
+    boundary when the pandas UDF ships to executors — so it is NEVER
+    held in this module's globals.  It is built on first use in each
+    process and cached as an attribute of the (importable, hence
+    pickled-by-reference-only) ``_cjw`` module."""
+    from pubmed_and_method_spark.functions import _cjw
+
+    if not getattr(_cjw, "_KERNEL_PROBED", False):
+        _cjw._KERNEL = _probe_batch_kernel()
+        _cjw._KERNEL_PROBED = True
+    return _cjw._KERNEL
+
 #: (s1, s2) -> score memo shared across Arrow batches within one
 #: executor worker.  Pair stages score the same small set of distinct
 #: name pairs thousands of times (block members share surnames and a
@@ -162,26 +198,46 @@ _JW_CACHE_MAX = 1 << 18
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     """Arrow-batched Jaro-Winkler; one Python call per ~10k-row batch,
-    C-backed when a parity-verified lib is importable, memoized on
-    distinct (s1, s2) pairs either way."""
+    memoized on distinct (s1, s2) pairs.  Cache misses are scored by
+    (fastest first) the runtime-compiled C batch kernel (ONE ctypes
+    call for all misses in the batch), a parity-verified C library
+    (rapidfuzz/jellyfish), or the pure-Python loop."""
     fn = _C_JW or jaro_winkler
+    kern = _get_batch_kernel()
     cache = _JW_CACHE
     if len(cache) > _JW_CACHE_MAX:
         cache.clear()
-    out = []
-    for a, b in zip(s1, s2):
+    out = [0.0] * len(s1)
+    miss_idx: list[int] = []
+    miss_a: list[str] = []
+    miss_b: list[str] = []
+    for idx, (a, b) in enumerate(zip(s1, s2)):
         if a is None or b is None or not a or not b:
             # null/empty contract stays in the wrapper (reference
             # string_utils.py:80-83) so the C path never sees edge
             # cases it handles differently
-            out.append(0.0)
             continue
-        k = (a, b)
-        v = cache.get(k)
+        v = cache.get((a, b))
         if v is None:
-            v = 1.0 if a == b else fn(a, b)
-            cache[k] = v
-        out.append(v)
+            miss_idx.append(idx)
+            miss_a.append(a)
+            miss_b.append(b)
+        else:
+            out[idx] = v
+    if miss_idx:
+        if kern is not None:
+            try:
+                vals = kern(miss_a, miss_b)
+            except MemoryError:
+                vals = [1.0 if a == b else fn(a, b)
+                        for a, b in zip(miss_a, miss_b)]
+        else:
+            vals = [1.0 if a == b else fn(a, b)
+                    for a, b in zip(miss_a, miss_b)]
+        for idx, a, b, v in zip(miss_idx, miss_a, miss_b, vals):
+            v = float(v)
+            cache[(a, b)] = v
+            out[idx] = v
     return pd.Series(out, dtype="float64")
 
 

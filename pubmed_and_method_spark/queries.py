@@ -1836,6 +1836,121 @@ def q43(spark, sf):
     )
 
 
+# DuckDB list-set jaccard over (already-distinct) lists
+_LJ = (
+    "CASE WHEN len(list_distinct(list_concat({a}, {b}))) = 0 THEN 0.0 "
+    "ELSE len(list_intersect({a}, {b})) * 1.0 "
+    "/ len(list_distinct(list_concat({a}, {b}))) END"
+)
+
+
+@q(
+    "q44_pair_feature_stack",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    amb AS (
+        SELECT block_key,
+               count(*) * 1.0 / (SELECT count(*) FROM members) AS amb
+        FROM members GROUP BY block_key),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({_TOKENS_SQL.format(
+                   col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+                       "FILTER (WHERE role = 'assistant'), '')")}),
+                        CAST([] AS VARCHAR[])) AS toks,
+               epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+        FROM t GROUP BY conv_id),
+    prs AS (
+        SELECT a.conv_id AS c1, b.conv_id AS c2, a.block_key,
+               a.given_name AS g1, a.surname AS s1,
+               b.given_name AS g2, b.surname AS s2
+        FROM members a JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant')
+    SELECT p.c1 || '#assistant' AS mention_id1,
+           p.c2 || '#assistant' AS mention_id2,
+           round(jaro_winkler_similarity(p.g1 || ' ' || p.s1,
+                                         p.g2 || ' ' || p.s2), 6) AS name_jw,
+           round(jaro_winkler_similarity(p.g1, p.g2), 6) AS given_jw,
+           round(CASE WHEN greatest(len(p.g1), len(p.g2)) = 0 THEN 1.0
+                 ELSE 1.0 - levenshtein(p.g1, p.g2) * 1.0
+                      / greatest(len(p.g1), len(p.g2)) END, 6)
+               AS name_lev_ratio,
+           round({_LJ.format(a="f1.toks", b="f2.toks")}, 6) AS token_jacc,
+           round({_LJ.format(a="f1.tools", b="f2.tools")}, 6) AS tool_jacc,
+           CAST(CASE WHEN len(list_intersect(f1.tools, f2.tools)) = 0
+                          AND len(f1.tools) > 0 AND len(f2.tools) > 0
+                     THEN -1
+                     ELSE len(list_intersect(f1.tools, f2.tools))
+                END AS INTEGER) AS tool_overlap_sentinel,
+           round(abs((f1.tmin + f1.tmax) / 2 - (f2.tmin + f2.tmax) / 2)
+                 / 86400.0, 6) AS time_diff_days,
+           CAST(least(f1.tmax, f2.tmax) - greatest(f1.tmin, f2.tmin) > 0
+                AS INTEGER) AS time_overlap,
+           round(amb.amb, 6) AS ambiguity_score
+    FROM prs p
+    JOIN sigf f1 ON f1.conv_id = p.c1
+    JOIN sigf f2 ON f2.conv_id = p.c2
+    JOIN amb ON amb.block_key = p.block_key
+    """,
+)
+def q44(spark, sf):
+    """Full pair-feature stack (build_pair_features) on the seeded
+    transcript corpus, value-checked feature-by-feature against an
+    independent DuckDB re-derivation: JW name features (X1/X6 —
+    including the runtime-compiled C kernel when present, which must
+    agree with DuckDB bit-for-bit on these ASCII names), Levenshtein
+    ratio (X2), token jaccard over content (X3 — DuckDB compares
+    string-token sets where the engine compares xxhash64 sets: equal
+    modulo 2^-64 collisions), tool-profile jaccard + -1-sentinel
+    overlap (X7/X8/X13 analog + X15), temporal midpoint distance +
+    span overlap (X14), and per-block ambiguity on the pair path
+    (X16).  This is the direct value oracle for the feature rows that
+    previously had only the pipeline F1 gate
+    (src/pubmed_inner_feature_extract.py:16-35,113-186)."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    pairs = build_labeled_pairs(sig, g, num_buckets=4)
+    feats = build_pair_features(pairs, sig)
+    return feats.select(
+        "mention_id1",
+        "mention_id2",
+        F.round("name_jw", 6).alias("name_jw"),
+        F.round("given_jw", 6).alias("given_jw"),
+        F.round("name_lev_ratio", 6).alias("name_lev_ratio"),
+        F.round("token_jacc", 6).alias("token_jacc"),
+        F.round("tool_jacc", 6).alias("tool_jacc"),
+        F.col("tool_overlap_sentinel").cast("int").alias(
+            "tool_overlap_sentinel"
+        ),
+        F.round("time_diff_days", 6).alias("time_diff_days"),
+        F.col("time_overlap").cast("int").alias("time_overlap"),
+        F.round("ambiguity_score", 6).alias("ambiguity_score"),
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

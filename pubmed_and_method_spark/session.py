@@ -28,6 +28,15 @@ def _mem_available_gib() -> float:
     return 8.0
 
 
+def _master_total_cores(master: str) -> int:
+    """Total task slots of a local[N] / local-cluster[n,c,m] master."""
+    inner = master[master.index("[") + 1 : master.rindex("]")]
+    parts = inner.split(",")
+    if len(parts) >= 2:  # local-cluster[n,cores,memMB]
+        return int(parts[0]) * int(parts[1])
+    return (os.cpu_count() or 8) if parts[0] == "*" else int(parts[0])
+
+
 def get_spark(
     app_name: str = "pubmed_and_method_spark",
     cores: int | str | None = None,
@@ -42,11 +51,25 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    if isinstance(cores, str) and cores.startswith(("local-cluster[", "local[")):
+        # Full master spec passthrough: local-cluster[n,cores,memMB]
+        # runs n REAL executor JVMs (own heap/GC per process) inside
+        # this sandbox — the faithful small-scale model of an
+        # n-executor cluster for the north rule's N-vs-4N criterion.
+        master = cores
+        total = _master_total_cores(cores)
+    else:
+        master = f"local[{cores}]"
+        total = os.cpu_count() or 8 if cores == "*" else int(cores)
     if shuffle_partitions is None:
-        n = os.cpu_count() or 8 if cores == "*" else int(cores)
-        shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, n)
+        shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, total)
+    is_cluster = master.startswith("local-cluster[")
     driver_mem = os.environ.get("SPARK_DRIVER_MEM")
+    if driver_mem is None and is_cluster:
+        # Executors own the data in cluster mode; the driver only
+        # plans/coordinates (plus small collects), so don't pre-touch
+        # a 48g heap out of the executors' budget.
+        driver_mem = "8g"
     if driver_mem is None:
         # 48g (the measured sweet spot for this workload) unless the
         # host can't back it: the -Xms pre-touch below commits the full
@@ -82,6 +105,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if is_cluster:
+        # Mirror the driver heap discipline on each executor JVM: the
+        # master spec's memMB is the worker's budget; give the executor
+        # the same amount pre-touched so allocation-heavy stages don't
+        # stall in page faults (same measured pathology as the driver).
+        inner = master[master.index("[") + 1 : master.rindex("]")]
+        mem_mb = int(inner.split(",")[2])
+        # Executor python workers don't inherit the driver's sys.path
+        # (unlike local[N]); ship the package root the way
+        # spark-submit --py-files would on a real cluster.
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        exec_pp = ":".join(
+            p for p in (pkg_root, os.environ.get("PYTHONPATH")) if p
+        )
+        builder = (
+            builder.config("spark.executor.memory", f"{mem_mb}m")
+            .config(
+                "spark.executor.extraJavaOptions",
+                f"-Xms{mem_mb}m -XX:+AlwaysPreTouch",
+            )
+            .config("spark.executorEnv.PYTHONPATH", exec_pp)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -98,6 +98,34 @@ def test_c_jw_parity_when_lib_present():
         assert S._C_JW(a, b) == pytest.approx(jaro_winkler(a, b), abs=1e-12)
 
 
+def test_compiled_jw_batch_kernel_parity():
+    """The runtime-compiled C batch kernel (functions/_cjw.py) must
+    match the pure-Python anchor bit-for-bit on a seeded random corpus
+    far wider than the probe gate: unicode, empties, identical pairs,
+    long strings.  Skips only where no C compiler exists (the kernel
+    is probe-gated at import, so _C_JW_BATCH is None there and the
+    pure-Python path serves)."""
+    import random
+
+    from pubmed_and_method_spark.functions import strings as S
+
+    kern = S._get_batch_kernel()
+    if kern is None:
+        pytest.skip("no C compiler in this environment")
+    rng = random.Random(23)
+    alpha = "abcdefghijklmnopqrstuvwxyzàéîöü北京 "
+    pairs = []
+    for _ in range(2000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        pairs.append((a, b))
+    pairs += [("", ""), ("x", ""), ("", "x"), ("same", "same"),
+              ("a" * 200, "a" * 199 + "b")]
+    got = kern([a for a, _ in pairs], [b for _, b in pairs])
+    for (a, b), v in zip(pairs, got):
+        assert v == pytest.approx(jaro_winkler(a, b), abs=1e-12), (a, b)
+
+
 def test_jaro_winkler_udf_batch(spark):
     df = spark.createDataFrame(CASES, ["a", "b"])
     got = {
