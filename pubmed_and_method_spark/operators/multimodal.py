@@ -2,21 +2,32 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct.  The Spark-side plumbing (schema, partition-friendly
-batch iteration, Arrow batch shape) is real and tested.  The codec is
-GUARDED (the same probe pattern as the C Jaro-Winkler hook,
-functions/strings.py): when Pillow is importable — the ``multimodal``
-extra in pyproject.toml — ``codec='auto'`` decodes/resizes real image
-bytes with PIL; otherwise it falls back to the documented
-deterministic stub.  ``codec='stub'`` pins the fake path (used by q29
-so its checksum column is byte-identical in every environment);
-``codec='pil'`` forces the real one (raises without Pillow).  Video
-frame demux (av/ffmpeg) remains stub-only.
+batch iteration, Arrow batch shape) is real and tested.  Codecs:
+
+* ``'pnm'`` — a REAL, dependency-free decoder for binary PGM (P5)
+  grayscale images (restricted grammar: single-space header,
+  maxval 255): numpy header parse + raster decode + 8-bin luminance
+  histogram; resize is a real nearest-neighbour resample.  Payloads
+  for it are built engine-side by :func:`attach_pnm_payload`.  This
+  is the default correctness path (q29's oracle value-checks it).
+* ``'pil'`` — Pillow, GUARDED by the same probe pattern as the C
+  Jaro-Winkler hook (functions/strings.py): importable via the
+  ``multimodal`` extra in pyproject.toml; handles compressed formats
+  (PNG/JPEG) the pnm codec cannot.
+* ``'stub'`` — the documented deterministic fake for opaque payloads
+  of unknown format.
+* ``'auto'`` — pil when importable, else stub (NOT pnm: auto must
+  accept arbitrary blobs, and pnm raises on non-PGM bytes — that
+  strictness is what makes it a real decoder).
+
+Video frame demux (av/ffmpeg) remains stub-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,8 +54,10 @@ def _resolve_codec(codec: str) -> str:
             "codec='pil' requires Pillow (pip install "
             "'pubmed-and-method-spark[multimodal]')"
         )
-    if codec not in ("pil", "stub"):
-        raise ValueError(f"unknown codec {codec!r}; 'auto'|'pil'|'stub'")
+    if codec not in ("pil", "stub", "pnm"):
+        raise ValueError(
+            f"unknown codec {codec!r}; 'auto'|'pil'|'pnm'|'stub'"
+        )
     return codec
 
 DECODED_SCHEMA = (
@@ -64,6 +77,74 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.length(F.col(text_col)).alias("n_bytes"),
         ),
     )
+
+
+def attach_pnm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build REAL binary PGM (P5) grayscale images engine-side: the
+    document's utf-8 bytes become the pixel raster (zero-padded to
+    w*h), under a standard ``P5 <w> <h> 255\\n`` header.  Dimensions
+    derive deterministically from the text length (w in 4..16), so an
+    external oracle can re-derive every decoded value.  All byte
+    assembly is native (encode/format_string/rpad/concat) — no UDF."""
+    w = (F.length(text_col) % 13 + 4).cast("int")
+    h = F.ceil(F.length(text_col) / w).cast("int")
+    return (
+        df.withColumn("_w", w)
+        .withColumn("_h", h)
+        .withColumn(
+            "payload",
+            F.concat(
+                F.encode(
+                    F.format_string("P5 %d %d 255\n", "_w", "_h"), "utf-8"
+                ),
+                F.expr(f"rpad(encode({text_col}, 'utf-8'), _w * _h, X'00')"),
+            ),
+        )
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("image/x-portable-graymap").alias("mime"),
+                F.octet_length("payload").alias("n_bytes"),
+            ),
+        )
+        .drop("_w", "_h")
+    )
+
+
+def _pnm_parse(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a restricted-grammar binary PGM: ``P5 <w> <h> 255\\n``
+    header (single spaces, maxval 255) + w*h raster bytes.  Raises on
+    anything else — strictness is the point of a real decoder."""
+    if blob is None:
+        raise ValueError("null payload")
+    header, sep, raster = bytes(blob).partition(b"\n")
+    parts = header.split(b" ")
+    if not sep or len(parts) != 4 or parts[0] != b"P5" or parts[3] != b"255":
+        raise ValueError(f"not a supported PGM header: {header[:32]!r}")
+    w, h = int(parts[1]), int(parts[2])
+    if w <= 0 or h <= 0 or len(raster) < w * h:
+        raise ValueError(f"truncated raster: {len(raster)} < {w}x{h}")
+    return w, h, np.frombuffer(raster, dtype=np.uint8, count=w * h)
+
+
+def _pnm_decode(blob: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode: header-parsed dimensions + 8-bin luminance
+    histogram (32-wide bins) over the actual pixel raster, normalized
+    by pixel count."""
+    w, h, px = _pnm_parse(blob)
+    hist = np.bincount(px >> 5, minlength=8).astype(np.float64) / (w * h)
+    return w, h, hist.tolist()
+
+
+def _pnm_resize(blob: bytes, target_w: int, target_h: int) -> bytes:
+    """Real nearest-neighbour resample of a P5 image to
+    (target_w, target_h), re-encoded as P5."""
+    w, h, px = _pnm_parse(blob)
+    img = px.reshape(h, w)
+    rows = (np.arange(target_h) * h) // target_h
+    cols = (np.arange(target_w) * w) // target_w
+    out = img[np.ix_(rows, cols)]
+    return b"P5 %d %d 255\n" % (target_w, target_h) + out.tobytes()
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int, list[float]]:
@@ -97,8 +178,12 @@ def decode_batches(df: DataFrame, codec: str = "auto") -> DataFrame:
     """mapInPandas decode: per-partition Arrow batches in, typed rows
     out — the scale-path shape for a real decoder (each batch is
     decoded inside one Python worker; no per-row serde).  ``codec``:
-    'auto' (PIL when importable, else stub) | 'pil' | 'stub'."""
-    decode = _pil_decode if _resolve_codec(codec) == "pil" else _fake_decode
+    'auto' (PIL when importable, else stub) | 'pil' | 'pnm' | 'stub'."""
+    decode = {
+        "pil": _pil_decode,
+        "pnm": _pnm_decode,
+        "stub": _fake_decode,
+    }[_resolve_codec(codec)]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,10 +243,14 @@ def resize_batches(
     step (decode -> resize to model input size).  1 row in -> 1 row
     out; batch shape and schema are production-real.  ``codec='auto'``
     resamples with PIL when importable, else the deterministic stub."""
-    use_pil = _resolve_codec(codec) == "pil"
+    resolved = _resolve_codec(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = _pil_resize if use_pil else _fake_resize
+        fn = {
+            "pil": _pil_resize,
+            "pnm": _pnm_resize,
+            "stub": _fake_resize,
+        }[resolved]
         for pdf in batches:
             resized = [fn(b, target_w, target_h) for b in pdf["payload"]]
             yield pd.DataFrame(

@@ -1040,20 +1040,77 @@ def q28(spark, sf):
     return lsh_candidate_pairs(d, "doc_id", "toks", num_hashes=16, bands=4)
 
 
-@q("q29_multimodal_decode")
+@q(
+    "q29_multimodal_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id, text, length(text) AS tlen,
+               (length(text) % 13) + 4 AS w,
+               CAST(ceil(length(text) * 1.0
+                         / ((length(text) % 13) + 4)) AS INT) AS h
+        FROM documents),
+    chars AS (
+        SELECT doc_id, unicode(c) // 32 AS b
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM dims)),
+    hist AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE b = 0) AS c0,
+               count(*) FILTER (WHERE b = 1) AS c1,
+               count(*) FILTER (WHERE b = 2) AS c2,
+               count(*) FILTER (WHERE b = 3) AS c3,
+               count(*) FILTER (WHERE b = 4) AS c4,
+               count(*) FILTER (WHERE b = 5) AS c5,
+               count(*) FILTER (WHERE b = 6) AS c6,
+               count(*) FILTER (WHERE b = 7) AS c7
+        FROM chars GROUP BY doc_id)
+    SELECT d.doc_id,
+           'image/x-portable-graymap' AS modality,
+           CAST(length('P5 ' || d.w || ' ' || d.h || ' 255') + 1
+                + d.w * d.h AS INT) AS n_bytes,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           concat_ws(',',
+               coalesce(c0, 0) + (d.w * d.h - d.tlen),
+               coalesce(c1, 0), coalesce(c2, 0), coalesce(c3, 0),
+               coalesce(c4, 0), coalesce(c5, 0), coalesce(c6, 0),
+               coalesce(c7, 0)) AS hist_counts
+    FROM dims d LEFT JOIN hist USING (doc_id)
+    """,
+)
 def q29(spark, sf):
-    """Binary-payload plumbing: encode -> mapInPandas batch decode
-    -> typed features.  codec='stub' is PINNED (not 'auto'): the demo
-    payloads are text bytes, and the checksum column must be
-    byte-identical whether or not Pillow is installed."""
+    """REAL image decode, value-checked end-to-end: documents are
+    rendered engine-side into genuine binary PGM (P5) images
+    (attach_pnm_payload — native encode/format_string/rpad/concat),
+    then decoded by the dependency-free pnm codec inside mapInPandas
+    (numpy header parse + raster histogram).  The oracle re-derives
+    width/height (parsed from the actual header bytes by the engine,
+    recomputed from text length by DuckDB) and the 8-bin luminance
+    histogram (engine: counts over decoded pixels incl. zero padding;
+    oracle: character-class counts + padding in bin 0) — integer
+    counts, so parity is exact.  A wrong header parse, raster offset,
+    or padding rule mismatches the hash."""
     from pubmed_and_method_spark.operators.multimodal import (
-        attach_binary_payload,
+        attach_pnm_payload,
         decode_batches,
     )
 
     d = load_table(spark, sf, "documents")
-    return decode_batches(attach_binary_payload(d), codec="stub").select(
-        "doc_id", "modality", "n_bytes", "checksum", "width", "height"
+    dec = decode_batches(attach_pnm_payload(d), codec="pnm")
+    wh = F.col("width") * F.col("height")
+    return dec.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x * wh).cast("long").cast("string"),
+            ),
+        ).alias("hist_counts"),
     )
 
 

@@ -104,6 +104,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE promotes a join side to broadcast from its COMPRESSED
+        # shuffle size (<=64m above); row-serialized task results for
+        # the driver-side relation build can be 10-20x that, and the
+        # default 1g maxResultSize aborts the job (hit at 33M turns in
+        # local-cluster mode, where the driver is a separate JVM).
+        # 4g is the standard production setting for AQE-broadcast-heavy
+        # pipelines; the driver heap (>=8g) has the headroom.
+        .config("spark.driver.maxResultSize", "4g")
     )
     if is_cluster:
         # Mirror the driver heap discipline on each executor JVM: the

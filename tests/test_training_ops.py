@@ -230,6 +230,63 @@ def test_multimodal_codec_resolution(spark):
             M._resolve_codec("pil")
 
 
+def test_multimodal_pnm_real_codec(spark, docs):
+    """The dependency-free REAL codec: engine-built P5 payloads must
+    decode to header-true dimensions and a pixel histogram that
+    matches an independent per-row numpy recomputation; resize must be
+    a true nearest-neighbour resample (verified against numpy
+    indexing on the decoded raster)."""
+    import numpy as np
+
+    from pubmed_and_method_spark.operators import multimodal as M
+
+    payloads = M.attach_pnm_payload(docs)
+    raw = {r.doc_id: (bytes(r.payload), r.text)
+           for r in payloads.select("doc_id", "payload", "text").collect()}
+    dec = {r.doc_id: r
+           for r in M.decode_batches(payloads, codec="pnm").collect()}
+    for doc_id, (blob, text) in raw.items():
+        tlen = len(text)
+        w = tlen % 13 + 4
+        h = -(-tlen // w)
+        header = f"P5 {w} {h} 255\n".encode()
+        assert blob == header + text.encode().ljust(w * h, b"\x00")
+        r = dec[doc_id]
+        assert (r.width, r.height) == (w, h)
+        px = np.frombuffer(blob[len(header):], dtype=np.uint8)
+        want = np.bincount(px >> 5, minlength=8) / (w * h)
+        # DECODED_SCHEMA ships features as float32
+        assert r.feature == pytest.approx(want.tolist(), abs=1e-6)
+    res = {r.doc_id: bytes(r.resized)
+           for r in M.resize_batches(payloads, 3, 2, codec="pnm").collect()}
+    for doc_id, out in res.items():
+        w2, h2, px2 = M._pnm_parse(out)
+        assert (w2, h2) == (3, 2)
+        w, h, px = M._pnm_parse(raw[doc_id][0])
+        img = px.reshape(h, w)
+        rows = (np.arange(2) * h) // 2
+        cols = (np.arange(3) * w) // 3
+        assert (px2.reshape(2, 3) == img[np.ix_(rows, cols)]).all()
+
+
+def test_multimodal_pnm_strictness():
+    """A real decoder must REJECT malformed bytes, not fabricate
+    metadata: bad magic, truncated raster, missing header newline."""
+    from pubmed_and_method_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError):
+        M._pnm_decode(b"P6 2 2 255\n" + b"\x00" * 12)  # color PPM: unsupported
+    with pytest.raises(ValueError):
+        M._pnm_decode(b"P5 4 4 255\n" + b"\x00" * 3)  # truncated raster
+    with pytest.raises(ValueError):
+        M._pnm_decode(b"plain text, no header")
+    with pytest.raises(ValueError):
+        M._pnm_decode(None)
+    assert M._pnm_decode(b"P5 2 2 255\n\x00\x20\xff\x40") == (
+        2, 2, [0.25, 0.25, 0.25, 0.0, 0.0, 0.0, 0.0, 0.25],
+    )
+
+
 def test_multimodal_pil_real_codec(spark):
     """Real-codec path (runs only where Pillow is installed — the
     `multimodal` extra): decode must report true pixel dimensions and
