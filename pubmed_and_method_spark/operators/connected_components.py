@@ -51,8 +51,16 @@ def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
     # no trailing distinct: the next _small_star dedupes on entry, and
     # input edges are already distinct, so duplicate output rows are
     # bounded at one per input edge — skipping the shuffle is free.
+    # shuffle_hash hint: both sides are already hash-partitioned on u
+    # (repartition above; groupBy preserves it), so a broadcast here
+    # saves NO exchange while its driver-side relation build would
+    # linger in driver memory one round per star (ContextCleaner frees
+    # broadcasts only after a driver GC) — the same accumulation that
+    # exhausted the cluster-mode driver in the upstream pair plan at
+    # 33M turns (session.py AQE-threshold note).  The hint pins the
+    # zero-extra-shuffle plan in every round.
     return (
-        bidir.join(mins, "u")
+        bidir.join(mins.hint("shuffle_hash"), "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -68,8 +76,9 @@ def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
         .repartition(n_parts, "u")
     )
     mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    # shuffle_hash for the same no-extra-exchange reason as _large_star
     relinked = (
-        directed.join(mins, "u")
+        directed.join(mins.hint("shuffle_hash"), "u")
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
         .where(F.col("u") != F.col("v"))
     )

@@ -67,9 +67,13 @@ def get_spark(
     driver_mem = os.environ.get("SPARK_DRIVER_MEM")
     if driver_mem is None and is_cluster:
         # Executors own the data in cluster mode; the driver only
-        # plans/coordinates (plus small collects), so don't pre-touch
-        # a 48g heap out of the executors' budget.
-        driver_mem = "8g"
+        # plans/coordinates — plus AQE broadcast-relation builds, which
+        # acquire from the driver's unified memory pool and need real
+        # headroom (a ~8m-compressed sketch-row side deserializes to
+        # hundreds of MB).  14g keeps those builds comfortably inside
+        # the pool without pre-touching a 48g heap out of the
+        # executors' budget.
+        driver_mem = "14g"
     if driver_mem is None:
         # 48g (the measured sweet spot for this workload) unless the
         # host can't back it: the -Xms pre-touch below commits the full
@@ -104,13 +108,29 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # AQE promotes a join side to broadcast from its COMPRESSED
-        # shuffle size (<=64m above); row-serialized task results for
-        # the driver-side relation build can be 10-20x that, and the
-        # default 1g maxResultSize aborts the job (hit at 33M turns in
-        # local-cluster mode, where the driver is a separate JVM).
-        # 4g is the standard production setting for AQE-broadcast-heavy
-        # pipelines; the driver heap (>=8g) has the headroom.
+        # AQE's own promotion threshold is kept far BELOW the static
+        # one.  Static planning sizes a side from column-pruned file
+        # stats (conservative); AQE promotes from the side's COMPRESSED
+        # shuffle bytes at runtime, and the deserialized row relation
+        # the DRIVER must then build is 10-20x that — a 64m-compressed
+        # promotion is a ~1g driver-side collect + hash-relation build.
+        # That killed the 33M-turn pipeline in local-cluster mode three
+        # times (maxResultSize abort at 1g; driver-heap OOM in
+        # BroadcastExchangeExec.relationFuture at 12g; "not enough
+        # memory to build and broadcast" at 16m-compressed/8g-driver —
+        # array<long> sketch rows compress ~50-100x, so 16m compressed
+        # deserialized to GBs).  local[N] only survives it because the
+        # shared 48g+ JVM absorbs the build.  8m compressed is safe on
+        # any production driver while still letting AQE rescue
+        # genuinely small runtime sides.
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(8 * 1024 * 1024),
+        )
+        # Row-serialized task results for driver-side relation builds
+        # can exceed the 1g default even at 16m compressed; 4g is the
+        # standard setting for AQE-broadcast-heavy pipelines and the
+        # driver heap (>=8g) has the headroom.
         .config("spark.driver.maxResultSize", "4g")
     )
     if is_cluster:

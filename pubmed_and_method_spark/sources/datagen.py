@@ -89,6 +89,7 @@ def generate_transcripts(
     turns_per_conv: tuple[int, int] = (3, 30),
     hot_block_entities: int = 8,
     long_conv: bool = True,
+    hardness: float = 0.0,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Return (transcripts_pdf, entities_truth_pdf) as pandas frames.
 
@@ -96,6 +97,26 @@ def generate_transcripts(
     conversations share a vocabulary core + tool profile + time window
     so the downstream feature stack separates them from different
     entities in the same block.
+
+    ``hardness`` (0..1, default 0) plants the confusions real AND
+    corpora have (the reference's hardest SONG cases: homonymous
+    full names, byline variants, shared journals/affiliations,
+    src/comparison/result.txt name-only collapse):
+
+    - homonyms: later same-block entities reuse an earlier entity's
+      FULL given name with prob ``0.35*hardness`` — name features
+      become actively deceptive for those pairs;
+    - self-intro dropout/typo: the introduction turn is omitted with
+      prob ``0.3*hardness`` or carries a surname char-swap typo with
+      prob ``0.2*hardness`` (byline-noise analog);
+    - shared evidence: entity cores draw from a small per-block word
+      pool, tools from a per-block tool triple, and epochs cluster
+      around a per-block day — content/tool/time overlap between
+      same-block entities scales with hardness.
+
+    The hardness=0 path consumes the SAME rng stream as before the
+    knob existed: the seed-42 default corpus (q26/q27/q44 oracle
+    input) is byte-identical.
     """
     rng = np.random.default_rng(seed)
     base_ts = dt.datetime(2024, 1, 1)
@@ -108,11 +129,25 @@ def generate_transcripts(
         else:
             block_of_entity.append(1 + int(rng.integers(0, n_blocks - 1)))
 
+    # hard mode: per-block shared pools, drawn from a SEPARATE rng so
+    # the main stream (and thus the hardness=0 corpus) is untouched.
+    block_pool: dict[int, np.ndarray] = {}
+    block_tools: dict[int, np.ndarray] = {}
+    block_day: dict[int, int] = {}
+    if hardness > 0.0:
+        hrng = np.random.default_rng(seed + 0x9E3779B9)
+        pool_sz = max(12, int(24 - 10 * hardness))
+        for b in range(n_blocks):
+            block_pool[b] = hrng.choice(len(_VOCAB), size=pool_sz, replace=False)
+            block_tools[b] = hrng.choice(len(_TOOLS), size=5, replace=False)
+            block_day[b] = int(hrng.integers(0, 365))
+
     truth_rows = []
     turn_rows = []
     conv_counter = 0
     # distinct given-name stem per entity within a block
     stem_cursor: dict[int, int] = {}
+    first_given: dict[int, str] = {}
     for e in range(n_entities):
         entity_id = f"E{e:04d}"
         block = block_of_entity[e]
@@ -122,10 +157,24 @@ def generate_transcripts(
         stem_i = stem_cursor.get(block, 0)
         stem_cursor[block] = stem_i + 1
         given = initial + _GIVEN_STEMS[stem_i % len(_GIVEN_STEMS)]
+        if hardness > 0.0:
+            if stem_i == 0:
+                first_given[block] = given
+            elif rng.random() < 0.35 * hardness:
+                given = first_given[block]  # planted homonym
         # entity-specific core vocabulary + tool preferences + epoch
-        core = rng.choice(len(_VOCAB), size=10, replace=False)
-        tools = rng.choice(len(_TOOLS), size=3, replace=False)
-        epoch_day = int(rng.integers(0, 365))
+        if hardness > 0.0:
+            core = block_pool[block][
+                rng.choice(len(block_pool[block]), size=10, replace=False)
+            ]
+            tools = block_tools[block][rng.choice(5, size=3, replace=False)]
+            epoch_day = block_day[block] + int(
+                rng.integers(-10, 11) * (1.0 - 0.5 * hardness)
+            )
+        else:
+            core = rng.choice(len(_VOCAB), size=10, replace=False)
+            tools = rng.choice(len(_TOOLS), size=3, replace=False)
+            epoch_day = int(rng.integers(0, 365))
         n_convs = int(rng.integers(convs_per_entity[0], convs_per_entity[1] + 1))
         for c in range(n_convs):
             conv_id = f"c{conv_counter:05d}"
@@ -162,7 +211,21 @@ def generate_transcripts(
                     # name is abbreviated to its initial (name-variant
                     # noise, author_name_enhancement.sql:85-120).
                     shown = given if rng.random() < 0.8 else given[0]
-                    text = f"Hello, I am agent {shown} {surname}. " + text
+                    shown_sur = surname
+                    intro = True
+                    if hardness > 0.0:
+                        if rng.random() < 0.3 * hardness:
+                            intro = False  # byline missing entirely
+                        elif rng.random() < 0.2 * hardness and len(surname) > 3:
+                            i = 1 + int(rng.integers(0, len(surname) - 2))
+                            shown_sur = (  # char-swap typo
+                                surname[:i]
+                                + surname[i + 1]
+                                + surname[i]
+                                + surname[i + 2:]
+                            )
+                    if intro:
+                        text = f"Hello, I am agent {shown} {shown_sur}. " + text
                 tool = (
                     _TOOLS[tools[int(rng.integers(0, len(tools)))]]
                     if role != "user" and rng.random() < 0.6

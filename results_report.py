@@ -11,7 +11,11 @@ scale per the r03 verdict; 80 reproduces the old F1-gate table), then:
 - the 9-classifier model comparison (src/main_app.py:43 loop);
 - the ANN recall@k tuning grid for lsh_topk vs the exact brute-force
   ground truth (r03 verdict #1 — the dual-implementation cross-check,
-  database/and_datasets.sql:81-105, applied to the ANN scale path).
+  database/and_datasets.sql:81-105, applied to the ANN scale path);
+- hard-corpus tables (hardness 0.5 / 1.0, $SPARK_GRAFT_RESULTS_HARD_ENTITIES
+  entities): planted homonyms, byline dropout/typos, shared
+  content/tool/time evidence — the r03 verdict's "corpus is easy"
+  gap.
 
 Usage: python results_report.py   (writes RESULTS.md)
 """
@@ -85,7 +89,9 @@ def ann_recall_section(spark) -> list[str]:
     return lines
 
 
-def main() -> int:
+def quality_tables(spark, n_entities: int, hardness: float = 0.0):
+    """Corpus -> feature stack -> (ablation rows, zoo rows, n_pairs,
+    n_blocks) at the given corpus difficulty."""
     from pubmed_and_method_spark.ml.ablation import (
         feature_group_ablation,
         model_comparison,
@@ -96,22 +102,35 @@ def main() -> int:
         build_pair_features,
         build_signatures,
     )
-    from pubmed_and_method_spark.session import get_spark
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
-    spark = get_spark(app_name="results_report", cores="16")
-    n_blocks = max(24, N_ENTITIES * 3 // 10)
+    n_blocks = max(24, n_entities * 3 // 10)
     t, g = transcripts_df(
-        spark, seed=42, n_entities=N_ENTITIES, n_blocks=n_blocks
+        spark, seed=42, n_entities=n_entities, n_blocks=n_blocks,
+        hardness=hardness,
     )
     sig = build_signatures(t)
     pairs = build_labeled_pairs(sig, g, num_buckets=4, lsh=True)
     features = build_pair_features(pairs, sig).localCheckpoint(eager=True)
     n_pairs = features.count()
-
-    t0 = time.time()
     groups = feature_group_ablation(features, algos=("gbt",))
     models = model_comparison(features, FEATURE_COLS)
+    return groups, models, n_pairs, n_blocks
+
+
+def main() -> int:
+    from pubmed_and_method_spark.session import get_spark
+
+    spark = get_spark(app_name="results_report", cores="16")
+    t0 = time.time()
+    groups, models, n_pairs, n_blocks = quality_tables(spark, N_ENTITIES)
+    hard_n = int(os.environ.get("SPARK_GRAFT_RESULTS_HARD_ENTITIES", "1000"))
+    mgroups, mmodels, m_pairs, m_blocks = quality_tables(
+        spark, hard_n, hardness=0.5
+    )
+    hgroups, hmodels, h_pairs, h_blocks = quality_tables(
+        spark, hard_n, hardness=1.0
+    )
     ann_lines = ann_recall_section(spark)
     wall = round(time.time() - t0, 1)
 
@@ -171,6 +190,52 @@ def main() -> int:
         "engine's production gate is the CLUSTER pairwise F1 >= 0.99 on",
         "planted truth (test_pipeline_f1_gate), which the full pipeline",
         "meets at 0.997.",
+        "",
+        "## Hard corpora: planted real-world confusions",
+        "",
+        "Same stack on corpora with the confusions real AND data has",
+        "(`sources/datagen.py` `hardness` knob; the hardness=0 rng",
+        "stream is pytest-pinned so oracle corpora are untouched):",
+        "homonymous FULL given names within a block (35%*h of later",
+        "same-block entities), self-introductions dropped (30%*h) or",
+        "carrying surname char-swap typos (20%*h — which also corrupt",
+        "derived block keys, the SONG byline-variant analog), and",
+        "same-block entities drawing word cores from one small block",
+        "pool, tools from one 5-tool pool, epochs around one block day",
+        "— content/tool/time evidence overlapped, as for real",
+        f"same-subfield homonyms.  Both corpora: {hard_n} entities /",
+        f"{h_blocks} blocks (moderate h=0.5: {m_pairs} pairs;",
+        f"adversarial h=1.0: {h_pairs} pairs).",
+        "",
+        "### Feature-group ablation (GBT, hardness=0.5)",
+        "",
+        *table(mgroups, "feature group"),
+        "",
+        "### Classifier zoo (full stack, hardness=0.5)",
+        "",
+        *table(mmodels, "algo"),
+        "",
+        "### Feature-group ablation (GBT, hardness=1.0)",
+        "",
+        *table(hgroups, "feature group"),
+        "",
+        "### Classifier zoo (full stack, hardness=1.0)",
+        "",
+        *table(hmodels, "algo"),
+        "",
+        "Reading: at hardness=0.5 the full stack lands in the",
+        "reference's own published band on its real corpora (SONG",
+        "full-model F1 93.7, GS 95.8, weaker baselines 76-88,",
+        "result.txt) instead of saturating — the easy-corpus 0.99s",
+        "measure the pipeline's ceiling, these measure its behavior",
+        "when evidence conflicts.  At hardness=1.0 (every same-block",
+        "entity near-indistinguishable on every axis at once — harder",
+        "than any published AND corpus) it degrades, it does not",
+        "collapse.  Single-group features fall much further (names are",
+        "DECEPTIVE for homonyms; time goes to ~0 when epochs are",
+        "shared by construction), so the full-stack margin over every",
+        "ablation row is the multi-evidence design doing its job, as",
+        "in the reference's exclusion study.",
         "",
         *ann_lines,
         "",

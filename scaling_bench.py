@@ -120,10 +120,17 @@ def main() -> int:
             capture_output=True, text=True,
             timeout=int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "7200")),
         )
+        # keep the FULL worker output per level — a failed local-cluster
+        # run buries its root cause ("Caused by") thousands of lines
+        # before the netty teardown noise a tail would show
+        log = f"/tmp/scaling_worker_{args.mode}_{level}.log"
+        with open(log, "w") as f:
+            f.write(out.stdout + "\n===== stderr =====\n" + out.stderr)
         lines = [l for l in out.stdout.strip().splitlines()
                  if l.startswith("{")]
         if not lines:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+            sys.stderr.write(f"worker level={level} failed; full log: {log}\n"
+                             + out.stdout[-2000:] + "\n" + out.stderr[-4000:])
             return 1
         results[level] = json.loads(lines[-1])
         results[level]["wall_incl_startup"] = round(time.time() - t0, 1)

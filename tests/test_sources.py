@@ -75,3 +75,56 @@ def test_seeded_sample_reproducible(spark):
     a = sorted(r["id"] for r in s1.collect())
     assert a == sorted(r["id"] for r in s2.collect())
     assert 700 < len(a) < 1300  # ~10%
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus generator (sources/datagen.py)
+# ---------------------------------------------------------------------------
+
+
+def test_default_corpus_rng_stream_pinned():
+    """The seed-42 default corpus is the q26/q27/q44 oracle input; any
+    edit that shifts the generator's rng stream (e.g. a new knob that
+    draws on the default path) silently changes what those oracles
+    check.  Pin its exact bytes."""
+    import hashlib
+
+    from pubmed_and_method_spark.sources.datagen import generate_transcripts
+
+    t, g = generate_transcripts(seed=42)
+    md5 = lambda pdf: hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
+    assert md5(t) == "f4fbce70cb24f0bd851005865fae3700"
+    assert md5(g) == "66b2d1f7e697ea3e3ff6fcba8cafd963"
+
+
+def test_hard_corpus_plants_confusions():
+    """hardness=1 must plant the advertised confusions: homonymous
+    full names within a block, dropped self-introductions, surname
+    typos, and heavy same-block core-vocabulary overlap."""
+    from pubmed_and_method_spark.sources.datagen import (
+        _SURNAMES,
+        generate_transcripts,
+    )
+
+    t, g = generate_transcripts(seed=42, n_entities=60, n_blocks=12, hardness=1.0)
+    intros = t[t.text.str.startswith("Hello, I am agent ")].copy()
+    names = intros.text.str.extract(r"agent (\w+) (\w+)\.")
+    intros["given"], intros["sur"] = names[0], names[1]
+
+    # dropout: a meaningful fraction of conversations have no byline
+    n_convs = g.conv_id.nunique()
+    intro_rate = len(intros) / n_convs
+    assert 0.5 < intro_rate < 0.9
+
+    # typos: some shown surnames are not canonical
+    assert (~intros.sur.isin(set(_SURNAMES))).sum() >= 5
+
+    # homonyms: >1 entity sharing the same FULL given name in a block
+    full = intros[intros.given.str.len() > 1][["conv_id", "given"]]
+    ent = g.merge(full, on="conv_id")
+    per = ent.groupby(["block_key", "given"]).entity_id.nunique()
+    assert (per > 1).sum() >= 3
+
+    # hardness=0 and hardness=1 differ (the knob actually binds)
+    t0, _ = generate_transcripts(seed=42, n_entities=60, n_blocks=12)
+    assert not t0.text.equals(t.text)
