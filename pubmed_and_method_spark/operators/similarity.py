@@ -283,3 +283,125 @@ def cosine_near_dup_pairs(
             "cos",
         )
     )
+
+
+def _portable_plane_sign(t: int, b: int, d: int) -> int:
+    """+1/-1 from md5 hex-char parity of "t_b_d" — reproducible in any
+    engine with md5 (DuckDB: ascii(substr(md5(key),1,1)) % 2)."""
+    import hashlib
+
+    h = hashlib.md5(f"{t}_{b}_{d}".encode()).hexdigest()
+    return 1 if ord(h[0]) % 2 == 0 else -1
+
+
+def lsh_topk_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 2,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Integer-exact sign-LSH top-k — the cross-engine value-checkable
+    twin of ``lsh_topk`` (the q19-md5 / q32-portable pattern applied to
+    ANN; the reference's dual-implementation pair check,
+    database/and_datasets.sql:81-105).
+
+    ``lsh_topk`` itself is float math: bucket bits come from the SIGN
+    of a float dot product, so an independent implementation can flip
+    a near-zero bit and produce a different (equally valid) candidate
+    set — it can only ever be rows-only checked.  This twin removes
+    every float from the *decision* path:
+
+    - vectors quantize to ``floor(x * quant)`` int64 (floor, not
+      round: round-half rules differ across engines);
+    - hyperplanes are ±1 ints from md5 parity (`_portable_plane_sign`)
+      — any engine reproduces them from the key string alone, no
+      literal shipping needed on the SQL side;
+    - bucket bits compare an INTEGER dot against 0 — no sign
+      ambiguity;
+    - in-bucket scores divide the int64 dot by
+      sqrt(double(nn1) * double(nn2)) — identical int inputs, one
+      correctly-rounded IEEE op sequence, identical doubles — and
+      ranking breaks ties on (rounded cos DESC, cand_id).
+
+    All int64-safe for |x| <= ~1e4 * quant at dim<=64 (dot <= 1e13).
+    Plan shape is identical to ``lsh_topk``: per-table bucket map
+    (narrow), self-join on (table, bucket), exact scoring only on
+    candidates.
+    """
+    v = F.col(vec_col)
+    ql = F.transform(v, lambda x: F.floor(x.cast("double") * F.lit(float(quant))))
+    base = df.select(F.col(id_col), ql.alias("__q"))
+    nn = F.aggregate(
+        F.transform(F.col("__q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # no materialization: the quantize/norm map is a cheap stateless
+    # projection, recomputing it per consumer beats storing n rows
+    base = base.withColumn("__nn", nn)
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    table_cols = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            plane = F.array(
+                *[F.lit(_portable_plane_sign(t, b, d)).cast("long") for d in range(dim)]
+            )
+            bucket = bucket + F.when(
+                int_dot(F.col("__q"), plane) >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        table_cols.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    buckets = base.select(
+        id_col, F.explode(F.array(*table_cols)).alias("tb")
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    a = buckets.select("table", "bucket", F.col(id_col).alias("query_id"))
+    c = buckets.select("table", "bucket", F.col(id_col).alias("cand_id"))
+    cands = (
+        a.join(c, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qs = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__q").alias("__q1"),
+        F.col("__nn").alias("__nn1"),
+    )
+    cs = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("__q").alias("__q2"),
+        F.col("__nn").alias("__nn2"),
+    )
+    scored = (
+        cands.join(qs, "query_id")
+        .join(cs, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                int_dot(F.col("__q1"), F.col("__q2"))
+                / F.sqrt(
+                    F.col("__nn1").cast("double") * F.col("__nn2").cast("double")
+                ),
+                9,
+            ).alias("cos_r"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_r"), "cand_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -2008,6 +2008,76 @@ def q44(spark, sf):
     )
 
 
+@q(
+    "q45_lsh_topk_portable",
+    """
+    WITH planes AS (
+        SELECT t.range AS t, b.range AS b, d.range AS d,
+               CASE WHEN ascii(substr(md5(t.range || '_' || b.range
+                        || '_' || d.range), 1, 1)) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(2) t, range(8) b, range(64) d),
+    q AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS qv
+        FROM embeddings),
+    nn AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+    bitdots AS (
+        SELECT q.vec_id, p.t, p.b, sum(p.s * q.qv) AS dot
+        FROM q JOIN planes p ON p.d = q.d
+        GROUP BY q.vec_id, p.t, p.b),
+    buckets AS (
+        SELECT vec_id, t,
+               sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS bucket
+        FROM bitdots GROUP BY vec_id, t),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS cand_id
+        FROM buckets a JOIN buckets c
+          ON a.t = c.t AND a.bucket = c.bucket
+        WHERE a.vec_id <> c.vec_id),
+    dots AS (
+        SELECT cd.query_id, cd.cand_id, sum(q1.qv * q2.qv) AS dot
+        FROM cands cd
+        JOIN q q1 ON q1.vec_id = cd.query_id
+        JOIN q q2 ON q2.vec_id = cd.cand_id AND q2.d = q1.d
+        GROUP BY cd.query_id, cd.cand_id),
+    scored AS (
+        SELECT d.query_id, d.cand_id,
+               round(d.dot / sqrt(CAST(n1.nn AS DOUBLE)
+                                  * CAST(n2.nn AS DOUBLE)), 9) AS cos_r
+        FROM dots d
+        JOIN nn n1 ON n1.vec_id = d.query_id
+        JOIN nn n2 ON n2.vec_id = d.cand_id)
+    SELECT query_id, cand_id, cos_r, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_r DESC, cand_id) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q45(spark, sf):
+    """Integer-exact sign-LSH cosine top-k — the value-checkable twin
+    of q33 (operators/similarity.lsh_topk_portable).  q33's float
+    hyperplane dots make bucket membership engine-dependent near zero,
+    so it is rows-only; this twin quantizes vectors to int64, derives
+    +/-1 hyperplanes from md5 parity (reproduced inside DuckDB from
+    the key string alone), compares INTEGER dots against 0 for bucket
+    bits, and scores candidates from integer dots — every value the
+    hash compares is deterministic cross-engine.  The q19(md5)/q28
+    (xxhash) twin pattern applied to ANN; reference parity:
+    database/and_datasets.sql:81-105 (dual-implementation check).
+    """
+    from pubmed_and_method_spark.operators.similarity import (
+        lsh_topk_portable,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    return lsh_topk_portable(
+        e, "vec_id", "embedding", dim=64, k=5, bits=8, tables=2
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
