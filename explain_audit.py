@@ -37,6 +37,9 @@ AUDIT = [
     ("q37_tfidf_cosine_pairs", [r"HashAggregate"], [r"CartesianProduct"]),
     ("q40_delimited_ingest", [], [r"CartesianProduct"]),
     ("q42_gazetteer_lookup", [r"BroadcastHashJoin", r"PushedFilters: \[IsNotNull\(doc_id\), LessThanOrEqual\(doc_id,200\)"], [r"CartesianProduct"]),
+    # bucketed self-join on (table,bucket): candidate generation must be
+    # a hash join on bucket keys, never a cartesian over the corpus
+    ("q45_lsh_topk_portable", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
