@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q32_simhash_near_dups",
     "q36_name_feature_block",
     "q37_tfidf_cosine_pairs",
+    "q45_lsh_topk_portable",
 ]
 
 
