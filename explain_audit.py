@@ -40,6 +40,11 @@ AUDIT = [
     # bucketed self-join on (table,bucket): candidate generation must be
     # a hash join on bucket keys, never a cartesian over the corpus
     ("q45_lsh_topk_portable", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # winnowing: fingerprint extraction is pure narrow codegen over a
+    # pruned (doc_id, text) scan; the near-dup inverted-index self-join
+    # must be a hash join on fp, never cartesian
+    ("q46_winnow_fingerprints", [r"ReadSchema: struct\<doc_id:bigint,text:string\>", r"codegen id : "], [r"CartesianProduct", r"Exchange"]),
+    ("q47_winnow_near_dups", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 

