@@ -45,6 +45,11 @@ AUDIT = [
     # must be a hash join on fp, never cartesian
     ("q46_winnow_fingerprints", [r"ReadSchema: struct\<doc_id:bigint,text:string\>", r"codegen id : "], [r"CartesianProduct", r"Exchange"]),
     ("q47_winnow_near_dups", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # IVF: assignment/probing are narrow codegen projections against
+    # literal centroids; candidate generation must be a hash join on
+    # list_id, never a cartesian over the corpus
+    ("q48_ivf_topk_portable", [r"codegen id : ", r"keys \[1\]: \[list_id"], [r"CartesianProduct"]),
+    ("q49_ivf_topk", [r"codegen id : ", r"keys \[1\]: \[list_id"], [r"CartesianProduct"]),
 ]
 
 

@@ -405,3 +405,329 @@ def lsh_topk_portable(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse-quantizer ANN — the second scale path.
+#
+# Sign-LSH (above) needs no training but its recall/cost curve is fixed
+# by (bits, tables); an IVF index trains nlist coarse centroids on a
+# bounded sample, assigns every vector to its nearest list, and probes
+# only nprobe lists per query — the FAISS IVF-Flat layout re-expressed
+# as DataFrame ops: assignment/probing are NARROW whole-stage-codegen
+# projections against literal centroid arrays (no shuffle, no UDF), and
+# the only shuffle is the probe⋈list hash join + the per-query top-k
+# window.  At 100 TB the centroid table stays O(nlist·dim) on the
+# driver (index-build step, like FAISS training on a sample), lists are
+# hash-partitioned by list_id, and per-list skew is bounded by k-means
+# balance — the same plan shape the LSH path already proved out.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """(nlist, dim) float64 k-means centroids from a DETERMINISTIC
+    bounded sample (rows with the ``sample_size`` smallest
+    xxhash64(id, seed) — a seeded uniform draw that any rerun
+    reproduces), Lloyd-iterated on the driver.
+
+    Driver-side by design: IVF coarse quantizers are trained on a
+    sample everywhere (FAISS trains on ~256·nlist points), and
+    O(sample·nlist·dim) numpy on ≤2048 points is microseconds — a
+    distributed k-means here would be all overhead.  Empty clusters
+    keep their previous centroid (Lloyd's standard degenerate-case
+    rule), so the function is total for any nlist ≤ sample."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    if len(x) < nlist:
+        raise ValueError(f"sample {len(x)} < nlist {nlist}")
+    cents = x[:nlist].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def _l2_to_lit(v: Column, cent: "list[float]") -> Column:
+    """Float squared-L2 distance from a vector column to a literal
+    centroid — one zip_with/aggregate pass, JVM-side."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _ivf_candidate_sims(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: np.ndarray,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, cand_id, cos) for query-probes-candidate's-list
+    pairs.  Assignment and probing are narrow codegen projections
+    against literal centroid arrays; the only shuffle is the
+    probe⋈list hash join."""
+    nlist = len(cents)
+    v = F.col(vec_col).cast("array<double>")
+    base = with_norm(df, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("__norm")
+    )
+    entries = F.array(*[
+        F.struct(
+            _l2_to_lit(v, list(cents[j])).alias("dist"),
+            F.lit(j).alias("cid"),
+        )
+        for j in range(nlist)
+    ])
+    assigned = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+        F.array_min(entries).getField("cid").alias("list_id"),
+    )
+    probes = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(entries), 1, nprobe),
+                lambda e: e.getField("cid"),
+            )
+        ).alias("list_id"),
+    )
+    return (
+        probes.join(assigned, "list_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(query_id, cand_id, cos, rnk<=k) approximate top-k via a
+    trained IVF index: exact cosine runs only on vectors in the
+    query's ``nprobe`` nearest lists.
+
+    Plan: one narrow projection computes the per-centroid distance
+    struct array; ``array_min`` picks the home list (tie-break on
+    centroid id — struct comparison is lexicographic) and
+    ``slice(array_sort(...), 1, nprobe)`` the probe lists — both stay
+    inside whole-stage codegen with zero shuffle.  Work per query ~
+    nprobe/nlist of brute force.  Like ``lsh_topk`` this is float
+    math (rows-only checkable); ``ivf_topk_portable`` is the
+    integer-exact oracle twin, and ``ivf_recall`` measures what the
+    approximation loses."""
+    cents = train_ivf_centroids(
+        df, id_col, vec_col, nlist=nlist, sample_size=sample_size,
+        iters=iters, seed=seed,
+    )
+    sims = _ivf_candidate_sims(df, id_col, vec_col, cents, nprobe)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return sims.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def ivf_recall(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> dict:
+    """Recall@k of ``ivf_topk`` vs exact brute force, plus the
+    exact-evaluation volume the probes paid — the same
+    dual-implementation harness as ``topk_recall`` (reference:
+    database/and_datasets.sql:81-105) pointed at the IVF path.
+    Bounded-corpus eval harness, not a pipeline stage."""
+    exact = brute_force_topk(df, df, id_col, vec_col, k=k).select(
+        "query_id", "cand_id"
+    )
+    cents = train_ivf_centroids(
+        df, id_col, vec_col, nlist=nlist, seed=seed
+    )
+    sims = _ivf_candidate_sims(df, id_col, vec_col, cents, nprobe)
+    n_cands = sims.count()
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    approx_pairs = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id")
+    )
+    hits = exact.join(approx_pairs, ["query_id", "cand_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n_true"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("__n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_true")
+            ).alias("__recall")
+        )
+    )
+    row = per_q.agg(
+        F.avg("__recall").alias("r"), F.count("*").alias("n")
+    ).collect()[0]
+    n_queries = int(row["n"]) or 1
+    return {
+        "recall_at_k": float(row["r"]) if row["r"] is not None else 0.0,
+        "k": k,
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "n_queries": int(row["n"]),
+        "mean_candidates_per_query": round(n_cands / n_queries, 2),
+    }
+
+
+def _int_dot_cols(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_l2_to_lit(q: Column, cent: "list[int]") -> Column:
+    c = F.array(*[F.lit(int(x)).cast("long") for x in cent])
+    return F.aggregate(
+        F.zip_with(q, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Integer-exact IVF top-k — the cross-engine value-checkable twin
+    of ``ivf_topk`` (the q45 pattern applied to the IVF path).
+
+    ``ivf_topk``'s k-means is float math: an independent engine can
+    assign a near-boundary vector to a different (equally valid) list,
+    so it is only rows-only checkable.  This twin removes every float
+    from the decision path:
+
+    - vectors quantize to ``floor(x * quant)`` int64 (floor, not
+      round — round-half rules differ across engines);
+    - centroids are DATA POINTS, not trained means: the ``nlist`` rows
+      with the smallest ``(md5(cast(id as string)), id)`` — a seeded
+      uniform draw any engine re-derives from the table alone (k-means
+      init without Lloyd steps; FAISS's init sampling as the whole
+      quantizer).  No centroid table ships to the oracle side;
+    - assignment/probing rank INTEGER squared-L2 distances with
+      ``(dist, centroid_id)`` tie-breaks (struct array_min /
+      array_sort here ≡ ``row_number() OVER (ORDER BY dist, cid)``
+      there);
+    - in-list scores are the q45 integer-cosine: int64 dot /
+      sqrt(double(nn1)*double(nn2)), rounded to 9 places, ranked by
+      (cos_r DESC, cand_id).
+
+    Plan shape is identical to ``ivf_topk``: narrow assignment/probe
+    projections, one hash join on list_id, one per-query window.  The
+    driver-side collect is ``nlist`` quantized vectors — the index
+    build step, O(nlist·dim) like any IVF quantizer."""
+    v = F.col(vec_col)
+    ql = F.transform(v, lambda x: F.floor(x.cast("double") * F.lit(float(quant))))
+    base = df.select(F.col(id_col), ql.alias("__q"))
+    base = base.withColumn("__nn", _int_dot_cols(F.col("__q"), F.col("__q")))
+    cent_rows = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .select(id_col, "__q")
+        .collect()
+    )
+    cents = [(int(r[id_col]), [int(x) for x in r["__q"]]) for r in cent_rows]
+    entries = F.array(*[
+        F.struct(
+            _int_l2_to_lit(F.col("__q"), qv).alias("dist"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, qv in cents
+    ])
+    assigned = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("__q").alias("__q2"),
+        F.col("__nn").alias("__nn2"),
+        F.array_min(entries).getField("cid").alias("list_id"),
+    )
+    probes = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__q").alias("__q1"),
+        F.col("__nn").alias("__nn1"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(entries), 1, nprobe),
+                lambda e: e.getField("cid"),
+            )
+        ).alias("list_id"),
+    )
+    scored = (
+        probes.join(assigned, "list_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _int_dot_cols(F.col("__q1"), F.col("__q2"))
+                / F.sqrt(
+                    F.col("__nn1").cast("double") * F.col("__nn2").cast("double")
+                ),
+                9,
+            ).alias("cos_r"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_r"), "cand_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

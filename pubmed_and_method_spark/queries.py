@@ -2153,6 +2153,97 @@ def q47(spark, sf):
     )
 
 
+@q(
+    "q48_ivf_topk_portable",
+    """
+    WITH q AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS qv
+        FROM embeddings),
+    nn AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+    cents AS (
+        SELECT vec_id AS cid FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    cvec AS (
+        SELECT c.cid, q.d, q.qv AS cv
+        FROM cents c JOIN q ON q.vec_id = c.cid),
+    dists AS (
+        SELECT q.vec_id, cv.cid,
+               sum((q.qv - cv.cv) * (q.qv - cv.cv)) AS dist
+        FROM q JOIN cvec cv ON cv.d = q.d
+        GROUP BY q.vec_id, cv.cid),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM dists),
+    assign AS (SELECT vec_id AS cand_id, cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE rn <= 2),
+    cands AS (
+        SELECT p.query_id, a.cand_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.cand_id <> p.query_id),
+    dots AS (
+        SELECT cd.query_id, cd.cand_id, sum(q1.qv * q2.qv) AS dot
+        FROM cands cd
+        JOIN q q1 ON q1.vec_id = cd.query_id
+        JOIN q q2 ON q2.vec_id = cd.cand_id AND q2.d = q1.d
+        GROUP BY cd.query_id, cd.cand_id),
+    scored AS (
+        SELECT d.query_id, d.cand_id,
+               round(d.dot / sqrt(CAST(n1.nn AS DOUBLE)
+                                  * CAST(n2.nn AS DOUBLE)), 9) AS cos_r
+        FROM dots d
+        JOIN nn n1 ON n1.vec_id = d.query_id
+        JOIN nn n2 ON n2.vec_id = d.cand_id)
+    SELECT query_id, cand_id, cos_r, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_r DESC, cand_id) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q48(spark, sf):
+    """Integer-exact IVF (inverted-file) cosine top-k — the second ANN
+    scale path (FAISS IVF-Flat layout as DataFrame ops) with a full
+    DuckDB value oracle: centroids are the 16 data points with the
+    smallest (md5(id), id) — re-derived inside DuckDB from the table
+    alone — vectors quantize to floor(x*10000) int64, assignment and
+    2-probe ranking compare INTEGER squared-L2 distances with
+    (dist, cid) tie-breaks, and in-list scoring is the q45 integer
+    cosine.  Every decision the index makes is deterministic
+    cross-engine; q49 is the trained-k-means float sibling this twin
+    value-checks the plan shape of.  Reference parity:
+    database/and_datasets.sql:81-105 (dual-implementation check)."""
+    from pubmed_and_method_spark.operators.similarity import (
+        ivf_topk_portable,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    return ivf_topk_portable(
+        e, "vec_id", "embedding", dim=64, k=5, nlist=16, nprobe=2
+    )
+
+
+@q("q49_ivf_topk")
+def q49(spark, sf):
+    """Trained IVF top-k (k-means coarse quantizer on a seeded
+    deterministic sample, Lloyd on the driver — the FAISS training
+    recipe).  Float assignment boundaries make list membership
+    engine-dependent, so like q33 this is rows-only checked; its
+    integer-exact twin q48 value-checks the identical plan shape, and
+    tests/test_training_ops.py::test_ivf_topk_recall_gate gates its
+    quality (recall@5 >= 0.9 on the clustered corpus at the default
+    16 lists x 4 probes)."""
+    from pubmed_and_method_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf, "embeddings")
+    return ivf_topk(
+        e, "vec_id", "embedding", dim=64, k=5, nlist=16, nprobe=4
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -416,3 +416,106 @@ def test_winnow_near_dup_pairs_df_cap(spark):
         df, "doc_id", "text", k=3, w=4, min_shared=1, max_doc_freq=1000
     ).count()
     assert uncapped > len(got)
+
+
+def test_ivf_topk_recall_gate(spark):
+    """Quality gate for the trained-IVF ANN path: on the ER-shaped
+    clustered corpus, ivf_topk at the default knobs (16 lists x 4
+    probes) must recover >=90% of the exact top-5 while evaluating a
+    small fraction of the brute-force candidates."""
+    from pubmed_and_method_spark.operators.similarity import ivf_recall
+    from pubmed_and_method_spark.sources.datagen import clustered_embeddings_df
+
+    emb = clustered_embeddings_df(
+        spark, n_entities=40, per_entity=6, dim=64, noise=0.15, seed=7
+    ).cache()
+    n = emb.count()
+    m = ivf_recall(emb, dim=64, k=5, nlist=16, nprobe=4, seed=42)
+    assert m["recall_at_k"] >= 0.9, m
+    assert m["n_queries"] == n
+    # sub-exhaustive: ~nprobe/nlist of brute force, far below n-1
+    assert m["mean_candidates_per_query"] < (n - 1) / 2, m
+    emb.unpersist()
+
+
+def test_ivf_assignment_contract(spark):
+    """IVF index invariants: every vector lands in EXACTLY one list
+    (partition function, no loss, no double-count) and probes exactly
+    nprobe lists; the portable twin agrees with an independent
+    numpy re-derivation of assignment + probe + score on a small
+    corpus."""
+    import numpy as np
+    from pubmed_and_method_spark.operators.similarity import (
+        ivf_topk_portable,
+        train_ivf_centroids,
+        _ivf_candidate_sims,
+    )
+    from pubmed_and_method_spark.sources.datagen import clustered_embeddings_df
+
+    emb = clustered_embeddings_df(
+        spark, n_entities=8, per_entity=4, dim=16, noise=0.2, seed=3
+    ).cache()
+    n = emb.count()
+
+    # exactly-one-list partition: candidate side of the sims builder
+    cents = train_ivf_centroids(
+        emb, nlist=4, sample_size=64, iters=4, seed=42
+    )
+    assert cents.shape == (4, 16)
+    sims = _ivf_candidate_sims(emb, "vec_id", "embedding", cents, nprobe=4)
+    # probing ALL lists with a 1-list-per-candidate partition must
+    # reproduce the complete pairset exactly once (no dup, no loss)
+    got = sims.groupBy("query_id").count().collect()
+    assert all(r["count"] == n - 1 for r in got)
+    assert len(got) == n
+
+    # portable twin vs independent numpy re-derivation
+    import hashlib
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    q = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 10000
+        ).astype(np.int64)
+        for r in rows
+    }
+    cids = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:3]
+    def dists(i):
+        return sorted(
+            ((int(((q[i] - q[c]) ** 2).sum()), c) for c in cids)
+        )
+    assign = {i: dists(i)[0][1] for i in ids}
+    probes = {i: [c for _, c in dists(i)[:2]] for i in ids}
+    expect = set()
+    for i in ids:
+        cands = [
+            j for j in ids if j != i and assign[j] in probes[i]
+        ]
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(q[i] @ q[j])
+                        / np.sqrt(
+                            float(q[i] @ q[i]) * float(q[j] @ q[j])
+                        ),
+                        9,
+                    ),
+                    j,
+                )
+                for j in cands
+            )
+        )[:5]
+        for rnk, (negcos, j) in enumerate(scored, 1):
+            expect.add((i, j, -negcos, rnk))
+    got_p = {
+        (r.query_id, r.cand_id, float(r.cos_r), r.rnk)
+        for r in ivf_topk_portable(
+            emb, "vec_id", "embedding", dim=16, k=5, nlist=3, nprobe=2
+        ).collect()
+    }
+    assert got_p == expect
+    emb.unpersist()
