@@ -115,3 +115,120 @@ class StageStore:
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         return persisted
+
+    # -- bucketed stages: co-located joins without an Exchange ---------
+
+    def _table_name(self, name: str) -> str:
+        import re
+
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        return f"stage_{safe}"
+
+    def run_bucketed_stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        n_buckets: int,
+        bucket_cols: tuple[str, ...],
+        sort_cols: tuple[str, ...] = (),
+        inputs: tuple[str, ...] = (),
+        params: dict | None = None,
+    ) -> DataFrame:
+        """Build-or-reuse stage ``name`` materialized as a BUCKETED
+        table: rows are hash-partitioned into ``n_buckets`` files by
+        ``bucket_cols`` (optionally sorted within buckets) at WRITE
+        time, so every later equi-join or aggregation on those columns
+        skips its Exchange — the shuffle is paid once when the stage
+        is written, not once per consumer.  At 100 TB this is the
+        difference between re-shuffling a signature table into every
+        pair-assembly join and reading it pre-partitioned.
+
+        Same resumability contract as ``run_stage``: the fingerprint
+        covers params + input lineage + the bucket spec.  Because
+        bucket metadata lives in the session catalog (not the parquet
+        files), resume in a FRESH session re-registers the existing
+        files with ``CREATE TABLE ... USING PARQUET CLUSTERED BY ...
+        LOCATION`` from the manifest — Spark's bucketed writer names
+        files by bucket id, so re-registration is metadata-only.  On
+        a cluster with a shared catalog (Hive/Iceberg) the table is
+        simply already there."""
+        params = dict(params or {})
+        params["__bucketing"] = {
+            "n": int(n_buckets),
+            "by": list(bucket_cols),
+            "sort": list(sort_cols),
+        }
+        lineage = {i: self.fingerprint(i) for i in inputs}
+        fp_src = json.dumps(
+            {"params": params, "lineage": lineage}, sort_keys=True
+        )
+        fingerprint = hashlib.sha256(fp_src.encode()).hexdigest()[:16]
+
+        path, mpath = self._paths(name)
+        table = self._table_name(name)
+        existing = self.manifest(name)
+        if existing and existing.get("fingerprint") == fingerprint:
+            if not self.spark.catalog.tableExists(table):
+                self._register_bucketed(table, path, existing)
+            return self.spark.table(table)
+
+        t0 = time.time()
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df = build()
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", os.path.abspath(path))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.format("parquet").saveAsTable(table)
+        persisted = self.spark.table(table)
+        part_counts = (
+            persisted.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        rows = sum(r["count"] for r in part_counts)
+        manifest = {
+            "stage": name,
+            "fingerprint": fingerprint,
+            "lineage": lineage,
+            "params": params,
+            "metrics": {
+                "rows": rows,
+                "partitions": len(part_counts),
+                "partition_rows": {
+                    str(r["pid"]): r["count"] for r in part_counts
+                },
+                "wall_sec": round(time.time() - t0, 3),
+            },
+            "schema": persisted.schema.jsonValue(),
+        }
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        return persisted
+
+    def _register_bucketed(self, table: str, path: str, manifest: dict):
+        """Metadata-only re-registration of an existing bucketed
+        stage's files in a fresh session's catalog."""
+        from pyspark.sql.types import StructType
+
+        spec = manifest["params"]["__bucketing"]
+        schema = StructType.fromJson(manifest["schema"])
+        cols_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        by = ", ".join(f"`{c}`" for c in spec["by"])
+        sort = (
+            "SORTED BY ({}) ".format(
+                ", ".join(f"`{c}`" for c in spec["sort"])
+            )
+            if spec["sort"]
+            else ""
+        )
+        self.spark.sql(
+            f"CREATE TABLE {table} ({cols_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({by}) {sort}INTO {spec['n']} BUCKETS "
+            f"LOCATION '{os.path.abspath(path)}'"
+        )

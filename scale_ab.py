@@ -15,6 +15,13 @@ default 400k entities ≈ 33M turns):
   tfidf_none  signatures WITH untruncated TF-IDF maps -> same spine
               (features include map-cosine)
   tfidf_64    same with tfidf_top_k=64      [O(k) map per mention]
+  sig_parquet signatures materialized to plain parquet, pair spine
+              reads it back (the StageStore layout)
+  sig_bucketed signatures materialized BUCKETED by mention_id (32
+              buckets, sorted) — the pair double-join's two WIDE
+              signature-side Exchanges disappear (write-once shuffle);
+              vs sig_parquet isolates what bucketing buys the
+              byte-dominant stage
 
 Each worker reports wall seconds AND total shuffle write bytes
 (Spark UI REST, enabled per-subprocess on an ephemeral port) — the
@@ -44,7 +51,10 @@ sys.path.insert(0, HERE)
 ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "400000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-CONFIGS = ("base", "adaptive", "strict", "tfidf_none", "tfidf_64", "tfidf_16")
+CONFIGS = (
+    "base", "adaptive", "strict", "tfidf_none", "tfidf_64", "tfidf_16",
+    "sig_parquet", "sig_bucketed",
+)
 
 
 def _shuffle_write_bytes(spark) -> int:
@@ -103,16 +113,41 @@ def worker(config: str) -> None:
     ] + (["tfidf"] if with_tfidf else [])
 
     t0 = time.time()
-    sig = (
-        build_signatures(t, tfidf=with_tfidf, tfidf_top_k=top_k)
-        .select(*SIG_COLS)
-        .localCheckpoint(eager=True)
-    )
+    sig_write_sec = None
+    if config in ("sig_parquet", "sig_bucketed"):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"ab_{config}_")
+        sigdf = build_signatures(t, tfidf=False).select(*SIG_COLS)
+        tw = time.time()
+        if config == "sig_bucketed":
+            spark.sql("DROP TABLE IF EXISTS ab_sig")
+            (
+                sigdf.write.mode("overwrite")
+                .option("path", os.path.join(d, "sig"))
+                .bucketBy(32, "mention_id")
+                .sortBy("mention_id")
+                .format("parquet")
+                .saveAsTable("ab_sig")
+            )
+            sig = spark.table("ab_sig")
+        else:
+            sigdf.write.mode("overwrite").parquet(os.path.join(d, "sig"))
+            sig = spark.read.parquet(os.path.join(d, "sig"))
+        sig_write_sec = round(time.time() - tw, 3)
+    else:
+        sig = (
+            build_signatures(t, tfidf=with_tfidf, tfidf_top_k=top_k)
+            .select(*SIG_COLS)
+            .localCheckpoint(eager=True)
+        )
     sb0 = _shuffle_write_bytes(spark)  # pair stages measured from here
     t_pairs = time.time()
     kwargs = dict(lsh=True)
     if config == "adaptive":
         kwargs["adaptive_target"] = 32
+    elif config in ("sig_parquet", "sig_bucketed"):
+        kwargs["adaptive_target"] = 32  # current pipeline default
     else:
         kwargs["num_buckets"] = 4
     if config == "strict":
@@ -129,14 +164,17 @@ def worker(config: str) -> None:
     wall_pairs = time.time() - t_pairs
     wall_total = time.time() - t0
     sb1 = _shuffle_write_bytes(spark)
-    print(json.dumps({
+    out = {
         "config": config,
         "n_turns": n_turns,
         "wall_total_sec": round(wall_total, 3),
         "wall_pair_stage_sec": round(wall_pairs, 3),
         "pair_stage_shuffle_bytes": (sb1 - sb0) if sb0 >= 0 and sb1 >= 0 else -1,
         "turns_per_sec": round(n_turns / wall_total, 1),
-    }))
+    }
+    if sig_write_sec is not None:
+        out["sig_write_sec"] = sig_write_sec
+    print(json.dumps(out))
 
 
 def f1_quality_ab() -> dict:
@@ -183,8 +221,14 @@ def main() -> int:
         worker(args.worker)
         return 0
 
-    results = {"entities": ENTITIES, "cpus": CPUS,
-               "date": time.strftime("%Y-%m-%d %H:%M"), "epoch": time.time()}
+    out_path = os.path.join(HERE, "SCALE_AB.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)  # merge: partial re-runs keep old rows
+    results.update({"entities": ENTITIES, "cpus": CPUS,
+                    "date": time.strftime("%Y-%m-%d %H:%M"),
+                    "epoch": time.time()})
     if not args.skip_f1:
         results["f1_quality"] = f1_quality_ab()
         print(json.dumps({"f1_quality": results["f1_quality"]}))
@@ -203,7 +247,7 @@ def main() -> int:
         results[config] = json.loads(lines[-1])
         print(lines[-1])
 
-    with open(os.path.join(HERE, "SCALE_AB.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     return 0
 

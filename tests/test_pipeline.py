@@ -235,3 +235,56 @@ def test_pipeline_resume_identical(spark, tmp_path_factory):
     store2 = StageStore(spark, root)
     m2 = run_pipeline(spark, store2, seed=42)
     assert m1 == m2
+
+
+def test_bucketed_stage_join_no_exchange(spark, tmp_path_factory):
+    """Two stages bucketed on the same key join WITHOUT any Exchange
+    (the shuffle was paid once at write time — the co-located-join
+    contract); values match the plain join; and after the catalog
+    entry is dropped (a fresh session), resume re-registers the
+    existing bucket files metadata-only and keeps the no-Exchange
+    property AND the fingerprint short-circuit."""
+    root = str(tmp_path_factory.mktemp("bstages"))
+    store = StageStore(spark, root)
+    built = {"a": 0, "b": 0}
+
+    def mk_a():
+        built["a"] += 1
+        return spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+
+    def mk_b():
+        built["b"] += 1
+        return spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+
+    a = store.run_bucketed_stage("bucket_a", mk_a, 4, ("k",), ("k",))
+    b = store.run_bucketed_stage("bucket_b", mk_b, 4, ("k",), ("k",))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        rows = {(r.k, r.va, r.vb) for r in joined.collect()}
+        assert rows == {(i, 2 * i, 3 * i) for i in range(1000)}
+
+        # fresh-session resume: drop ONLY the catalog entries (files
+        # stay — external tables), re-run with matching fingerprints
+        spark.sql("DROP TABLE IF EXISTS stage_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS stage_bucket_b")
+        a2 = store.run_bucketed_stage("bucket_a", mk_a, 4, ("k",), ("k",))
+        b2 = store.run_bucketed_stage("bucket_b", mk_b, 4, ("k",), ("k",))
+        assert built == {"a": 1, "b": 1}  # short-circuit: never rebuilt
+        j2 = a2.join(b2, "k")
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2, plan2
+        assert j2.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS stage_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS stage_bucket_b")
