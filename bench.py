@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q36_name_feature_block",
     "q37_tfidf_cosine_pairs",
     "q45_lsh_topk_portable",
+    "q47_winnow_near_dups",
+    "q48_ivf_topk_portable",
 ]
 
 

@@ -122,7 +122,13 @@ class StageStore:
         import re
 
         safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
-        return f"stage_{safe}"
+        # scope the catalog name to THIS store's root: two stores in
+        # one session (tests, side-by-side experiments) must not
+        # resolve each other's bucketed tables on resume
+        root_tag = hashlib.sha256(
+            os.path.abspath(self.root).encode()
+        ).hexdigest()[:8]
+        return f"stage_{safe}_{root_tag}"
 
     def run_bucketed_stage(
         self,

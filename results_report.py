@@ -86,6 +86,41 @@ def ann_recall_section(spark) -> list[str]:
         "clustered structure; measure recall on YOUR corpus with",
         "`operators.similarity.topk_recall` before trusting the knobs.",
     ]
+
+    # IVF grid: the trained-coarse-quantizer alternative on the same
+    # corpus — nlist x nprobe trades the same recall/cost axis with a
+    # data-adaptive partition instead of data-oblivious hyperplanes
+    from pubmed_and_method_spark.operators.similarity import ivf_recall
+
+    emb = clustered_embeddings_df(
+        spark, n_entities=40, per_entity=6, dim=64, noise=0.15, seed=7
+    ).cache()
+    emb.count()
+    lines += [
+        "",
+        "## IVF recall grid (ivf_topk vs exact top-5, same corpus)",
+        "",
+        "Trained k-means coarse quantizer (seeded-sample Lloyd,",
+        "operators/similarity.train_ivf_centroids); recall and",
+        "cands/query defined as above.  Pytest gate: recall@5 >= 0.9",
+        "at the default 16 lists x 4 probes",
+        "(tests/test_training_ops.py::test_ivf_topk_recall_gate);",
+        "q48 is the integer-exact DuckDB-oracled twin.",
+        "",
+        "| nlist | nprobe | recall@5 | cands/query |",
+        "|---|---|---|---|",
+    ]
+    for nlist in (8, 16, 32):
+        for nprobe in (1, 2, 4):
+            m = ivf_recall(
+                emb, dim=64, k=5, nlist=nlist, nprobe=nprobe, seed=42
+            )
+            mark = " **(default)**" if (nlist, nprobe) == (16, 4) else ""
+            lines.append(
+                f"| {nlist} | {nprobe} | {m['recall_at_k']:.3f}{mark} "
+                f"| {m['mean_candidates_per_query']:.1f} |"
+            )
+    emb.unpersist()
     return lines
 
 

@@ -275,8 +275,9 @@ def test_bucketed_stage_join_no_exchange(spark, tmp_path_factory):
 
         # fresh-session resume: drop ONLY the catalog entries (files
         # stay — external tables), re-run with matching fingerprints
-        spark.sql("DROP TABLE IF EXISTS stage_bucket_a")
-        spark.sql("DROP TABLE IF EXISTS stage_bucket_b")
+        ta, tb = store._table_name("bucket_a"), store._table_name("bucket_b")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
         a2 = store.run_bucketed_stage("bucket_a", mk_a, 4, ("k",), ("k",))
         b2 = store.run_bucketed_stage("bucket_b", mk_b, 4, ("k",), ("k",))
         assert built == {"a": 1, "b": 1}  # short-circuit: never rebuilt
@@ -286,5 +287,5 @@ def test_bucketed_stage_join_no_exchange(spark, tmp_path_factory):
         assert j2.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS stage_bucket_a")
-        spark.sql("DROP TABLE IF EXISTS stage_bucket_b")
+        for nm in ("bucket_a", "bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {store._table_name(nm)}")
