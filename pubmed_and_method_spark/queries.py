@@ -2244,6 +2244,63 @@ def q49(spark, sf):
     )
 
 
+@q(
+    "q50_column_profile",
+    """
+    WITH agg AS (
+        SELECT
+            count(*) FILTER (WHERE doc_id IS NOT NULL
+                AND len(trim(CAST(doc_id AS VARCHAR))) > 0) AS v_doc_id,
+            count(DISTINCT doc_id) AS d_doc_id,
+            round(avg(len(CAST(doc_id AS VARCHAR))), 6) AS l_doc_id,
+            count(*) FILTER (WHERE text IS NOT NULL
+                AND len(trim(text)) > 0) AS v_text,
+            count(DISTINCT text) AS d_text,
+            round(avg(len(text)), 6) AS l_text,
+            count(*) FILTER (WHERE lang IS NOT NULL
+                AND len(trim(lang)) > 0) AS v_lang,
+            count(DISTINCT lang) AS d_lang,
+            round(avg(len(lang)), 6) AS l_lang,
+            count(*) FILTER (WHERE source IS NOT NULL
+                AND len(trim(source)) > 0) AS v_source,
+            count(DISTINCT source) AS d_source,
+            round(avg(len(source)), 6) AS l_source,
+            count(*) FILTER (WHERE n_chars IS NOT NULL
+                AND len(trim(CAST(n_chars AS VARCHAR))) > 0) AS v_n_chars,
+            count(DISTINCT n_chars) AS d_n_chars,
+            round(avg(len(CAST(n_chars AS VARCHAR))), 6) AS l_n_chars
+        FROM documents)
+    SELECT 'doc_id' AS col_name, v_doc_id AS n_valid,
+           d_doc_id AS n_distinct, l_doc_id AS avg_len FROM agg
+    UNION ALL
+    SELECT 'text', v_text, d_text, l_text FROM agg
+    UNION ALL
+    SELECT 'lang', v_lang, d_lang, l_lang FROM agg
+    UNION ALL
+    SELECT 'source', v_source, d_source, l_source FROM agg
+    UNION ALL
+    SELECT 'n_chars', v_n_chars, d_n_chars, l_n_chars FROM agg
+    """,
+)
+def q50(spark, sf):
+    """One-pass column profile of the documents table — the Spark-first
+    rewrite of the reference's statistics build
+    (database/statistics.sql:96-245: ~20 per-field ``select count()``
+    subqueries UNION'd, one full scan each).  Here every per-column
+    validity count, exact distinct count, and mean string length is a
+    conditional aggregation in a SINGLE scan, pivoted long with
+    ``stack``.  At 100 TB, ``profile_columns(approx=True)`` swaps the
+    exact distincts for mergeable HLL sketches
+    (test_profile_approx_within_rsd pins the error); the exact form is
+    the cross-engine oracle."""
+    from pubmed_and_method_spark.operators.profiling import profile_columns
+
+    d = load_table(spark, sf, "documents")
+    return profile_columns(
+        d, ["doc_id", "text", "lang", "source", "n_chars"], approx=False
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

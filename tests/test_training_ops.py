@@ -519,3 +519,42 @@ def test_ivf_assignment_contract(spark):
     }
     assert got_p == expect
     emb.unpersist()
+
+
+def test_profile_columns_exact_and_edges(spark):
+    """Validity follows the empty-string==missing convention; distinct
+    and avg_len skip nulls; one row per profiled column."""
+    from pubmed_and_method_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "  "), (4, None), (5, "abc")],
+        "id long, s string",
+    )
+    rows = {r.col_name: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert rows["id"].n_valid == 5 and rows["id"].n_distinct == 5
+    assert rows["s"].n_valid == 2          # '', '  ', NULL all invalid
+    assert rows["s"].n_distinct == 3       # 'abc', '', '  ' (null skipped)
+    # avg_len over non-null values only: (3+0+2+3)/4
+    assert abs(rows["s"].avg_len - 2.0) < 1e-9
+
+
+def test_profile_approx_within_rsd(spark, docs):
+    """The HLL scale path must land within ~3x the configured rsd of
+    the exact distinct counts on the documents corpus (HLL error is a
+    distribution; 3 sigma keeps the gate honest but non-flaky)."""
+    from pubmed_and_method_spark.operators.profiling import profile_columns
+
+    cols = ["doc_id", "text"]
+    exact = {
+        r.col_name: r.n_distinct
+        for r in profile_columns(docs, cols, approx=False).collect()
+    }
+    approx = {
+        r.col_name: r.n_distinct
+        for r in profile_columns(docs, cols, approx=True, rsd=0.05).collect()
+    }
+    for c in cols:
+        if exact[c] == 0:
+            continue
+        rel = abs(approx[c] - exact[c]) / exact[c]
+        assert rel <= 0.15, (c, exact[c], approx[c])
