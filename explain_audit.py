@@ -50,6 +50,10 @@ AUDIT = [
     # list_id, never a cartesian over the corpus
     ("q48_ivf_topk_portable", [r"codegen id : ", r"keys \[1\]: \[list_id"], [r"CartesianProduct"]),
     ("q49_ivf_topk", [r"codegen id : ", r"keys \[1\]: \[list_id"], [r"CartesianProduct"]),
+    # profiling: ONE scan feeds an Expand (one branch per exact-distinct
+    # column) — the reference unions ~20 per-field full scans; only the
+    # expanded key stream shuffles, never the table twice
+    ("q50_column_profile", [r"HashAggregate", r"Expand"], [r"CartesianProduct"]),
 ]
 
 

@@ -4,9 +4,12 @@ The reference's statistics table (database/statistics.sql:96-245)
 computes per-field validity counts as ~20 separate ``select count()
 ... where isNotNull(x)`` subqueries UNION'd together — one full scan
 per field.  Re-expressed Spark-first: ALL per-column metrics are
-conditional aggregations in a SINGLE scan (one job, one shuffle-free
-partial-agg tree), then pivoted to the reference's long
-``(name, cnt)`` presentation with ``stack``.
+conditional aggregations over a SINGLE scan — Catalyst plans the
+multi-column exact distincts as one Expand (one branch per distinct
+column) over that scan, shuffling only the expanded key stream (a
+distinct count must shuffle SOMETHING; it shuffles keys, not the
+table, and only once for all columns) — then pivoted to the
+reference's long ``(name, cnt)`` presentation with ``stack``.
 
 At 100 TB the difference is 20 scans vs 1; the distinct counts swap
 to HyperLogLog sketches (``approx_count_distinct``) with bounded
