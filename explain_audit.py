@@ -54,6 +54,9 @@ AUDIT = [
     # column) — the reference unions ~20 per-field full scans; only the
     # expanded key stream shuffles, never the table twice
     ("q50_column_profile", [r"HashAggregate", r"Expand"], [r"CartesianProduct"]),
+    # packing: one window cumsum per shard + a Generate (sequence
+    # explode) — no join at all, no driver loop
+    ("q51_pack_sequences", [r"Window", r"Generate"], [r"CartesianProduct", r"Join"]),
 ]
 
 

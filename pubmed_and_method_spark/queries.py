@@ -2301,6 +2301,49 @@ def q50(spark, sf):
     )
 
 
+@q(
+    "q51_pack_sequences",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 4 AS shard,
+               len({_TOKENS_SQL.format(col="text")}) AS n
+        FROM documents),
+    nz AS (SELECT * FROM toks WHERE n > 0),
+    offs AS (
+        SELECT doc_id, shard, n,
+               CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   - n AS prev
+        FROM nz),
+    spans AS (
+        SELECT doc_id, shard, n, prev,
+               unnest(range(prev // 128,
+                            ((prev + n - 1) // 128) + 1)) AS seq_id
+        FROM offs)
+    SELECT doc_id, shard, seq_id,
+           greatest(prev - seq_id * 128, 0) AS start_in_seq,
+           greatest(seq_id * 128 - prev, 0) AS tok_start,
+           least(prev + n, (seq_id + 1) * 128)
+               - greatest(prev, seq_id * 128) AS tok_len
+    FROM spans
+    """,
+)
+def q51(spark, sf):
+    """Sequence packing (concat-and-chunk): shard-local document
+    streams packed into fixed 128-token training sequences, straddling
+    documents split into per-sequence spans — the standard LLM
+    pretraining batch layout as ONE window cumsum + a sequence()
+    explode (no driver loop, no UDF).  Sharding (doc_id % 4) keeps the
+    concatenation order parallel: each shard packs independently, so
+    the plan scales with shards instead of serializing the corpus
+    through one global sort.  Full DuckDB value oracle over the same
+    portable token definition as q31/q46."""
+    from pubmed_and_method_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf, "documents")
+    return pack_sequences(d, "doc_id", "text", budget=128, n_shards=4)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -558,3 +558,57 @@ def test_profile_approx_within_rsd(spark, docs):
             continue
         rel = abs(approx[c] - exact[c]) / exact[c]
         assert rel <= 0.15, (c, exact[c], approx[c])
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing tiles every document exactly (span lengths sum to the
+    doc's token count), every sequence is exactly `budget` tokens
+    except each shard's last, spans never exceed the budget window,
+    and zero-token docs vanish."""
+    from pubmed_and_method_spark.functions.normalize import clean_tokens
+    from pubmed_and_method_spark.operators.packing import pack_sequences
+
+    rows = [
+        (i, " ".join(f"token{i}word{j}" for j in range(3 + (i * 7) % 40)))
+        for i in range(1, 60)
+    ] + [(60, "the a an"), (61, "")]  # zero-token docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 16
+    spans = pack_sequences(df, "doc_id", "text", budget=budget, n_shards=3)
+    rs = spans.collect()
+    assert all(1 <= r.tok_len <= budget for r in rs)
+    assert all(0 <= r.start_in_seq < budget for r in rs)
+    assert not any(r.doc_id in (60, 61) for r in rs)
+
+    # spans tile each doc exactly
+    ntok = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(clean_tokens("text")).alias("n")
+        ).collect()
+    }
+    per_doc = {}
+    for r in rs:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tok_len
+    for d, tot in per_doc.items():
+        assert tot == ntok[d], (d, tot, ntok[d])
+
+    # every sequence full except the shard's last
+    per_seq = {}
+    for r in rs:
+        per_seq[(r.shard, r.seq_id)] = (
+            per_seq.get((r.shard, r.seq_id), 0) + r.tok_len
+        )
+    last = {}
+    for (sh, sq) in per_seq:
+        last[sh] = max(last.get(sh, -1), sq)
+    for (sh, sq), tot in per_seq.items():
+        if sq != last[sh]:
+            assert tot == budget, (sh, sq, tot)
+        else:
+            assert 1 <= tot <= budget
+    # sequences are contiguous from 0 per shard (no holes)
+    for sh in last:
+        assert {q for (s, q) in per_seq if s == sh} == set(
+            range(last[sh] + 1)
+        )
