@@ -153,8 +153,42 @@ def quality_tables(spark, n_entities: int, hardness: float = 0.0):
     return groups, models, n_pairs, n_blocks
 
 
+def only_ann() -> int:
+    """Regenerate ONLY the ANN sections of an existing RESULTS.md
+    (`--only-ann`): the model-fit tables take hours at 5000 entities,
+    the ANN grids minutes — this splices fresh grids into the current
+    file and stamps the partial regeneration honestly."""
+    from pubmed_and_method_spark.session import get_spark
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "RESULTS.md"
+    )
+    with open(path) as f:
+        cur = f.read()
+    head, sep, _ = cur.partition("## ANN recall grid")
+    if not sep:
+        print("no ANN section found; run the full report", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="results_report_ann", cores="16")
+    t0 = time.time()
+    ann_lines = ann_recall_section(spark)
+    wall = round(time.time() - t0, 1)
+    out = head + "\n".join(ann_lines) + (
+        "\n\nModel-fit tables from the last full `python "
+        "results_report.py` run; ANN sections regenerated by "
+        f"`python results_report.py --only-ann` in {wall}s.\n"
+    )
+    with open(path, "w") as f:
+        f.write(out)
+    print(out[out.find("## ANN recall grid"):])
+    return 0
+
+
 def main() -> int:
     from pubmed_and_method_spark.session import get_spark
+
+    if "--only-ann" in sys.argv:
+        return only_ann()
 
     spark = get_spark(app_name="results_report", cores="16")
     t0 = time.time()
