@@ -3,9 +3,11 @@
 Usage (local sandbox):
     python -m pubmed_and_method_spark --cores 8 --stage-dir /tmp/stages
 
-On a cluster the same module runs under spark-submit:
-    spark-submit --py-files pubmed_and_method_spark.zip \
-        -m ... (or a thin launcher importing this main)
+On a cluster the same pipeline runs under spark-submit via the thin
+launcher (tools/and_submit_job.py), with the engine shipped as a
+--py-files zip (tools/make_pyfiles_zip.py); the deployment contract —
+imports resolve inside the zip, metrics reproduce, stages resume —
+is pinned by tests/test_submit.py against a real local-cluster master.
 """
 
 from __future__ import annotations

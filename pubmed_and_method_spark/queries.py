@@ -2344,6 +2344,79 @@ def q51(spark, sf):
     return pack_sequences(d, "doc_id", "text", budget=128, n_shards=4)
 
 
+@q(
+    "q52_blocking_quality",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    members AS (
+        SELECT conv_id, block_key FROM nk WHERE block_key <> '__unblocked__'),
+    pairs AS (
+        SELECT a.conv_id AS c1, b.conv_id AS c2
+        FROM members a JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'),
+    lab AS (
+        SELECT CAST(t1.entity_id = t2.entity_id AS INTEGER) AS same_entity
+        FROM pairs p JOIN tr t1 ON t1.conv_id = p.c1
+                     JOIN tr t2 ON t2.conv_id = p.c2),
+    blocks AS (
+        SELECT block_key, count(*) AS sz FROM members GROUP BY block_key),
+    sig_agg AS (SELECT count(DISTINCT conv_id) AS n_mentions FROM t),
+    block_agg AS (
+        SELECT count(*) AS n_blocks,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_blocked_mentions,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS max_block_size,
+               round(coalesce(avg(sz), 0.0), 6) AS avg_block_size
+        FROM blocks),
+    truth_agg AS (
+        SELECT count(*) AS n_entities,
+               CAST(coalesce(sum(m * (m - 1)), 0) // 2 AS BIGINT)
+                   AS n_true_pairs
+        FROM (SELECT count(*) AS m FROM tr GROUP BY entity_id)),
+    pair_agg AS (
+        SELECT count(*) AS n_candidates,
+               CAST(coalesce(sum(same_entity), 0) AS BIGINT)
+                   AS n_matched_true
+        FROM lab)
+    SELECT n_mentions, n_entities, n_true_pairs, n_blocks,
+           n_blocked_mentions, max_block_size, avg_block_size,
+           n_candidates, n_matched_true,
+           CASE WHEN n_true_pairs > 0
+                THEN round(n_matched_true / n_true_pairs, 6)
+           END AS pair_completeness,
+           CASE WHEN n_mentions > 1
+                THEN round(1.0 - n_candidates
+                           / (n_mentions * (n_mentions - 1) / 2.0), 6)
+           END AS reduction_ratio
+    FROM sig_agg, block_agg, truth_agg, pair_agg
+    """,
+)
+def q52(spark, sf):
+    """Blocking-quality metrics (pair completeness, reduction ratio,
+    block-size stats) for the exact-block pass on the seed-42 corpus —
+    the record-linkage-standard evaluation the reference only does
+    implicitly (pair-set dual derivation, and_datasets.sql:81-105;
+    block statistics, statistics.sql:96-245).  Pair completeness is
+    the hard ceiling on end-to-end recall; reduction ratio is the cost
+    axis; max_block_size is the hot-block early-warning.  All linear:
+    true pairs counted from per-entity member counts (never
+    materialized), candidate stats aggregated from the blocked pair
+    set (operators/er_metrics.py)."""
+    from pubmed_and_method_spark.operators.er_metrics import blocking_quality
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t)
+    pairs = build_labeled_pairs(sig, g, num_buckets=4)
+    return blocking_quality(sig, pairs, g)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

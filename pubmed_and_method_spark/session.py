@@ -46,12 +46,18 @@ def get_spark(
     """Build (or fetch) a SparkSession with the engine's defaults.
 
     ``cores``: int N -> ``local[N]``, "*" -> ``local[*]``, None ->
-    $SPARK_GRAFT_CPUS or all cores.  On a real cluster the master is
-    taken from spark-submit and this arg is ignored.
+    $SPARK_GRAFT_CPUS or all cores.  ``"submit"`` -> do NOT set a
+    master (or any launch-time JVM option): the job was started by
+    ``spark-submit``, which already owns --master / --driver-memory /
+    --py-files; the session only layers the engine's SQL/AQE/Arrow
+    defaults on top (tools/and_submit_job.py is the launcher).
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    if isinstance(cores, str) and cores.startswith(("local-cluster[", "local[")):
+    submit_mode = cores == "submit"
+    if submit_mode:
+        master, total = None, DEFAULT_SHUFFLE_PARTITIONS
+    elif isinstance(cores, str) and cores.startswith(("local-cluster[", "local[")):
         # Full master spec passthrough: local-cluster[n,cores,memMB]
         # runs n REAL executor JVMs (own heap/GC per process) inside
         # this sandbox — the faithful small-scale model of an
@@ -63,7 +69,7 @@ def get_spark(
         total = os.cpu_count() or 8 if cores == "*" else int(cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, total)
-    is_cluster = master.startswith("local-cluster[")
+    is_cluster = bool(master) and master.startswith("local-cluster[")
     driver_mem = os.environ.get("SPARK_DRIVER_MEM")
     if driver_mem is None and is_cluster:
         # Executors own the data in cluster mode; the driver only
@@ -81,9 +87,11 @@ def get_spark(
         # MemAvailable (a fixed default OOM-kills smaller hosts).
         driver_mem = f"{max(2, min(48, int(_mem_available_gib() * 0.75)))}g"
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         # AQE: runtime partition coalescing + skew-join splitting — the
         # declarative replacement for the reference's manual shard loops
         # (src/help/specifal_name_transformer.py:33-44).
@@ -95,17 +103,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", driver_mem)
-        # Fix the heap at its max and fault every page in at JVM start.
-        # Without this, high-allocation stages (collect_list, per-pair
-        # array building) grow the heap lazily and the job stalls in
-        # kernel page-fault storms — measured 60-90% *system* CPU and a
-        # 4-5x wall-time penalty at local[32] on this workload.  On a
-        # real cluster the same flags go to spark.executor.extraJavaOptions.
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # AQE's own promotion threshold is kept far BELOW the static
@@ -133,6 +130,20 @@ def get_spark(
         # driver heap (>=8g) has the headroom.
         .config("spark.driver.maxResultSize", "4g")
     )
+    if not submit_mode:
+        # Launch-time JVM options: settable only when THIS process
+        # spawns the driver JVM (local / local-cluster modes).  Under
+        # spark-submit the JVM already exists — pass --driver-memory /
+        # --driver-java-options on the submit command line instead.
+        # Fix the heap at its max and fault every page in at JVM
+        # start: without -Xms + AlwaysPreTouch, high-allocation stages
+        # (collect_list, per-pair array building) grow the heap lazily
+        # and stall in kernel page-fault storms — measured 60-90%
+        # *system* CPU and a 4-5x wall-time penalty at local[32].
+        builder = builder.config("spark.driver.memory", driver_mem).config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
     if is_cluster:
         # Mirror the driver heap discipline on each executor JVM: the
         # master spec's memMB is the worker's budget; give the executor

@@ -139,6 +139,9 @@ def quality_tables(spark, n_entities: int, hardness: float = 0.0):
     )
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
+    import shutil
+    import tempfile
+
     n_blocks = max(24, n_entities * 3 // 10)
     t, g = transcripts_df(
         spark, seed=42, n_entities=n_entities, n_blocks=n_blocks,
@@ -146,10 +149,30 @@ def quality_tables(spark, n_entities: int, hardness: float = 0.0):
     )
     sig = build_signatures(t)
     pairs = build_labeled_pairs(sig, g, num_buckets=4, lsh=True)
-    features = build_pair_features(pairs, sig).localCheckpoint(eager=True)
-    n_pairs = features.count()
-    groups = feature_group_ablation(features, algos=("gbt",))
-    models = model_comparison(features, FEATURE_COLS)
+    # materialize ONLY the model-relevant columns as compressed
+    # parquet: the full pair-feature rows carry the signature arrays
+    # (token/shingle hashes) for the error-analysis contract, and raw
+    # localCheckpoint blocks of those measured ~60 GB at 5000
+    # entities — 100x the columnar footprint of what the CV actually
+    # consumes (filled the sandbox disk; r04 session note)
+    from pubmed_and_method_spark.ml.ablation import FEATURE_GROUPS
+
+    keep = sorted(
+        set(FEATURE_COLS)
+        | {c for cols in FEATURE_GROUPS.values() for c in cols}
+        | {"same_entity", "split_group"}
+    )
+    d = tempfile.mkdtemp(prefix="results_feats_")
+    try:
+        build_pair_features(pairs, sig).select(*keep).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "features"))
+        features = spark.read.parquet(os.path.join(d, "features"))
+        n_pairs = features.count()
+        groups = feature_group_ablation(features, algos=("gbt",))
+        models = model_comparison(features, FEATURE_COLS)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return groups, models, n_pairs, n_blocks
 
 
@@ -186,6 +209,15 @@ def only_ann() -> int:
 
 def main() -> int:
     from pubmed_and_method_spark.session import get_spark
+
+    # sweep temp feature dirs orphaned by SIGKILL'd prior runs (the
+    # finally-rmtree can't run when the process is killed mid-fit)
+    import glob
+    import shutil
+    import tempfile
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "results_feats_*")):
+        shutil.rmtree(d, ignore_errors=True)
 
     if "--only-ann" in sys.argv:
         return only_ann()

@@ -168,3 +168,77 @@ def test_minhash_identical_inputs_collide(spark):
     got = {(r.id1, r.id2) for r in cands.collect()}
     assert ("a", "b") in got
     assert ("a", "c") not in got
+
+
+def test_blocking_quality_hand_computed(spark):
+    """blocking_quality on a 7-mention corpus with every regime:
+    a missed true pair (members of one entity split across blocks),
+    an unblocked mention, and a mixed block — all metrics re-derived
+    by hand in the asserts."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        METRIC_COLS,
+        blocking_quality,
+    )
+
+    # entity E1: m1,m2,m3 (m3 lands in block B, away from A -> 2 of 3
+    # true pairs survive); entity E2: m4,m5 in block B; entity E3: m6
+    # blocked alone; entity E4: m7 unblocked.
+    sig = spark.createDataFrame(
+        [
+            ("A", "m1", "c1"), ("A", "m2", "c2"), ("B", "m3", "c3"),
+            ("B", "m4", "c4"), ("B", "m5", "c5"), ("C", "m6", "c6"),
+            ("__unblocked__", "m7", "c7"),
+        ],
+        ["block_key", "mention_id", "conv_id"],
+    )
+    truth = spark.createDataFrame(
+        [("c1", "E1"), ("c2", "E1"), ("c3", "E1"), ("c4", "E2"),
+         ("c5", "E2"), ("c6", "E3"), ("c7", "E4")],
+        ["conv_id", "entity_id"],
+    )
+    # within-block pairs: A -> (m1,m2); B -> (m3,m4),(m3,m5),(m4,m5)
+    pairs = spark.createDataFrame(
+        [("m1", "m2", 1), ("m3", "m4", 0), ("m3", "m5", 0),
+         ("m4", "m5", 1)],
+        ["mention_id1", "mention_id2", "same_entity"],
+    )
+    row = blocking_quality(sig, pairs, truth).collect()[0].asDict()
+    assert list(row) == METRIC_COLS
+    assert row["n_mentions"] == 7
+    assert row["n_entities"] == 4
+    # true pairs: C(3,2) + C(2,2->1) = 3 + 1 = 4
+    assert row["n_true_pairs"] == 4
+    assert row["n_blocks"] == 3
+    assert row["n_blocked_mentions"] == 6
+    assert row["max_block_size"] == 3
+    assert row["avg_block_size"] == 2.0
+    assert row["n_candidates"] == 4
+    # matched: (m1,m2) and (m4,m5); (c1,c3)/(c2,c3) never generated
+    assert row["n_matched_true"] == 2
+    assert row["pair_completeness"] == 0.5
+    # 1 - 4 / C(7,2)=21
+    assert row["reduction_ratio"] == round(1 - 4 / 21, 6)
+
+
+def test_blocking_quality_empty_edges(spark):
+    """Zero candidates / all-unblocked / single-mention corpora hit
+    the coalesce+guard paths instead of dividing by zero."""
+    from pubmed_and_method_spark.operators.er_metrics import blocking_quality
+
+    sig = spark.createDataFrame(
+        [("__unblocked__", "m1", "c1")],
+        ["block_key", "mention_id", "conv_id"],
+    )
+    truth = spark.createDataFrame([("c1", "E1")], ["conv_id", "entity_id"])
+    pairs = spark.createDataFrame(
+        [], "mention_id1 string, mention_id2 string, same_entity int"
+    )
+    row = blocking_quality(sig, pairs, truth).collect()[0].asDict()
+    assert row["n_mentions"] == 1
+    assert row["n_blocks"] == 0
+    assert row["max_block_size"] == 0
+    assert row["avg_block_size"] == 0.0
+    assert row["n_candidates"] == 0
+    assert row["n_true_pairs"] == 0
+    assert row["pair_completeness"] is None
+    assert row["reduction_ratio"] is None
