@@ -114,6 +114,125 @@ def run_incremental_signatures(
         writer.start()
 
 
+#: signature-store partition fanout for the pair frontier: block keys
+#: hash into this many directory partitions, so a micro-batch's
+#: new-vs-store join scans ONLY the partitions its block keys live in
+#: (partition pruning via an IN filter on the collected bucket list —
+#: bounded by maxFilesPerTrigger, never corpus-sized).
+PAIR_STORE_BUCKETS = 64
+
+_UNBLOCKED = "__unblocked__"
+
+
+def _block_bucket(col: str):
+    return F.pmod(F.xxhash64(col), F.lit(PAIR_STORE_BUCKETS)).alias(
+        "block_bucket"
+    )
+
+
+def run_incremental_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    signatures_dir: str,
+    pairs_dir: str,
+    available_now: bool = True,
+) -> None:
+    """Streaming candidate-pair frontier: each micro-batch of new
+    conversations emits exactly the exact-block candidate pairs that
+    TOUCH the batch — new-vs-store (join on block_key against only the
+    store partitions the batch's keys hash into) plus new-vs-new (the
+    within-batch triangle) — then appends its signatures to the store.
+    After draining, the union of all emitted pairs equals the batch
+    pipeline's exact-block pair set on the full corpus
+    (tests/test_streaming.py::test_incremental_pairs_match_batch), so
+    downstream scoring/clustering can run incrementally without ever
+    re-pairing the whole corpus: per batch the work is
+    O(batch x matching-blocks), not O(corpus^2).
+
+    Scale notes: the signature store is written partitioned by
+    ``block_bucket`` (hash of block_key mod PAIR_STORE_BUCKETS); the
+    per-batch bucket list is collected on the driver (bounded by the
+    micro-batch, never the corpus) and pushed as an IN filter, so the
+    store scan is partition-pruned.  The new side of the join is
+    micro-batch-sized — Spark broadcasts it.  Corpus is treated as
+    append-only (conv_ids do not mutate): the LSH second pass needs
+    corpus-level banding and stays a periodic batch job, like the IDF
+    snapshot.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sig = (
+            build_signatures(batch_df, tfidf=False)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("block_bucket", _block_bucket("block_key"))
+            .localCheckpoint(eager=True)
+        )
+        new = sig.filter(F.col("block_key") != _UNBLOCKED).select(
+            "block_key", "block_bucket", "mention_id"
+        )
+        buckets = [
+            r["block_bucket"]
+            for r in new.select("block_bucket").distinct().collect()
+        ]
+        parts = []
+        if buckets and os.path.isdir(signatures_dir):
+            old = (
+                spark.read.parquet(signatures_dir)
+                .filter(F.col("block_bucket").isin(buckets))
+                .filter(F.col("block_key") != _UNBLOCKED)
+                .select("block_key", "mention_id")
+            )
+            n, o = new.alias("n"), old.alias("o")
+            parts.append(
+                n.join(o, "block_key").select(
+                    "block_key",
+                    F.least("n.mention_id", "o.mention_id").alias(
+                        "mention_id1"
+                    ),
+                    F.greatest("n.mention_id", "o.mention_id").alias(
+                        "mention_id2"
+                    ),
+                )
+            )
+        a, b = new.alias("a"), new.alias("b")
+        parts.append(
+            a.join(b, "block_key")
+            .filter(F.col("a.mention_id") < F.col("b.mention_id"))
+            .select(
+                "block_key",
+                F.col("a.mention_id").alias("mention_id1"),
+                F.col("b.mention_id").alias("mention_id2"),
+            )
+        )
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionByName(p)
+        pairs.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(pairs_dir)
+        # append AFTER pairing: the store must hold strictly-older
+        # conversations when the new-vs-store join runs, or new pairs
+        # double-count as both new-vs-store and new-vs-new
+        sig.write.mode("append").partitionBy("block_bucket").parquet(
+            signatures_dir
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()
+
+
 def current_signatures(spark: SparkSession, output_dir: str) -> DataFrame:
     """Latest-wins view over the appended signature batches (the
     sandbox stand-in for Iceberg MERGE upserts)."""

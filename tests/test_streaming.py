@@ -226,3 +226,53 @@ def test_incremental_matches_batch(spark, corpus, tmp_path_factory):
     streamed = got2.select("conv_id", "block_key", "full_text")
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_incremental_pairs_match_batch(spark, corpus, tmp_path_factory):
+    """Streaming pair frontier == batch exact-block pair set: drain
+    the corpus in three file batches through run_incremental_pairs and
+    compare the union of emitted (block_key, id1, id2) against
+    build_candidate_pairs on the full corpus (lsh=False).  Also pins
+    the no-double-emission property (every pair exactly once) and the
+    store's block_bucket partition layout."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_candidate_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.streaming.incremental import (
+        run_incremental_pairs,
+    )
+
+    t, _ = corpus
+    base = tmp_path_factory.mktemp("pairstream")
+    inp = str(base / "in")
+    ckpt, sig_dir, pairs_dir = (
+        str(base / "ckpt"), str(base / "sigs"), str(base / "pairs"),
+    )
+    os.makedirs(inp)
+
+    convs = sorted(r.conv_id for r in t.select("conv_id").distinct().collect())
+    thirds = [set(convs[i::3]) for i in range(3)]
+    for i, third in enumerate(thirds):
+        t.filter(F.col("conv_id").isin(third)).write.parquet(
+            os.path.join(inp, f"batch{i}")
+        )
+        # one drain per landed file set: three real micro-batches, so
+        # new-vs-store and new-vs-new paths both carry real volume
+        run_incremental_pairs(spark, inp + "/*", ckpt, sig_dir, pairs_dir)
+
+    streamed = spark.read.parquet(pairs_dir)
+    batch = build_candidate_pairs(
+        build_signatures(t), num_buckets=1, lsh=False
+    ).select("block_key", "mention_id1", "mention_id2")
+
+    cols = ["block_key", "mention_id1", "mention_id2"]
+    assert streamed.count() == batch.count()  # exactly-once emission
+    assert streamed.select(*cols).exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed.select(*cols)).count() == 0
+
+    # store layout: partition-pruned scans need the bucket directories
+    bucket_dirs = [
+        d for d in os.listdir(sig_dir) if d.startswith("block_bucket=")
+    ]
+    assert bucket_dirs, "signature store is not partitioned by block_bucket"
