@@ -57,6 +57,10 @@ AUDIT = [
     # packing: one window cumsum per shard + a Generate (sequence
     # explode) — no join at all, no driver loop
     ("q51_pack_sequences", [r"Window", r"Generate"], [r"CartesianProduct", r"Join"]),
+    # blocking-quality: four linear aggregations cross-joined as 1-row
+    # relations (BroadcastNestedLoopJoin on single-row sides is the
+    # documented cheap case); never a pair-space cartesian
+    ("q52_blocking_quality", [r"HashAggregate"], [r"CartesianProduct"]),
 ]
 
 

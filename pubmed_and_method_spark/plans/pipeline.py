@@ -594,8 +594,15 @@ def run_pipeline(
     lsh: bool = True,
     datagen_kwargs: dict | None = None,
     tfidf_top_k: int | None = 64,
+    blocking_metrics: bool = False,
 ) -> dict:
     """Full AND pipeline on the synthetic corpus; returns metrics.
+
+    ``blocking_metrics=True`` adds the q52 blocking-quality row
+    (pair completeness / reduction ratio / block stats,
+    operators/er_metrics.py) to the metrics dict — three extra linear
+    aggregations; off by default so benchmark timings stay comparable
+    across rounds (the job entrypoint turns it on).
 
     ``tfidf_top_k=64`` is the SCALE DEFAULT: the TF-IDF weight map
     rides both sides of the pair double-join, and truncating each map
@@ -739,9 +746,18 @@ def run_pipeline(
     )
     cluster_metrics = pairwise_metrics(with_cc, pred_col="cluster_pred")
 
-    return {
+    out = {
         "pair_model": metrics,
         "clusters": cluster_metrics,
         "n_mentions": signatures.count(),
         "n_pairs": pairs.count(),
     }
+    if blocking_metrics:
+        from pubmed_and_method_spark.operators.er_metrics import (
+            blocking_quality,
+        )
+
+        out["blocking"] = blocking_quality(
+            signatures, pairs, truth
+        ).collect()[0].asDict()
+    return out
