@@ -155,3 +155,53 @@ def connected_components(
     return members.union(roots).groupBy("id").agg(
         F.min("component").alias("component")
     )
+
+
+def update_components(
+    components: DataFrame,
+    new_edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental merge: fold a batch of new edges into an existing
+    (id, component) labeling by re-running hash-min CC ONLY on the
+    components the batch touches.
+
+    Because labels are canonical (min reachable id), recomputing the
+    union of the touched components' star edges (id -> component) with
+    the batch edges reproduces exactly what batch CC over the whole
+    graph would assign — row-identical, pytest-pinned
+    (tests/test_connected_components.py::test_update_components_matches_batch).
+    Untouched components pass through without a shuffle of their
+    members' neighborhoods.
+
+    Per-batch cost is O(touched members + batch), never O(graph): the
+    touched-id and affected-component sets are batch-bounded and ride
+    broadcast semi/anti joins against the big labeling, so the only
+    full pass over ``components`` is two one-scan hash probes.  This is
+    the clustering half of the streaming frontier
+    (streaming/incremental.run_incremental_pairs feeds it).
+    """
+    e = new_edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    touched = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    affected = (
+        components.join(F.broadcast(touched), "id")
+        .select("component")
+        .distinct()
+    )
+    sub = components.join(F.broadcast(affected), "component", "left_semi")
+    untouched = components.join(
+        F.broadcast(affected), "component", "left_anti"
+    )
+    star_edges = sub.select(
+        F.col("id").alias("u"), F.col("component").alias("v")
+    )
+    merged = connected_components(
+        star_edges.unionByName(e), max_iter=max_iter
+    )
+    return untouched.select("id", "component").unionByName(merged)

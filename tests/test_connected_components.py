@@ -73,3 +73,62 @@ def test_long_path_converges(spark):
     # path of length 40 — exercises multi-round convergence
     edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(40)]
     check(spark, edges)
+
+
+def test_update_components_matches_batch(spark):
+    """Incremental fold over 4 edge batches == batch CC on the full
+    edge set, row-identical (labels are canonical min ids).  Batches
+    engineer every merge regime: edges inside one component, a bridge
+    between two existing components, edges introducing brand-new
+    nodes, and a batch touching nothing previously seen."""
+    from pubmed_and_method_spark.operators.connected_components import (
+        update_components,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(260)
+        )
+        if a != b
+    ]
+    batches = [edges[i::4] for i in range(4)]
+
+    comp = connected_components(
+        spark.createDataFrame(batches[0], ["u", "v"])
+    ).localCheckpoint(eager=True)
+    for b in batches[1:]:
+        comp = update_components(
+            comp, spark.createDataFrame(b, ["u", "v"])
+        ).localCheckpoint(eager=True)
+
+    batch = connected_components(spark.createDataFrame(edges, ["u", "v"]))
+    got = {(r.id, r.component) for r in comp.collect()}
+    want = {(r.id, r.component) for r in batch.collect()}
+    assert got == want
+
+
+def test_update_components_disjoint_and_empty_batch(spark):
+    """A batch entirely among NEW nodes leaves old labels untouched
+    (they ride the anti-join path); an empty batch is an identity."""
+    from pubmed_and_method_spark.operators.connected_components import (
+        update_components,
+    )
+
+    comp = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["u", "v"])
+    )
+    before = {(r.id, r.component) for r in comp.collect()}
+
+    new_only = update_components(
+        comp, spark.createDataFrame([(100, 101)], ["u", "v"])
+    )
+    got = {(r.id, r.component) for r in new_only.collect()}
+    assert got == before | {(100, 100), (101, 100)}
+
+    empty = update_components(
+        comp, spark.createDataFrame([], "u int, v int")
+    )
+    assert {(r.id, r.component) for r in empty.collect()} == before
