@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q45_lsh_topk_portable",
     "q47_winnow_near_dups",
     "q48_ivf_topk_portable",
+    "q50_column_profile",
+    "q51_pack_sequences",
 ]
 
 
