@@ -42,6 +42,49 @@ METRIC_COLS = [
 ]
 
 
+def cluster_size_stats(
+    components: DataFrame,
+    component_col: str = "component",
+) -> DataFrame:
+    """Cluster-size distribution: one row per size —
+    (cluster_size, n_clusters, n_members, member_share).
+
+    The reference publishes exactly these distribution tables for its
+    own groupings (database/statistics.sql:96-266: per-field counts
+    pivoted into named distribution rows); here they describe the
+    OUTPUT of clustering, where the size histogram is the first thing
+    an operator inspects (a sudden giant component means an FP edge
+    bridged two entities — transitive closure turns one bad edge into
+    a mega-cluster).  Two linear groupBys; the share denominator rides
+    a broadcast 1-row total.
+    """
+    dist = (
+        components.groupBy(component_col)
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_members", F.col("cluster_size") * F.col("n_clusters")
+        )
+    )
+    total = dist.agg(
+        F.coalesce(F.sum("n_members"), F.lit(0)).alias("__t")
+    )
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_members",
+            F.when(
+                F.col("__t") > 0,
+                F.round(F.col("n_members") / F.col("__t"), 6),
+            ).alias("member_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def blocking_quality(
     signatures: DataFrame,
     labeled_pairs: DataFrame,

@@ -2417,6 +2417,48 @@ def q52(spark, sf):
     return blocking_quality(sig, pairs, g)
 
 
+@q(
+    "q53_cluster_size_stats",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+',' ','g'),' +',' ','g')), ' '),
+                   1, 3), ' ')) AS fingerprint
+        FROM documents),
+    g AS (
+        SELECT fingerprint, count(*) AS cluster_size
+        FROM fp GROUP BY fingerprint HAVING count(*) > 1),
+    dist AS (
+        SELECT cluster_size, count(*) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_members
+        FROM g GROUP BY cluster_size),
+    tot AS (SELECT CAST(coalesce(sum(n_members), 0) AS BIGINT) AS t
+            FROM dist)
+    SELECT cluster_size, n_clusters, n_members,
+           CASE WHEN t > 0 THEN round(n_members / t, 6) END
+               AS member_share
+    FROM dist, tot
+    ORDER BY cluster_size
+    """,
+)
+def q53(spark, sf):
+    """Cluster-size distribution of the q25 duplicate clusters — the
+    reference's distribution-table statistics (statistics.sql:96-266)
+    applied to clustering OUTPUT, where the histogram is the
+    first-line mega-cluster alarm.  Spark runs the REAL iterative CC
+    operator then two linear groupBys
+    (operators/er_metrics.cluster_size_stats); DuckDB re-derives the
+    same distribution from fingerprint groups directly (CC of clique
+    groups == the groups, the q25 oracle identity)."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        cluster_size_stats,
+    )
+
+    return cluster_size_stats(QUERIES["q25_connected_components_dups"](spark, sf))
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -132,3 +132,27 @@ def test_update_components_disjoint_and_empty_batch(spark):
         comp, spark.createDataFrame([], "u int, v int")
     )
     assert {(r.id, r.component) for r in empty.collect()} == before
+
+
+def test_cluster_size_stats_hand_computed(spark):
+    """Histogram over a labeling with sizes {3,1,1}: rows, shares and
+    the empty-input guard re-derived by hand."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        cluster_size_stats,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20)], ["id", "component"]
+    )
+    rows = {
+        r.cluster_size: r for r in cluster_size_stats(comp).collect()
+    }
+    assert set(rows) == {1, 3}
+    assert rows[1].n_clusters == 2 and rows[1].n_members == 2
+    assert rows[3].n_clusters == 1 and rows[3].n_members == 3
+    assert rows[1].member_share == 0.4 and rows[3].member_share == 0.6
+
+    empty = cluster_size_stats(
+        spark.createDataFrame([], "id int, component int")
+    )
+    assert empty.count() == 0
