@@ -222,6 +222,10 @@ def run_incremental_pairs(
         sig.write.mode("append").partitionBy("block_bucket").parquet(
             signatures_dir
         )
+        # free the checkpointed blocks — a long-running stream would
+        # otherwise accumulate one pinned RDD per micro-batch in the
+        # block manager (same discipline as the CC star loop)
+        sig.unpersist()
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir

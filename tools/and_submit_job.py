@@ -60,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         algo=args.algo,
         num_buckets=args.num_buckets,
         datagen_kwargs={"n_entities": args.entities},
+        blocking_metrics=True,
     )
     metrics["wall_sec"] = round(time.time() - t0, 2)
     metrics["stage_dir"] = stage_dir
