@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q48_ivf_topk_portable",
     "q50_column_profile",
     "q51_pack_sequences",
+    "q54_golden_records",
 ]
 
 

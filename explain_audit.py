@@ -61,6 +61,10 @@ AUDIT = [
     # relations (BroadcastNestedLoopJoin on single-row sides is the
     # documented cheap case); never a pair-space cartesian
     ("q52_blocking_quality", [r"HashAggregate"], [r"CartesianProduct"]),
+    # golden records: cluster-keyed HashAggregates (partial-aggregable
+    # merges + the (cluster,value) mode pre-agg) joined on the cluster
+    # key; CC edge prep scans only doc_id+text
+    ("q54_golden_records", [r"HashAggregate", r"ReadSchema: struct\<doc_id:bigint,text:string\>"], [r"CartesianProduct"]),
 ]
 
 

@@ -52,38 +52,65 @@ def feature_group_ablation(
     group_col: str = "split_group",
     n_folds: int = 4,
     seed: int = 42,
+    parallelism: int = 1,
+    progress=None,
 ) -> list[dict]:
     """One row per (feature_group, algo): fold-averaged grouped-CV
     metrics — the result.txt table shape
-    (src/comparison/inner_feature_method.py:57 np.average)."""
+    (src/comparison/inner_feature_method.py:57 np.average).
+
+    ``parallelism`` > 1 fits that many (group, algo) cells
+    concurrently from driver threads over the shared SparkSession —
+    the same scheme as Spark ML's own ``CrossValidator(parallelism=)``.
+    Each cell's fold loop stays sequential and seeded, so the returned
+    rows are identical to the sequential run (cell order preserved);
+    concurrency only overlaps the per-fit scheduling barriers that
+    leave most executor cores idle during a single small fit.
+    ``progress`` (optional ``str -> None``) is called once per
+    finished cell."""
     groups = FEATURE_GROUPS if groups is None else groups
-    out: list[dict] = []
+    cells = [
+        (gname, cols, algo)
+        for gname, cols in groups.items()
+        for algo in algos
+    ]
     cached = features.cache()
+
+    def run_cell(cell):
+        gname, cols, algo = cell
+        folds = grouped_cv(
+            cached, cols, group_col=group_col,
+            n_folds=n_folds, algo=algo, seed=seed,
+        )
+        if progress is not None:
+            progress(f"{gname}/{algo}: {len(folds)} folds fit")
+        if not folds:
+            return None
+        n = len(folds)
+        return {
+            "feature_group": gname,
+            "algo": algo,
+            "n_features": len(cols),
+            "n_folds": n,
+            "accuracy": sum(f["accuracy"] for f in folds) / n,
+            "precision": sum(f["precision"] for f in folds) / n,
+            "recall": sum(f["recall"] for f in folds) / n,
+            "f1": sum(f["f1"] for f in folds) / n,
+        }
+
     try:
-        for gname, cols in groups.items():
-            for algo in algos:
-                folds = grouped_cv(
-                    cached, cols, group_col=group_col,
-                    n_folds=n_folds, algo=algo, seed=seed,
-                )
-                if not folds:
-                    continue
-                n = len(folds)
-                out.append(
-                    {
-                        "feature_group": gname,
-                        "algo": algo,
-                        "n_features": len(cols),
-                        "n_folds": n,
-                        "accuracy": sum(f["accuracy"] for f in folds) / n,
-                        "precision": sum(f["precision"] for f in folds) / n,
-                        "recall": sum(f["recall"] for f in folds) / n,
-                        "f1": sum(f["f1"] for f in folds) / n,
-                    }
-                )
+        if parallelism > 1 and len(cells) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(parallelism, len(cells))
+            ) as ex:
+                rows = list(ex.map(run_cell, cells))
+        else:
+            rows = [run_cell(c) for c in cells]
     finally:
         cached.unpersist()
-    return out
+    return [r for r in rows if r is not None]
 
 
 def model_comparison(
@@ -93,6 +120,8 @@ def model_comparison(
     group_col: str = "split_group",
     n_folds: int = 4,
     seed: int = 42,
+    parallelism: int = 1,
+    progress=None,
 ) -> list[dict]:
     """The reference's per-model comparison loop (src/main_app.py:43
     iterates available_modes() and CV-evaluates each): one fold-avg
@@ -107,6 +136,8 @@ def model_comparison(
         group_col=group_col,
         n_folds=n_folds,
         seed=seed,
+        parallelism=parallelism,
+        progress=progress,
     )
 
 

@@ -2459,6 +2459,79 @@ def q53(spark, sf):
     return cluster_size_stats(QUERIES["q25_connected_components_dups"](spark, sf))
 
 
+@q(
+    "q54_golden_records",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+',' ','g'),' +',' ','g')), ' '),
+                   1, 3), ' ')) AS fingerprint,
+               string_split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+',' ','g'),' +',' ','g')), ' ')[1] AS tok1,
+               length(text) AS len
+        FROM documents),
+    comp AS (
+        SELECT doc_id, tok1, len,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS component
+        FROM fp
+        QUALIFY count(*) OVER (PARTITION BY fingerprint) > 1),
+    best AS (
+        SELECT component, top_token FROM (
+            SELECT component, tok1 AS top_token,
+                   row_number() OVER (PARTITION BY component
+                       ORDER BY count(*) DESC, tok1) AS rk
+            FROM comp GROUP BY component, tok1)
+        WHERE rk = 1)
+    SELECT c.component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(c.doc_id) AS rep_doc_id,
+           CAST(sum(c.len) AS BIGINT) AS total_chars,
+           CAST(max(c.len) AS INT) AS max_len,
+           CAST(arg_min(c.len, c.doc_id) AS INT) AS rep_len,
+           any_value(b.top_token) AS top_token
+    FROM comp c JOIN best b ON c.component = b.component
+    GROUP BY c.component
+    """,
+)
+def q54(spark, sf):
+    """Golden records: ONE canonical row per q25 duplicate cluster,
+    every column merged by a declared strategy (min / sum / max /
+    of-representative / deterministic mode) — the post-clustering
+    consolidation step downstream consumers need, made declarative
+    (operators/consolidate.py; the reference's closest pattern is its
+    per-group any()/groupArray profile build, and_datasets.sql:515).
+    Spark runs the REAL iterative CC then consolidates in one
+    cluster-keyed shuffle (+ a (cluster,value) pre-agg for the mode);
+    DuckDB re-derives clusters from fingerprint groups (the q25
+    clique identity) and merges with window/arg_min aggregates."""
+    from pubmed_and_method_spark.functions.normalize import normalize_text
+    from pubmed_and_method_spark.operators.consolidate import consolidate
+
+    comps = QUERIES["q25_connected_components_dups"](spark, sf)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.element_at(F.split(normalize_text("text"), " "), 1).alias("tok1"),
+        F.length("text").alias("len"),
+    )
+    return consolidate(
+        comps.join(d, "doc_id"),
+        "component",
+        {
+            "rep_doc_id": ("min", "doc_id"),
+            "total_chars": ("sum", "len"),
+            "max_len": ("max", "len"),
+            "rep_len": ("of_rep", "len"),
+            "top_token": ("mode", "tok1"),
+        },
+        rep_col="doc_id",
+    ).select(
+        "component", "n_members", "rep_doc_id", "total_chars",
+        "max_len", "rep_len", "top_token",
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -124,7 +124,14 @@ def ann_recall_section(spark) -> list[str]:
     return lines
 
 
-def quality_tables(spark, n_entities: int, hardness: float = 0.0):
+def _say(msg: str) -> None:
+    """Timestamped, flushed progress line — the long sections run for
+    tens of minutes and detached logs need liveness markers."""
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def quality_tables(spark, n_entities: int, hardness: float = 0.0,
+                   parallelism: int = 1):
     """Corpus -> feature stack -> (ablation rows, zoo rows, n_pairs,
     n_blocks) at the given corpus difficulty."""
     from pubmed_and_method_spark.ml.ablation import (
@@ -169,8 +176,16 @@ def quality_tables(spark, n_entities: int, hardness: float = 0.0):
         ).parquet(os.path.join(d, "features"))
         features = spark.read.parquet(os.path.join(d, "features"))
         n_pairs = features.count()
-        groups = feature_group_ablation(features, algos=("gbt",))
-        models = model_comparison(features, FEATURE_COLS)
+        _say(f"features built: {n_pairs} pairs ({n_entities} entities, "
+             f"hardness={hardness}); fitting ablation grid")
+        groups = feature_group_ablation(
+            features, algos=("gbt",), parallelism=parallelism,
+            progress=_say,
+        )
+        _say("ablation done; fitting classifier zoo")
+        models = model_comparison(
+            features, FEATURE_COLS, parallelism=parallelism, progress=_say,
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return groups, models, n_pairs, n_blocks
@@ -207,33 +222,115 @@ def only_ann() -> int:
     return 0
 
 
-def main() -> int:
+#: where per-section row dumps live between `--section` runs and
+#: `--assemble` (machine-local scratch; survives the writing process)
+PARTS_DIR = os.environ.get("SPARK_GRAFT_RESULTS_PARTS", "/tmp/results_parts")
+SECTIONS = ("main", "hard05", "hard10", "ann")
+
+
+def run_section(name: str, cores: str | None = None) -> int:
+    """Compute ONE report section and dump its rows to
+    PARTS_DIR/<name>.json.  The model-fit sections are independent
+    Spark jobs that take hours back-to-back at 5000 entities, so the
+    intended regeneration is four concurrent processes (cores split
+    across them, SPARK_DRIVER_MEM sized per process) followed by
+    `--assemble`; numbers are identical to the sequential run."""
+    import json
+
     from pubmed_and_method_spark.session import get_spark
 
+    fit_par = int(os.environ.get("SPARK_GRAFT_FIT_PARALLELISM", "4"))
+    spark = get_spark(app_name=f"results_report_{name}", cores=cores or "16")
+    t0 = time.time()
+    hard_n = int(os.environ.get("SPARK_GRAFT_RESULTS_HARD_ENTITIES", "1000"))
+    if name == "main":
+        groups, models, n_pairs, n_blocks = quality_tables(
+            spark, N_ENTITIES, parallelism=fit_par
+        )
+        payload = {"n_entities": N_ENTITIES, "n_blocks": n_blocks,
+                   "n_pairs": n_pairs, "groups": groups, "models": models}
+    elif name in ("hard05", "hard10"):
+        h = 0.5 if name == "hard05" else 1.0
+        groups, models, n_pairs, n_blocks = quality_tables(
+            spark, hard_n, hardness=h, parallelism=fit_par
+        )
+        payload = {"hard_n": hard_n, "hardness": h, "n_blocks": n_blocks,
+                   "n_pairs": n_pairs, "groups": groups, "models": models}
+    elif name == "ann":
+        payload = {"lines": ann_recall_section(spark)}
+    else:
+        print(f"unknown section {name!r}; one of {SECTIONS}", file=sys.stderr)
+        return 1
+    payload["wall"] = round(time.time() - t0, 1)
+    os.makedirs(PARTS_DIR, exist_ok=True)
+    with open(os.path.join(PARTS_DIR, f"{name}.json"), "w") as f:
+        json.dump(payload, f)
+    _say(f"section {name} done in {payload['wall']}s -> "
+         f"{os.path.join(PARTS_DIR, name + '.json')}")
+    return 0
+
+
+def assemble() -> int:
+    """Stitch the four section dumps into RESULTS.md."""
+    import json
+
+    parts = {}
+    for name in SECTIONS:
+        p = os.path.join(PARTS_DIR, f"{name}.json")
+        if not os.path.exists(p):
+            print(
+                f"missing section dump {p}; run --section {name} first",
+                file=sys.stderr,
+            )
+            return 1
+        with open(p) as f:
+            parts[name] = json.load(f)
+    write_report(parts)
+    return 0
+
+
+def main() -> int:
     # sweep temp feature dirs orphaned by SIGKILL'd prior runs (the
-    # finally-rmtree can't run when the process is killed mid-fit)
+    # finally-rmtree can't run when the process is killed mid-fit).
+    # ONLY in the single-process full-run path: a `--section` process
+    # must not sweep, because concurrent sibling sections own live
+    # results_feats_* dirs.
     import glob
     import shutil
     import tempfile
 
-    for d in glob.glob(os.path.join(tempfile.gettempdir(), "results_feats_*")):
-        shutil.rmtree(d, ignore_errors=True)
-
     if "--only-ann" in sys.argv:
         return only_ann()
+    if "--assemble" in sys.argv:
+        return assemble()
+    if "--section" in sys.argv:
+        name = sys.argv[sys.argv.index("--section") + 1]
+        cores = None
+        if "--cores" in sys.argv:
+            cores = sys.argv[sys.argv.index("--cores") + 1]
+        return run_section(name, cores)
 
-    spark = get_spark(app_name="results_report", cores="16")
-    t0 = time.time()
-    groups, models, n_pairs, n_blocks = quality_tables(spark, N_ENTITIES)
-    hard_n = int(os.environ.get("SPARK_GRAFT_RESULTS_HARD_ENTITIES", "1000"))
-    mgroups, mmodels, m_pairs, m_blocks = quality_tables(
-        spark, hard_n, hardness=0.5
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "results_feats_*")):
+        shutil.rmtree(d, ignore_errors=True)
+    for name in SECTIONS:
+        rc = run_section(name, cores="16")
+        if rc:
+            return rc
+    return assemble()
+
+
+def write_report(parts: dict) -> None:
+    """Render the full RESULTS.md from the section payloads."""
+    mn, m05, m10 = parts["main"], parts["hard05"], parts["hard10"]
+    n_blocks, n_pairs = mn["n_blocks"], mn["n_pairs"]
+    groups, models = mn["groups"], mn["models"]
+    mgroups, mmodels, m_pairs = m05["groups"], m05["models"], m05["n_pairs"]
+    hgroups, hmodels, h_pairs = m10["groups"], m10["models"], m10["n_pairs"]
+    hard_n, h_blocks = m10["hard_n"], m10["n_blocks"]
+    ann_lines = parts["ann"]["lines"]
+    walls = ", ".join(
+        f"{name} {parts[name]['wall']}s" for name in SECTIONS
     )
-    hgroups, hmodels, h_pairs, h_blocks = quality_tables(
-        spark, hard_n, hardness=1.0
-    )
-    ann_lines = ann_recall_section(spark)
-    wall = round(time.time() - t0, 1)
 
     def table(rows: list[dict], key: str) -> list[str]:
         out = [
@@ -252,7 +349,7 @@ def main() -> int:
         "# RESULTS — grouped-CV quality tables (analog of "
         "src/comparison/result.txt)",
         "",
-        f"Corpus: seeded synthetic transcripts (seed 42, {N_ENTITIES}",
+        f"Corpus: seeded synthetic transcripts (seed 42, {mn['n_entities']}",
         f"entities / {n_blocks} blocks), {n_pairs} labeled candidate pairs (exact blocks +",
         "MinHash-LSH pass 2).  Every cell is 4-fold group-aware CV",
         "(folds split on `split_group` — whole blocks per side, the",
@@ -340,14 +437,14 @@ def main() -> int:
         "",
         *ann_lines,
         "",
-        f"Generated by `python results_report.py` in {wall}s "
-        f"(model fits + ANN grid).",
+        f"Generated by `python results_report.py` (section walls: {walls};"
+        " sections run as concurrent processes, assembled by"
+        " `--assemble`).",
     ]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
-    return 0
 
 
 if __name__ == "__main__":

@@ -612,3 +612,52 @@ def test_pack_sequences_invariants(spark):
         assert {q for (s, q) in per_seq if s == sh} == set(
             range(last[sh] + 1)
         )
+
+
+def test_consolidate_strategies(spark):
+    """Golden-record merge: every strategy, with the determinism
+    contracts pinned — mode ties break to the smallest value,
+    set_union comes back sorted, of_rep takes the min-rep_col row."""
+    from pubmed_and_method_spark.operators.consolidate import consolidate
+
+    rows = [
+        # cluster a: mode tie between "x" and "y" (2 each) -> "x"
+        (1, 10, "x", 5), (1, 11, "y", 7), (1, 12, "x", 3), (1, 13, "y", 1),
+        # cluster b: clear mode "z"
+        (2, 20, "z", 2), (2, 21, "z", 4), (2, 22, "w", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster int, rid long, tag string, val int"
+    )
+    out = {
+        r.cluster: r
+        for r in consolidate(
+            df,
+            "cluster",
+            {
+                "rep_rid": ("min", "rid"),
+                "total": ("sum", "val"),
+                "top": ("max", "val"),
+                "rep_val": ("of_rep", "val"),
+                "tags": ("set_union", "tag"),
+                "tag_mode": ("mode", "tag"),
+            },
+            rep_col="rid",
+        ).collect()
+    }
+    a, b = out[1], out[2]
+    assert (a.n_members, a.rep_rid, a.total, a.top) == (4, 10, 16, 7)
+    assert a.rep_val == 5  # value on row rid=10
+    assert a.tags == ["x", "y"]
+    assert a.tag_mode == "x"  # 2-2 tie -> smallest value
+    assert (b.n_members, b.rep_rid, b.tag_mode, b.rep_val) == (3, 20, "z", 2)
+
+
+def test_consolidate_validation(spark):
+    from pubmed_and_method_spark.operators.consolidate import consolidate
+
+    df = spark.createDataFrame([(1, 2)], "cluster int, v int")
+    with pytest.raises(ValueError, match="unknown strategies"):
+        consolidate(df, "cluster", {"o": ("median", "v")})
+    with pytest.raises(ValueError, match="requires rep_col"):
+        consolidate(df, "cluster", {"o": ("of_rep", "v")})
