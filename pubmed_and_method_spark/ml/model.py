@@ -220,31 +220,48 @@ def grouped_cv(
     n_folds: int = 10,
     algo: str = "gbt",
     seed: int = 42,
+    parallelism: int = 1,
 ) -> list[dict[str, float]]:
     """Group-aware k-fold CV: fold f tests on blocks with
     xxhash64(group) % n_folds == f, trains on the rest — the
     deterministic rebuild of GroupShuffleSplit(n_splits=10)
     (src/comparison/inner_feature_method.py:48-55).  Returns one
     metrics dict per fold; average like the reference's np.average
-    (src/comparison/inner_feature_method.py:57)."""
+    (src/comparison/inner_feature_method.py:57).
+
+    ``parallelism`` > 1 fits that many folds concurrently from driver
+    threads over the shared SparkSession (Spark ML's own
+    ``CrossValidator(parallelism=)`` scheme).  Fold seeds and data are
+    per-fold, so the returned metrics are identical to the sequential
+    run and keep fold order."""
     fold_col = F.pmod(F.xxhash64(F.col(group_col), F.lit(seed)), F.lit(n_folds))
     tagged = df.withColumn("__fold", fold_col).cache()
-    out = []
+
+    def run_fold(f: int) -> dict[str, float] | None:
+        train = tagged.filter(F.col("__fold") != f)
+        test = tagged.filter(F.col("__fold") == f)
+        if test.isEmpty() or train.isEmpty():
+            return None
+        model = fit_match_classifier(
+            train, feature_cols, label_col=label_col, algo=algo, seed=seed
+        )
+        m = pairwise_metrics(predict_prob(model, test), label_col=label_col)
+        m["fold"] = f
+        return m
+
     try:
-        for f in range(n_folds):
-            train = tagged.filter(F.col("__fold") != f)
-            test = tagged.filter(F.col("__fold") == f)
-            if test.isEmpty() or train.isEmpty():
-                continue
-            model = fit_match_classifier(
-                train, feature_cols, label_col=label_col, algo=algo, seed=seed
-            )
-            m = pairwise_metrics(predict_prob(model, test), label_col=label_col)
-            m["fold"] = f
-            out.append(m)
+        if parallelism > 1 and n_folds > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(parallelism, n_folds)
+            ) as ex:
+                out = list(ex.map(run_fold, range(n_folds)))
+        else:
+            out = [run_fold(f) for f in range(n_folds)]
     finally:
         tagged.unpersist()
-    return out
+    return [m for m in out if m is not None]
 
 
 def feature_importances(
