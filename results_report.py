@@ -176,8 +176,34 @@ def quality_tables(spark, n_entities: int, hardness: float = 0.0,
         ).parquet(os.path.join(d, "features"))
         features = spark.read.parquet(os.path.join(d, "features"))
         n_pairs = features.count()
+        # Fit-cost cap: candidate-pair volume grows superlinearly with
+        # entities (5000 entities -> ~26M pairs), and 64 grouped-CV
+        # fits on 26M rows is many machine-hours for table cells whose
+        # metrics stabilize orders of magnitude earlier.  Above the
+        # cap, fit on a DETERMINISTIC 1/k hash sample of the pairs
+        # (xxhash64 over every model column -> stable across runs;
+        # fold membership still decided by split_group, so the sample
+        # thins groups without leaking them across folds).  The report
+        # states both numbers.
+        max_fit = int(
+            os.environ.get("SPARK_GRAFT_RESULTS_MAX_FIT_PAIRS", "2000000")
+        )
+        n_fit_pairs = n_pairs
+        if n_pairs > max_fit:
+            from pyspark.sql import functions as F
+
+            k = -(-n_pairs // max_fit)  # ceil
+            features = features.filter(
+                F.pmod(F.xxhash64(*[F.col(c) for c in keep]), F.lit(k)) == 0
+            )
+            features.write.mode("overwrite").parquet(
+                os.path.join(d, "fit_sample")
+            )
+            features = spark.read.parquet(os.path.join(d, "fit_sample"))
+            n_fit_pairs = features.count()
         _say(f"features built: {n_pairs} pairs ({n_entities} entities, "
-             f"hardness={hardness}); fitting ablation grid")
+             f"hardness={hardness}), fitting on {n_fit_pairs}; "
+             "fitting ablation grid")
         groups = feature_group_ablation(
             features, algos=("gbt",), parallelism=parallelism,
             progress=_say,
@@ -188,7 +214,7 @@ def quality_tables(spark, n_entities: int, hardness: float = 0.0,
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return groups, models, n_pairs, n_blocks
+    return groups, models, n_pairs, n_blocks, n_fit_pairs
 
 
 def only_ann() -> int:
@@ -244,18 +270,20 @@ def run_section(name: str, cores: str | None = None) -> int:
     t0 = time.time()
     hard_n = int(os.environ.get("SPARK_GRAFT_RESULTS_HARD_ENTITIES", "1000"))
     if name == "main":
-        groups, models, n_pairs, n_blocks = quality_tables(
+        groups, models, n_pairs, n_blocks, n_fit = quality_tables(
             spark, N_ENTITIES, parallelism=fit_par
         )
         payload = {"n_entities": N_ENTITIES, "n_blocks": n_blocks,
-                   "n_pairs": n_pairs, "groups": groups, "models": models}
+                   "n_pairs": n_pairs, "n_fit_pairs": n_fit,
+                   "groups": groups, "models": models}
     elif name in ("hard05", "hard10"):
         h = 0.5 if name == "hard05" else 1.0
-        groups, models, n_pairs, n_blocks = quality_tables(
+        groups, models, n_pairs, n_blocks, n_fit = quality_tables(
             spark, hard_n, hardness=h, parallelism=fit_par
         )
         payload = {"hard_n": hard_n, "hardness": h, "n_blocks": n_blocks,
-                   "n_pairs": n_pairs, "groups": groups, "models": models}
+                   "n_pairs": n_pairs, "n_fit_pairs": n_fit,
+                   "groups": groups, "models": models}
     elif name == "ann":
         payload = {"lines": ann_recall_section(spark)}
     else:
@@ -323,6 +351,11 @@ def write_report(parts: dict) -> None:
     """Render the full RESULTS.md from the section payloads."""
     mn, m05, m10 = parts["main"], parts["hard05"], parts["hard10"]
     n_blocks, n_pairs = mn["n_blocks"], mn["n_pairs"]
+    n_fit = mn.get("n_fit_pairs", n_pairs)
+    fit_note = (
+        f" (grouped-CV fits run on a deterministic 1/{-(-n_pairs // n_fit)}"
+        f" hash sample: {n_fit} pairs)" if n_fit < n_pairs else ""
+    )
     groups, models = mn["groups"], mn["models"]
     mgroups, mmodels, m_pairs = m05["groups"], m05["models"], m05["n_pairs"]
     hgroups, hmodels, h_pairs = m10["groups"], m10["models"], m10["n_pairs"]
@@ -351,7 +384,7 @@ def write_report(parts: dict) -> None:
         "",
         f"Corpus: seeded synthetic transcripts (seed 42, {mn['n_entities']}",
         f"entities / {n_blocks} blocks), {n_pairs} labeled candidate pairs (exact blocks +",
-        "MinHash-LSH pass 2).  Every cell is 4-fold group-aware CV",
+        f"MinHash-LSH pass 2){fit_note}.  Every cell is 4-fold group-aware CV",
         "(folds split on `split_group` — whole blocks per side, the",
         "GroupShuffleSplit rebuild), fold-averaged like the reference",
         "(src/comparison/inner_feature_method.py:57).  Deterministic:",
