@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "q50_column_profile",
     "q51_pack_sequences",
     "q54_golden_records",
+    "q55_benchmark_decontam",
+    "q56_repetition_quality",
+    "q57_curation_pipeline",
+    "q58_dataset_mixture",
 ]
 
 

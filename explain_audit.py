@@ -65,6 +65,19 @@ AUDIT = [
     # merges + the (cluster,value) mode pre-agg) joined on the cluster
     # key; CC edge prep scans only doc_id+text
     ("q54_golden_records", [r"HashAggregate", r"ReadSchema: struct\<doc_id:bigint,text:string\>"], [r"CartesianProduct"]),
+    # decontamination: the benchmark gram set must BROADCAST (eval sets
+    # are bounded); corpus text scans pruned to (doc_id, text); the hit
+    # count is a keyed HashAggregate, never a cartesian
+    ("q55_benchmark_decontam", [r"BroadcastHashJoin", r"ReadSchema: struct\<doc_id:bigint,text:string\>", r"HashAggregate"], [r"CartesianProduct"]),
+    # repetition metrics: token stats are narrow codegen; the top-gram
+    # share is explode + two-level partial-agg groupBy — no join other
+    # than the final id-keyed assembly, no cartesian
+    ("q56_repetition_quality", [r"Generate", r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # curation pipeline: five stages compose WITHOUT a cartesian; the
+    # benchmark side broadcasts, dedup/near-dup joins are hash joins
+    ("q57_curation_pipeline", [r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]),
+    # mixture: ONE source-partitioned window cumsum, no join at all
+    ("q58_dataset_mixture", [r"Window", r"codegen id : "], [r"CartesianProduct", r"Join"]),
 ]
 
 

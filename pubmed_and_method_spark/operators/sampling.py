@@ -55,3 +55,59 @@ def seeded_sample(
     pattern; reproducible unlike df.sample at partition changes)."""
     bucket = F.pmod(shuffle_key(key_cols, seed), F.lit(1_000_000))
     return df.where(bucket < int(fraction * 1_000_000))
+
+
+def sample_mixture(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column | str,
+    source_col: str,
+    budgets: dict[str, int],
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted dataset-mixture sampling: per source, take documents
+    in deterministic seeded-hash order until the source's TOKEN budget
+    is exhausted (a document is taken while the budget is not yet full
+    when it starts, so each source may overshoot by at most one
+    document — the standard greedy mixing rule).
+
+    This is the Dolma/RedPajama-style mixture step: the training set
+    is specified as tokens-per-source, not row fractions, because
+    document lengths differ across sources.  Deterministic: the order
+    key is md5(id, seed) (the portable ``shuffle_key``), so the same
+    budgets + seed reproduce the same mixture on any cluster size or
+    engine.
+
+    Scale: one window shuffle partitioned BY SOURCE — each source's
+    cumulative sum is independent, so skew is bounded by the largest
+    single source (salt-free; sources are the natural partition).  The
+    budget map is a literal (O(sources), not corpus-growing).  Sources
+    absent from ``budgets`` are dropped.
+
+    Returns (id, source, n_toks, cum_toks) for the taken documents.
+    """
+    from pyspark.sql import Window as W
+
+    tc = F.col(token_count) if isinstance(token_count, str) else token_count
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in sorted(budgets.items()) for x in kv]
+    )
+    ordk = shuffle_key([id_col], seed, portable=True)
+    w = (
+        W.partitionBy("source")  # the aliased column, not source_col
+        .orderBy(ordk, id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            tc.alias("n_toks"),
+        )
+        .withColumn("cum_toks", F.sum("n_toks").over(w))
+        .where(
+            (F.col("cum_toks") - F.col("n_toks"))
+            < F.coalesce(budget_map[F.col("source")], F.lit(0))
+        )
+        .select(id_col, "source", "n_toks", "cum_toks")
+    )

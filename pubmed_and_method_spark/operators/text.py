@@ -130,3 +130,84 @@ def gazetteer_lookup(
         out_col,
         F.coalesce(F.col(out_col), F.array().cast("array<string>")),
     )
+
+
+def repetition_stats(
+    df, id_col: str, text_col: str, ngram: int = 2
+) -> "DataFrame":
+    """Per-document repetition/boilerplate metrics (the Gopher /
+    RefinedWeb repetition-filter family): ``n_toks``,
+    ``distinct_token_ratio``, ``dup_ngram_frac`` (1 - distinct/total
+    word n-grams) and ``top_ngram_frac`` (most frequent n-gram's share
+    of all n-grams).  High dup/top fractions mark template or
+    crawler-loop text that quality filters drop before training.
+
+    Tokens are RAW lowercase whitespace pieces (repetition is a
+    surface property — stopwords count, unlike the clean-token dedup
+    pipeline).  Token-level stats are native array exprs (no shuffle);
+    n-grams come from posexplode + (ngram-1) window leads — one
+    id-keyed shuffle, each token touched once (the in-row
+    transform-over-sequence alternative re-evaluates the token alias
+    per element, the CollapseProject hazard documented in
+    operators/decontam.py) — then per-(doc, gram) counts aggregate
+    with map-side partial agg.  Ratios round to 6 decimals per the
+    registry parity convention; documents with fewer than ``ngram``
+    tokens report zero fractions.
+    """
+    from pyspark.sql import Window as W
+
+    toks_expr = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    toks = df.select(F.col(id_col), toks_expr.alias("__toks"))
+    base = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_toks"),
+        F.size(F.array_distinct("__toks")).alias("__n_distinct_toks"),
+    )
+    ex = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("__p", "__t")
+    )
+    w = W.partitionBy(id_col).orderBy("__p")
+    parts = [F.col("__t")] + [
+        F.lead("__t", k).over(w) for k in range(1, ngram)
+    ]
+    grams = ex.select(
+        F.col(id_col),
+        F.when(
+            F.lead("__t", ngram - 1).over(w).isNotNull(),
+            F.concat_ws(" ", *parts),
+        ).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
+    gcnt = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    gstat = gcnt.groupBy(id_col).agg(
+        F.sum("__c").alias("__n_grams"),
+        F.count("*").alias("__n_distinct_grams"),
+        F.max("__c").alias("__top_cnt"),
+    )
+    return (
+        base.join(gstat, id_col, "left")
+        .select(
+            id_col,
+            "n_toks",
+            F.round(
+                F.col("__n_distinct_toks")
+                / F.greatest(F.col("n_toks"), F.lit(1)),
+                6,
+            ).alias("distinct_token_ratio"),
+            F.round(
+                (
+                    F.coalesce(F.col("__n_grams"), F.lit(0))
+                    - F.coalesce(F.col("__n_distinct_grams"), F.lit(0))
+                )
+                / F.greatest(F.coalesce(F.col("__n_grams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_ngram_frac"),
+            F.round(
+                F.coalesce(F.col("__top_cnt"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("__n_grams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_ngram_frac"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Sequential training-data curation pipeline with per-document verdicts.
+
+The composite hygiene pass an LLM-data user runs end-to-end, each
+stage over the SURVIVORS of the previous one (the order real
+pipelines use — cheap row-local filters first, corpus-global joins
+last, so the expensive stages see the smallest input):
+
+  1. ``short``        — fewer than ``min_tokens`` whitespace tokens
+                        (row-local, no shuffle);
+  2. ``lang``         — heuristic language-ID != the target language
+                        (row-local lexicon argmax, no shuffle);
+  3. ``exact_dup``    — non-representative member of a normalized-
+                        fingerprint group (keep min id; one keyed
+                        window shuffle);
+  4. ``near_dup``     — has a smaller-id winnowing near-duplicate
+                        partner among stage-3 survivors (df-capped
+                        inverted-index self-join, q47 semantics; no
+                        cascade within the stage: partners are judged
+                        against the stage INPUT set);
+  5. ``contaminated`` — shares a clean-token 8-gram with the held-out
+                        benchmark (broadcast semi-join, q55
+                        semantics).
+
+Returns one row per input document: (id, verdict) where verdict is
+the FIRST failing stage or 'kept'.  Every stage is deterministic and
+SQL-expressible, so the whole pipeline carries a full DuckDB value
+oracle (q57).
+
+Generalizes the reference's corpus-preparation discipline — clean
+text, drop malformed names, exclusion lists before training
+(src/eutilities/string_utils.py:25-56; result.txt exclusions block) —
+into the dedup/decontamination stack a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pubmed_and_method_spark.operators.decontam import decontaminate
+from pubmed_and_method_spark.operators.dedup import winnow_near_dup_pairs
+from pubmed_and_method_spark.operators.text import (
+    fingerprint,
+    predict_lang,
+    whitespace_token_count,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 40,
+    lang: str = "en",
+    decontam_n: int = 8,
+    winnow_k: int = 3,
+    winnow_w: int = 4,
+    winnow_min_shared: int = 2,
+    winnow_max_doc_freq: int = 50,
+) -> DataFrame:
+    """(id, verdict) — first-failing-stage curation verdict per doc.
+
+    Scale shape: stages 1-2 are whole-stage-codegen'd projections;
+    stage 3 is one window shuffle on the 16-byte fingerprint; stage 4
+    inherits q47's df-cap guarantee (pair volume sum-of-df^2, never
+    quadratic); stage 5 is a map-side broadcast semi-join.  The final
+    verdict assembly is three left joins of small drop-id sets back
+    onto the row-local verdicts.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        whitespace_token_count(text_col).alias("__n"),
+        predict_lang(text_col).alias("__lang"),
+    )
+    rowv = base.select(
+        id_col,
+        text_col,
+        F.when(F.col("__n") < min_tokens, F.lit("short"))
+        .when(F.col("__lang") != lang, F.lit("lang"))
+        .alias("__rv"),
+    )
+    sv12 = rowv.filter(F.col("__rv").isNull()).select(id_col, text_col)
+
+    from pyspark.sql import Window as W
+
+    fp = sv12.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    exdrop = (
+        fp.withColumn(
+            "__m", F.min(id_col).over(W.partitionBy("__fp"))
+        )
+        .filter(F.col(id_col) != F.col("__m"))
+        .select(id_col)
+    )
+    sv123 = sv12.join(exdrop, id_col, "left_anti")
+
+    nddrop = (
+        winnow_near_dup_pairs(
+            sv123,
+            id_col,
+            text_col,
+            k=winnow_k,
+            w=winnow_w,
+            min_shared=winnow_min_shared,
+            max_doc_freq=winnow_max_doc_freq,
+        )
+        .select(F.col(f"{id_col}2").alias(id_col))
+        .distinct()
+    )
+    sv1234 = sv123.join(nddrop, id_col, "left_anti")
+
+    cdrop = decontaminate(
+        sv1234, benchmark, id_col, text_col, n=decontam_n, min_hits=1
+    ).select(id_col)
+
+    flag = lambda df, v: df.withColumn("__flag", F.lit(v))  # noqa: E731
+    return (
+        rowv.join(flag(exdrop, "exact_dup"), id_col, "left")
+        .withColumnRenamed("__flag", "__ex")
+        .join(flag(nddrop, "near_dup"), id_col, "left")
+        .withColumnRenamed("__flag", "__nd")
+        .join(flag(cdrop, "contaminated"), id_col, "left")
+        .withColumnRenamed("__flag", "__ct")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("__rv"),
+                F.col("__ex"),
+                F.col("__nd"),
+                F.col("__ct"),
+                F.lit("kept"),
+            ).alias("verdict"),
+        )
+    )

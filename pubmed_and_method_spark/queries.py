@@ -2078,9 +2078,13 @@ def q45(spark, sf):
     )
 
 
-_WINNOW_CTE_SQL = f"""toks AS (
+def _winnow_cte_sql(src: str) -> str:
+    """Winnowing fingerprint CTE chain (k=3, w=4) over any relation
+    ``src`` with (doc_id, text) — shared by q46/q47 and the q57
+    curation oracle."""
+    return f"""toks AS (
         SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
-        FROM documents),
+        FROM {src}),
     hs AS (
         SELECT doc_id,
                CASE WHEN len(toks) >= 3 THEN
@@ -2102,6 +2106,9 @@ _WINNOW_CTE_SQL = f"""toks AS (
     fps AS (
         SELECT DISTINCT doc_id, fp
         FROM (SELECT doc_id, unnest(wm) AS fp FROM wm))"""
+
+
+_WINNOW_CTE_SQL = _winnow_cte_sql("documents")
 
 
 @q(
@@ -2529,6 +2536,253 @@ def q54(spark, sf):
     ).select(
         "component", "n_members", "rep_doc_id", "total_chars",
         "max_len", "rep_len", "top_token",
+    )
+
+
+# per-document DISTINCT word-8-gram md5 list from a `toks` column —
+# the decontamination gram space (q55, q57)
+_NGRAM8_LIST_SQL = """list_distinct(
+                 CASE WHEN len(toks) >= 8 THEN
+                          list_transform(range(len(toks) - 7),
+                              i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+                      WHEN len(toks) > 0
+                          THEN [md5(array_to_string(toks, ' '))]
+                      ELSE CAST([] AS VARCHAR[]) END)"""
+
+
+@q(
+    "q55_benchmark_decontam",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
+        FROM documents),
+    grams AS (
+        SELECT doc_id, {_NGRAM8_LIST_SQL} AS gs
+        FROM toks),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams
+              WHERE doc_id % 5 = 0),
+    corpus AS (SELECT doc_id, gs FROM grams WHERE doc_id % 5 <> 0),
+    cg AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+    hits AS (SELECT cg.doc_id, count(*) AS n_hit_grams
+             FROM cg JOIN bench USING (g) GROUP BY 1),
+    tot AS (SELECT doc_id, len(gs) AS n_grams FROM corpus)
+    SELECT t.doc_id, h.n_hit_grams, t.n_grams,
+           round(h.n_hit_grams * 1.0 / greatest(t.n_grams, 1), 6)
+               AS hit_frac
+    FROM tot t JOIN hits h ON h.doc_id = t.doc_id
+    WHERE h.n_hit_grams >= 1
+    """,
+)
+def q55(spark, sf):
+    """Benchmark decontamination by word-8-gram collision: documents
+    whose doc_id % 5 == 0 stand in for the held-out eval set; every
+    other document is flagged with the count/fraction of its distinct
+    clean-token 8-grams that appear anywhere in the benchmark.  Grams
+    build as posexplode + window leads (one id-keyed shuffle; the
+    in-row transform/slice form re-evaluates the token alias per
+    element — measured 11x slower); the benchmark gram set rides a
+    BROADCAST semi-join (eval sets are bounded — the gazetteer-correct
+    broadcast).  Full DuckDB value oracle including hit fractions;
+    md5 gram hashes keep both engines in the same portable space."""
+    from pubmed_and_method_spark.operators.decontam import decontaminate
+
+    d = load_table(spark, sf, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        n=8,
+        min_hits=1,
+    )
+
+
+@q(
+    "q56_repetition_quality",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                    END AS t
+        FROM documents),
+    base AS (
+        SELECT doc_id, len(t) AS n_toks,
+               len(list_distinct(t)) AS nd,
+               CASE WHEN len(t) >= 2 THEN
+                        list_transform(range(len(t) - 1),
+                            i -> t[i+1] || ' ' || t[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END AS gs
+        FROM toks),
+    gc AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id, unnest(gs) AS g FROM base)
+           GROUP BY 1, 2),
+    gstat AS (SELECT doc_id, sum(c) AS ng, count(*) AS ndg,
+                     max(c) AS topc
+              FROM gc GROUP BY 1)
+    SELECT b.doc_id, b.n_toks,
+           round(b.nd * 1.0 / greatest(b.n_toks, 1), 6)
+               AS distinct_token_ratio,
+           round((coalesce(g.ng, 0) - coalesce(g.ndg, 0)) * 1.0
+                 / greatest(coalesce(g.ng, 0), 1), 6) AS dup_ngram_frac,
+           round(coalesce(g.topc, 0) * 1.0
+                 / greatest(coalesce(g.ng, 0), 1), 6) AS top_ngram_frac
+    FROM base b LEFT JOIN gstat g ON g.doc_id = b.doc_id
+    """,
+)
+def q56(spark, sf):
+    """Gopher/RefinedWeb-family repetition metrics per document:
+    distinct-token ratio, duplicate-bigram fraction, and the top
+    bigram's share of all bigrams — the boilerplate/crawler-loop
+    signals a quality filter thresholds before training.  Token stats
+    are native array exprs (no shuffle); bigrams come from posexplode
+    + a window lead, then the scale-safe two-level groupBy with
+    map-side partial agg.  Full DuckDB value oracle over every
+    document."""
+    from pubmed_and_method_spark.operators.text import repetition_stats
+
+    d = load_table(spark, sf, "documents")
+    return repetition_stats(d, "doc_id", "text", ngram=2)
+
+
+_Q57_GREATEST = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+
+
+@q(
+    "q57_curation_pipeline",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    sc AS (
+        SELECT doc_id, text,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS n,
+               {_LANG_SCORE_SQL["de"]} AS s_de,
+               {_LANG_SCORE_SQL["en"]} AS s_en,
+               {_LANG_SCORE_SQL["es"]} AS s_es,
+               {_LANG_SCORE_SQL["fr"]} AS s_fr,
+               {_LANG_SCORE_SQL["zh"]} AS s_zh
+        FROM corpus),
+    rowv AS (
+        SELECT doc_id, text,
+               CASE WHEN n < 40 THEN 'short'
+                    WHEN (CASE WHEN {_Q57_GREATEST} = 0 THEN 'en'
+                               WHEN s_de = {_Q57_GREATEST} THEN 'de'
+                               WHEN s_en = {_Q57_GREATEST} THEN 'en'
+                               WHEN s_es = {_Q57_GREATEST} THEN 'es'
+                               WHEN s_fr = {_Q57_GREATEST} THEN 'fr'
+                               ELSE 'zh' END) <> 'en' THEN 'lang'
+                    END AS rv
+        FROM sc),
+    sv12 AS (SELECT doc_id, text FROM rowv WHERE rv IS NULL),
+    fpq AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+',' ','g'),' +',' ','g'))) AS f
+        FROM sv12),
+    exdrop AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS m
+            FROM fpq)
+        WHERE doc_id <> m),
+    sv123 AS (SELECT doc_id, text FROM sv12
+              WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+    {_winnow_cte_sql("sv123")},
+    freq AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    kw AS (SELECT f.doc_id, f.fp FROM fps f JOIN freq USING (fp)),
+    nddrop AS (
+        SELECT DISTINCT d2 AS doc_id FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2
+            FROM kw a JOIN kw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2)),
+    sv1234 AS (SELECT doc_id, text FROM sv123
+               WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+    btoks AS (
+        SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
+        FROM documents WHERE doc_id % 5 = 0),
+    bg AS (SELECT DISTINCT unnest(gs) AS g
+           FROM (SELECT {_NGRAM8_LIST_SQL} AS gs FROM btoks)),
+    ctoks AS (
+        SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
+        FROM sv1234),
+    cgr AS (SELECT doc_id, unnest(gs) AS g
+            FROM (SELECT doc_id, {_NGRAM8_LIST_SQL} AS gs FROM ctoks)),
+    cdrop AS (SELECT DISTINCT cgr.doc_id FROM cgr JOIN bg USING (g))
+    SELECT r.doc_id,
+           coalesce(r.rv,
+                    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN c.doc_id IS NOT NULL THEN 'contaminated' END,
+                    'kept') AS verdict
+    FROM rowv r
+    LEFT JOIN exdrop e ON e.doc_id = r.doc_id
+    LEFT JOIN nddrop nd ON nd.doc_id = r.doc_id
+    LEFT JOIN cdrop c ON c.doc_id = r.doc_id
+    """,
+)
+def q57(spark, sf):
+    """End-to-end curation pipeline verdicts: quality -> language ->
+    exact dedup -> winnowing near-dup -> benchmark decontamination,
+    each stage over the previous stage's survivors, one
+    (doc_id, first-failing-stage) row per corpus document
+    (plans/curate.py).  The docs with doc_id % 5 == 0 are the held-out
+    benchmark; the rest are the corpus being curated.  Full DuckDB
+    value oracle re-derives every stage including the sequential
+    survivor semantics."""
+    from pubmed_and_method_spark.plans.curate import curate_documents
+
+    d = load_table(spark, sf, "documents")
+    return curate_documents(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        min_tokens=40,
+        lang="en",
+    )
+
+
+@q(
+    "q58_dataset_mixture",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END AS n_toks,
+               md5(CAST(doc_id AS VARCHAR) || '#42') AS ok
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, n_toks,
+               sum(n_toks) OVER (PARTITION BY source ORDER BY ok, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_toks
+        FROM t)
+    SELECT doc_id, source, n_toks, cum_toks FROM c
+    WHERE cum_toks - n_toks <
+          CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+                      WHEN 'src2' THEN 10000 WHEN 'src3' THEN 60
+                      ELSE 0 END
+    """,
+)
+def q58(spark, sf):
+    """Weighted dataset-mixture sampling: per-source TOKEN budgets
+    (the Dolma/RedPajama mixing step — training sets are specified as
+    tokens per source, not row fractions), documents taken in
+    deterministic md5(id, seed) order until each source's budget
+    fills; unlisted sources drop.  One window shuffle partitioned by
+    source; full DuckDB value oracle including cumulative sums."""
+    from pubmed_and_method_spark.operators.sampling import sample_mixture
+    from pubmed_and_method_spark.operators.text import whitespace_token_count
+
+    d = load_table(spark, sf, "documents")
+    return sample_mixture(
+        d,
+        "doc_id",
+        whitespace_token_count("text"),
+        "source",
+        {"src0": 800, "src1": 400, "src2": 10000, "src3": 60},
+        seed=42,
     )
 
 

@@ -289,3 +289,47 @@ def test_bucketed_stage_join_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for nm in ("bucket_a", "bucket_b"):
             spark.sql(f"DROP TABLE IF EXISTS {store._table_name(nm)}")
+
+
+def test_curation_pipeline_verdicts(spark):
+    """Planted corpus exercising every curation verdict, including the
+    two (lang, exact_dup) the synthetic documents table can't fire:
+    sequential survivor semantics, first-failing-stage precedence."""
+    from pubmed_and_method_spark.plans.curate import curate_documents
+
+    passage = "quasar pulsar nebula comet meteor galaxy cluster photon"
+    corpus = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "der hund und die katze ist nicht ein tier mit von zu hause"),
+            (3, "alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima"),
+            (4, "alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima"),
+            (5, "whiskey tango foxtrot sierra november mike oscar papa "
+                "quebec romeo uniform victor zulu yankee xray"),
+            (6, "whiskey tango foxtrot sierra november mike oscar papa "
+                "quebec romeo uniform victor zulu yankee changed"),
+            (7, "prelude words then " + passage + " trailing content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark question about " + passage + " answer text")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.verdict
+        for r in curate_documents(
+            corpus, bench, min_tokens=3
+        ).collect()
+    }
+    assert out == {
+        1: "short",
+        2: "lang",
+        3: "kept",
+        4: "exact_dup",
+        5: "kept",
+        6: "near_dup",
+        7: "contaminated",
+    }

@@ -661,3 +661,79 @@ def test_consolidate_validation(spark):
         consolidate(df, "cluster", {"o": ("median", "v")})
     with pytest.raises(ValueError, match="requires rep_col"):
         consolidate(df, "cluster", {"o": ("of_rep", "v")})
+
+
+def test_decontaminate_planted(spark):
+    """A corpus doc that copies an 8-token benchmark run is flagged;
+    untouched docs are not; the short-doc whole-gram fallback matches
+    verbatim short answers."""
+    from pubmed_and_method_spark.operators.decontam import decontaminate
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, passage + " iota kappa"), (101, "tiny answer")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words here " + passage + " suffix words"),
+            (2, "entirely unrelated content about distributed joins "
+                "and shuffle partitions running along nicely today"),
+            (3, "tiny answer"),  # short doc == short benchmark doc
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", n=8
+        ).collect()
+    }
+    assert 1 in out and out[1].n_hit_grams >= 1
+    assert 3 in out and out[3].hit_frac == 1.0
+    assert 2 not in out
+
+
+def test_repetition_stats_values(spark):
+    """Hand-computed metrics: 'a a a a' -> ratio .25, dup 2/3, top 1;
+    a single-token doc -> zero gram fractions."""
+    from pubmed_and_method_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "one"), (3, "x y x y x")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_toks == 4
+    assert out[1].distinct_token_ratio == 0.25
+    assert out[1].dup_ngram_frac == round(2 / 3, 6)
+    assert out[1].top_ngram_frac == 1.0
+    assert out[2].dup_ngram_frac == 0.0 and out[2].top_ngram_frac == 0.0
+    # grams of 3: 'x y','y x','x y','y x' -> ng=4, ndg=2, top=2
+    assert out[3].dup_ngram_frac == 0.5
+    assert out[3].top_ngram_frac == 0.5
+
+
+def test_sample_mixture_budget(spark):
+    """Greedy per-source token budgets: a doc is taken iff the budget
+    is not yet full when it starts (at most one-doc overshoot);
+    unlisted sources drop; same seed -> same mixture."""
+    from pubmed_and_method_spark.operators.sampling import sample_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(5)]
+        + [(i + 10, "b", 7) for i in range(5)]
+        + [(99, "zzz", 3)],
+        ["id", "src", "nt"],
+    )
+    out = sample_mixture(df, "id", "nt", "src", {"a": 25, "b": 1}, seed=1)
+    rows = out.collect()
+    a = [r for r in rows if r.source == "a"]
+    b = [r for r in rows if r.source == "b"]
+    assert sum(r.n_toks for r in a) == 30  # 3 docs x 10: budget 25 + overshoot
+    assert len(b) == 1
+    assert not [r for r in rows if r.source == "zzz"]
+    again = sample_mixture(
+        df, "id", "nt", "src", {"a": 25, "b": 1}, seed=1
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
