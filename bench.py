@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "q56_repetition_quality",
     "q57_curation_pipeline",
     "q58_dataset_mixture",
+    "q59_pii_redaction",
+    "q60_semantic_dedup",
 ]
 
 

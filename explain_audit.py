@@ -78,6 +78,13 @@ AUDIT = [
     ("q57_curation_pipeline", [r"BroadcastHashJoin", r"HashAggregate"], [r"CartesianProduct"]),
     # mixture: ONE source-partitioned window cumsum, no join at all
     ("q58_dataset_mixture", [r"Window", r"codegen id : "], [r"CartesianProduct", r"Join"]),
+    # PII audit: a single codegen'd projection over a pruned
+    # (doc_id, text) scan — no shuffle, no join, no UDF
+    ("q59_pii_redaction", [r"codegen id : ", r"ReadSchema: struct\<doc_id:bigint,text:string\>"], [r"CartesianProduct", r"Join", r"Exchange"]),
+    # SemDeDup: assignment is a narrow codegen projection against
+    # literal centroids; the in-cluster pairing must be a hash join on
+    # the cluster id, never a cartesian over the corpus
+    ("q60_semantic_dedup", [r"codegen id : ", r"HashAggregate"], [r"CartesianProduct"]),
 ]
 
 

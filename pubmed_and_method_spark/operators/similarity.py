@@ -731,3 +731,114 @@ def ivf_topk_portable(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def semantic_dedup_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int = 16,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    quant: int = 1_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by
+    embedding similarity WITHIN k-means clusters — cluster the corpus
+    coarsely, compare pairs only inside each cluster, drop the larger
+    id of every pair whose cosine clears the threshold.  The
+    embedding-space generalization of the reference's string-identity
+    dedup (``database/and_datasets.sql:62-68`` canonical id1<id2
+    pairing; same keep-smallest discipline as the exact-dedup family).
+
+    Integer-exact like ``ivf_topk_portable`` so a DuckDB oracle can
+    re-derive every verdict: vectors quantize to ``floor(x*quant)``
+    int64, centroids are the ``nlist`` data points with the smallest
+    ``(md5(id), id)``, assignment ranks INTEGER squared-L2 with
+    ``(dist, cid)`` tie-breaks, and the cosine threshold is decided in
+    integer arithmetic — ``cos >= p/q``  ⇔  ``dot >= 0  ∧
+    q²·dot² >= p²·nn1·nn2`` — so no engine ever compares a float near
+    the boundary (the q34-margin hazard designed out).  With
+    ``quant=1000``, unit-scale vectors keep ``q²·dot²`` under 2^63 on
+    the Spark side; DuckDB sums to HUGEINT.
+
+    Output: one verdict row per vector — (id, cluster id, is_kept,
+    dup_of) with ``dup_of`` the smallest same-cluster duplicate that
+    evicted it (−1 when kept).
+
+    Scale: ONE shuffle on the cluster id; the in-cluster self-join is
+    quadratic in cluster size, which is SemDeDup's contract — size
+    ``nlist ≈ n / target_cluster_size`` so clusters stay bounded (the
+    paper uses 50k clusters for LAION-440M; same ratio here).  The
+    driver-side collect is the nlist quantized centroids, O(nlist·dim)
+    — the quantizer build, as in any IVF index."""
+    v = F.col(vec_col)
+    ql = F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(float(quant)))
+    )
+    base = df.select(F.col(id_col), ql.alias("__q"))
+    base = base.withColumn("__nn", _int_dot_cols(F.col("__q"), F.col("__q")))
+    cent_rows = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .select(id_col, "__q")
+        .collect()
+    )
+    cents = [(int(r[id_col]), [int(x) for x in r["__q"]]) for r in cent_rows]
+    entries = F.array(*[
+        F.struct(
+            _int_l2_to_lit(F.col("__q"), qv).alias("dist"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, qv in cents
+    ])
+    assigned = base.select(
+        F.col(id_col),
+        "__q",
+        "__nn",
+        F.array_min(entries).getField("cid").alias("cid"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id1"),
+        F.col("__q").alias("q1"),
+        F.col("__nn").alias("nn1"),
+        "cid",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id2"),
+        F.col("__q").alias("q2"),
+        F.col("__nn").alias("nn2"),
+        "cid",
+    )
+    dot = _int_dot_cols(F.col("q1"), F.col("q2"))
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "nn1", "nn2", dot.alias("dot"))
+    )
+    p2 = threshold_num * threshold_num
+    q2 = threshold_den * threshold_den
+    dup = pairs.where(
+        (F.col("nn1") > 0)
+        & (F.col("nn2") > 0)
+        & (F.col("dot") >= 0)
+        & (
+            F.lit(q2) * F.col("dot") * F.col("dot")
+            >= F.lit(p2) * F.col("nn1") * F.col("nn2")
+        )
+    )
+    dropped = dup.groupBy(F.col("id2").alias(id_col)).agg(
+        F.min("id1").alias("__dup_of")
+    )
+    return (
+        assigned.select(id_col, "cid")
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.col("__dup_of").isNull().cast("int").alias("is_kept"),
+            F.coalesce(F.col("__dup_of"), F.lit(-1).cast("long")).alias(
+                "dup_of"
+            ),
+        )
+    )

@@ -2786,6 +2786,208 @@ def q58(spark, sf):
     )
 
 
+def _pii_sql_pieces() -> "tuple[str, str]":
+    """Per-class count exprs + redaction chain built from the SAME
+    ``PII_PATTERNS`` dict the Spark operator compiles, so the two
+    sides cannot drift."""
+    from pubmed_and_method_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{n}"
+        for n, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))"
+        for p in PII_PATTERNS.values()
+    )
+    red = "text"
+    for n, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{n.upper()}>', 'g')"
+    return counts, f"{total} AS n_pii,\n           {red} AS redacted"
+
+
+_PII_COUNTS_SQL, _PII_TAIL_SQL = _pii_sql_pieces()
+
+#: deterministic PII planting — the synthetic corpus carries no real
+#: PII, so the q59 fixture appends spans derived from doc_id (one
+#: class per id mod 4, an extra card every 5th).  Both engines build
+#: the identical augmented text; the OPERATOR takes any text column.
+_PII_PLANT_SQL = """
+        SELECT doc_id,
+               text || CASE doc_id % 4
+                 WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com for details'
+                 WHEN 1 THEN ' call 415-'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 WHEN 2 THEN ' ssn '
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+               END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' card '
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || '-1111-2222-3333'
+                       ELSE '' END AS text
+        FROM documents"""
+
+
+@q(
+    "q59_pii_redaction",
+    f"""
+    WITH aug AS ({_PII_PLANT_SQL})
+    SELECT doc_id,
+           {_PII_COUNTS_SQL},
+           {_PII_TAIL_SQL}
+    FROM aug
+    """,
+)
+def q59(spark, sf):
+    """PII audit + redaction — per-document span counts for five PII
+    classes (email / credit card / SSN / phone / IPv4) and the
+    scrubbed text, the C4/Dolma pre-training hygiene step
+    (operators/pii.py; generalizes the reference's X5 email extraction,
+    src/eutilities/string_utils.py:15, from harvest to scrub).  One
+    codegen'd projection, no shuffle, no UDF; patterns restricted to
+    the Java-regex ∩ RE2 common subset so the DuckDB oracle
+    value-checks counts AND every redacted string.  The corpus is
+    synthetic, so deterministic PII spans derived from doc_id are
+    planted identically in both engines first."""
+    from pubmed_and_method_spark.operators.pii import pii_stats
+
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    plant = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" call 415-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                ((did * 13) % 256).cast("string"),
+            )
+        )
+    )
+    extra = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" card "),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit("-1111-2222-3333"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = d.select("doc_id", F.concat("text", plant, extra).alias("text"))
+    return pii_stats(aug)
+
+
+@q(
+    "q60_semantic_dedup",
+    """
+    WITH q AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS qv
+        FROM embeddings),
+    nn AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+    cents AS (
+        SELECT vec_id AS cid FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    cvec AS (
+        SELECT c.cid, q.d, q.qv AS cv
+        FROM cents c JOIN q ON q.vec_id = c.cid),
+    dists AS (
+        SELECT q.vec_id, cv.cid,
+               sum((q.qv - cv.cv) * (q.qv - cv.cv)) AS dist
+        FROM q JOIN cvec cv ON cv.d = q.d
+        GROUP BY q.vec_id, cv.cid),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dists) WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    dots AS (
+        SELECT p.id1, p.id2, sum(q1.qv * q2.qv) AS dot
+        FROM pairs p
+        JOIN q q1 ON q1.vec_id = p.id1
+        JOIN q q2 ON q2.vec_id = p.id2 AND q2.d = q1.d
+        GROUP BY p.id1, p.id2),
+    dup AS (
+        SELECT d.id1, d.id2
+        FROM dots d
+        JOIN nn n1 ON n1.vec_id = d.id1
+        JOIN nn n2 ON n2.vec_id = d.id2
+        WHERE n1.nn > 0 AND n2.nn > 0 AND d.dot >= 0
+          AND 100 * d.dot * d.dot >= 81 * n1.nn * n2.nn),
+    dropped AS (SELECT id2 AS vec_id, min(id1) AS dup_of
+                FROM dup GROUP BY 1)
+    SELECT a.vec_id, a.cid,
+           CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept,
+           coalesce(dr.dup_of, -1) AS dup_of
+    FROM assign a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+    """,
+)
+def q60(spark, sf):
+    """SemDeDup semantic near-dup removal (Abbas et al. 2023): coarse
+    k-means clusters over embeddings, cosine compared only WITHIN each
+    cluster, larger id of every pair at cos >= 0.9 evicted — one
+    verdict row per vector (operators/similarity.semantic_dedup_portable).
+    Integer-exact end to end (quantized vectors, data-point centroids
+    from md5 order, integer squared-L2 assignment, threshold decided as
+    100·dot² >= 81·nn1·nn2), so the DuckDB oracle re-derives every
+    cluster id, keep flag, and evicting partner.  The embedding-space
+    member of the dedup family: q17 exact, q19/q32 token sketches,
+    q47 passages, q34 all-pairs cosine, this one semantic-at-scale."""
+    from pubmed_and_method_spark.operators.similarity import (
+        semantic_dedup_portable,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    return semantic_dedup_portable(
+        e, "vec_id", "embedding", dim=64, nlist=16,
+        threshold_num=9, threshold_den=10, quant=1000,
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

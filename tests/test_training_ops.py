@@ -737,3 +737,71 @@ def test_sample_mixture_budget(spark):
         df, "id", "nt", "src", {"a": 25, "b": 1}, seed=1
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pii_stats_planted(spark):
+    from pubmed_and_method_spark.operators.pii import pii_stats, redact
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (2, "cards 4111-1111-1111-1111 and 5500-0000-0000-0004"),
+        (3, "ssn 123-45-6789 phone 415-555-0199 ip 10.0.255.3"),
+        (4, "no pii here, just 12345 and a-b-c and v1.2 notes"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_stats(df).collect()}
+
+    assert (out[1].n_email, out[1].n_pii) == (1, 1)
+    assert "<EMAIL>" in out[1].redacted
+    assert "jane.doe" not in out[1].redacted
+    assert (out[2].n_ccard, out[2].n_pii) == (2, 2)
+    assert out[2].redacted.count("<CCARD>") == 2
+    assert (out[3].n_ssn, out[3].n_phone, out[3].n_ipv4) == (1, 1, 1)
+    assert out[3].n_pii == 3
+    # class shapes are mutually exclusive: the SSN/phone digits must
+    # not double-count as each other
+    assert (out[3].n_ccard, out[3].n_email) == (0, 0)
+    assert out[4].n_pii == 0 and out[4].redacted == rows[3][1]
+    assert out[5].n_pii == 0 and out[5].redacted == ""
+
+    # idempotence: redacting already-redacted text changes nothing
+    once = pii_stats(df).select("doc_id", F.col("redacted").alias("text"))
+    twice = {r.doc_id: r.redacted for r in
+             once.select("doc_id", redact("text").alias("redacted")).collect()}
+    assert twice == {d: r.redacted for d, r in out.items()}
+
+
+def test_semantic_dedup_planted(spark):
+    from pubmed_and_method_spark.operators.similarity import (
+        semantic_dedup_portable,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16).astype("float64")
+    base /= np.abs(base).max(axis=1, keepdims=True) * 2  # keep |x| <= 0.5
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 100 + i: near-identical copy of vector i (cos ~ 1) -> must drop
+    rows.append((100, [float(x * 0.999) for x in base[0]]))
+    rows.append((105, [float(x * 1.001) for x in base[5]]))
+    # 200: negation of vector 1 (cos = -1) -> same cluster or not,
+    # never a duplicate
+    rows.append((200, [float(-x) for x in base[1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {r.vec_id: r for r in semantic_dedup_portable(
+        df, "vec_id", "embedding", dim=16, nlist=3, quant=1000
+    ).collect()}
+
+    assert len(out) == 9
+    assert out[100].is_kept == 0 and out[100].dup_of == 0
+    assert out[105].is_kept == 0 and out[105].dup_of == 5
+    assert out[200].is_kept == 1 and out[200].dup_of == -1
+    for i in range(6):
+        assert out[i].is_kept == 1, i
+    # dup pairs land in the same cluster (near-identical vectors
+    # cannot straddle an integer-L2 assignment boundary)
+    assert out[100].cid == out[0].cid
+    assert out[105].cid == out[5].cid
