@@ -67,6 +67,61 @@ def reconstruct_given_names(
     )
 
 
+# a..z -> Soundex digit classes (b f p v=1, c g j k q s x z=2, d t=3,
+# l=4, m n=5, r=6, vowels + h w y=0)
+_PHON_CODES = "01230120022455012623010202"
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Portable Soundex-class phonetic key — blocking pass for
+    misspelled surnames.
+
+    The reference blocks ONLY on the exact normalized
+    lastname+first-initial key (database/model_building_using_rich
+    _features.sql:438-444), so a byline typo ("garcia" vs "gracia")
+    silently severs the entity.  A phonetic key canonicalizes
+    same-sounding spellings into one block: first letter + the first
+    three Soundex consonant classes ("smith"/"smyth" -> S530,
+    "garcia"/"gracia" -> G620).
+
+    Variant note: classic Soundex collapses identical codes across an
+    intervening h/w but not across vowels; this key treats BOTH as
+    separators ("ashcraft" -> A226 here vs A261 classic).  The
+    simplification buys an expression that is portable VERBATIM across
+    engines (lower -> strip non-letters -> translate to digit classes
+    -> collapse each digit's runs -> drop the first code -> drop
+    vowels -> pad to 3), i.e. the same chain of builtins runs in Spark
+    and in the DuckDB oracle (``phonetic_key_sql``) — whole-stage
+    codegen, no UDF, no shuffle.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    code = F.translate(s, "abcdefghijklmnopqrstuvwxyz", _PHON_CODES)
+    for d in "0123456":
+        code = F.regexp_replace(code, d + "{2,}", d)
+    tail = F.regexp_replace(F.substring(code, 2, 1 << 30), "0", "")
+    return F.when(s == "", F.lit("")).otherwise(
+        F.concat(
+            F.upper(F.substring(s, 1, 1)),
+            F.rpad(F.substring(tail, 1, 3), 3, "0"),
+        )
+    )
+
+
+def phonetic_key_sql(col: str) -> str:
+    """The DuckDB-SQL twin of ``phonetic_key`` (same builtin chain)."""
+    s = f"regexp_replace(lower({col}), '[^a-z]', '', 'g')"
+    code = f"translate({s}, 'abcdefghijklmnopqrstuvwxyz', '{_PHON_CODES}')"
+    for d in "0123456":
+        code = f"regexp_replace({code}, '{d}{{2,}}', '{d}', 'g')"
+    tail = f"replace(substr({code}, 2), '0', '')"
+    return (
+        f"CASE WHEN {s} = '' THEN '' "
+        f"ELSE upper(substr({s}, 1, 1)) || rpad(substr({tail}, 1, 3), 3, '0') "
+        "END"
+    )
+
+
 def fn_max_len_str(given: Column | str) -> Column:
     """Longest space-separated chunk of the dash-stripped given name
     (arrayReverseSort(x -> length(x), splitByChar(...))[1],

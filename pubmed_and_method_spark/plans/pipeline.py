@@ -245,16 +245,23 @@ def build_candidate_pairs(
     lsh_col: str = "token_hashes",
     strict_split: bool = False,
     adaptive_target: int | None = None,
+    phonetic: bool = False,
 ) -> DataFrame:
     """Multi-pass blocking -> candidate pairs (canonical id1<id2).
 
     Pass 1: exact normalized-key blocks (J9 semantics,
-    database/and_datasets.sql:56-68).  Pass 2 (``lsh=True``):
+    database/and_datasets.sql:56-68).  Pass 1.5 (``phonetic=True``):
+    Soundex-class phonetic-key blocks (functions/names.phonetic_key)
+    over (surname, first initial) — recovers pairs a surname typo
+    severed from their exact block (the reference blocks only on the
+    exact key, so byline typos silently cost it recall; q61 measures
+    the recovery).  Pass 2 (``lsh=True``):
     MinHash-LSH banding over token-shingle sketches — recovers pairs
     whose mentions fall outside exact blocks (e.g. no parsable
     self-introduction), the north-star's second blocking pass.  LSH
     pairs not already produced by pass 1 are tagged
-    ``block_key='__lsh__'``.
+    ``block_key='__lsh__'``; phonetic-recovered pairs are tagged
+    ``'ph_<phonetic block>'``.
 
     Shingle length: unigram (``token_hashes``) by default — measured
     same-entity jaccard on multi-turn transcripts is ~0.30 for token
@@ -300,31 +307,23 @@ def build_candidate_pairs(
         carry_cols=("conv_id",),
         adaptive_target=adaptive_target,
     ).withColumn("split_group", F.col("block_key"))
-    if lsh:
-        from pubmed_and_method_spark.operators.blocking import (
-            lsh_candidate_pairs,
-        )
 
-        cand2 = lsh_candidate_pairs(
-            signatures.select("mention_id", lsh_col),
-            id_col="mention_id",
-            shingle_col=lsh_col,
-            num_hashes=lsh_hashes,
-            bands=lsh_bands,
-            num_buckets=num_buckets,
-            adaptive_target=adaptive_target,
-        )
-        conv_of = F.substring_index  # mention_id = conv_id#role
-        # each member's entity-bearing group key: its exact block key,
-        # or a conv-derived key when it never parsed into a block
-        mention_groups = signatures.select(
-            "mention_id",
-            F.when(
-                F.col("block_key") != "__unblocked__", F.col("block_key")
-            ).otherwise(F.concat(F.lit("__c_"), F.col("conv_id"))).alias("__sg"),
-        )
-        lsh_tagged = (
-            cand2.join(
+    conv_of = F.substring_index  # mention_id = conv_id#role
+    # each member's entity-bearing group key: its exact block key, or a
+    # conv-derived key when it never parsed into a block (used by the
+    # phonetic + LSH passes for split-group assignment)
+    mention_groups = signatures.select(
+        "mention_id",
+        F.when(
+            F.col("block_key") != "__unblocked__", F.col("block_key")
+        ).otherwise(F.concat(F.lit("__c_"), F.col("conv_id"))).alias("__sg"),
+    )
+
+    def _tag_extra(cand: DataFrame, block_tag) -> DataFrame:
+        """Attach split groups + conv ids to a recovery pass's pairs
+        (those not already produced by an earlier pass)."""
+        return (
+            cand.join(
                 pairs.select("mention_id1", "mention_id2"),
                 ["mention_id1", "mention_id2"],
                 "left_anti",
@@ -339,41 +338,93 @@ def build_candidate_pairs(
                 .withColumnRenamed("__sg", "__sg2"),
                 "mention_id2",
             )
-            .withColumn("block_key", F.lit("__lsh__"))
+            .withColumn("block_key", block_tag)
             .withColumn("split_group", F.least("__sg1", "__sg2"))
             .withColumn("conv_id1", conv_of(F.col("mention_id1"), "#", 1))
             .withColumn("conv_id2", conv_of(F.col("mention_id2"), "#", 1))
         )
-        lsh_pairs = lsh_tagged.select(
-            "block_key", "split_group",
-            "mention_id1", "mention_id2", "conv_id1", "conv_id2",
+
+    out_cols = [
+        "block_key", "split_group",
+        "mention_id1", "mention_id2", "conv_id1", "conv_id2",
+    ]
+    extra_tagged: list[DataFrame] = []
+
+    if phonetic:
+        from pubmed_and_method_spark.functions.names import phonetic_key
+
+        phon_members = signatures.filter(
+            (F.col("surname") != "") & (F.col("given_name") != "")
+        ).select(
+            F.concat_ws(
+                "_", phonetic_key("surname"), F.substring("given_name", 1, 1)
+            ).alias("__pk"),
+            "mention_id",
         )
-        pairs = pairs.unionByName(lsh_pairs)
-        if strict_split:
-            # union-find over group keys: any two groups linked by an
-            # LSH pair must land on one side of the split, so remap
-            # every linked group to its component's canonical key.
-            # The graph has one node per group KEY (not per mention or
-            # pair) — tiny relative to the data, so the iterative CC
-            # stage is cheap even at corpus scale.
-            edges = (
-                lsh_tagged.select(
-                    F.col("__sg1").alias("u"), F.col("__sg2").alias("v")
-                )
-                .where(F.col("u") != F.col("v"))
-                .distinct()
+        phon_raw = generate_pairs(
+            phon_members,
+            key_col="__pk",
+            id_col="mention_id",
+            num_buckets=num_buckets,
+            max_block_size=max_block_size,
+            carry_cols=(),
+            adaptive_target=adaptive_target,
+        )
+        phon_tagged = _tag_extra(
+            phon_raw.select(
+                F.concat(F.lit("ph_"), F.col("__pk")).alias("__tag"),
+                "mention_id1",
+                "mention_id2",
+            ),
+            F.col("__tag"),
+        )
+        extra_tagged.append(phon_tagged)
+        pairs = pairs.unionByName(phon_tagged.select(*out_cols))
+
+    if lsh:
+        from pubmed_and_method_spark.operators.blocking import (
+            lsh_candidate_pairs,
+        )
+
+        cand2 = lsh_candidate_pairs(
+            signatures.select("mention_id", lsh_col),
+            id_col="mention_id",
+            shingle_col=lsh_col,
+            num_hashes=lsh_hashes,
+            bands=lsh_bands,
+            num_buckets=num_buckets,
+            adaptive_target=adaptive_target,
+        )
+        lsh_tagged = _tag_extra(cand2, F.lit("__lsh__"))
+        extra_tagged.append(lsh_tagged)
+        pairs = pairs.unionByName(lsh_tagged.select(*out_cols))
+
+    if strict_split and extra_tagged:
+        # union-find over group keys: any two groups linked by a
+        # recovery-pass pair (phonetic or LSH) must land on one side of
+        # the split, so remap every linked group to its component's
+        # canonical key.  The graph has one node per group KEY (not per
+        # mention or pair) — tiny relative to the data, so the
+        # iterative CC stage is cheap even at corpus scale.
+        edge_parts = [
+            t.select(F.col("__sg1").alias("u"), F.col("__sg2").alias("v"))
+            for t in extra_tagged
+        ]
+        edges = edge_parts[0]
+        for p in edge_parts[1:]:
+            edges = edges.unionByName(p)
+        edges = edges.where(F.col("u") != F.col("v")).distinct()
+        mapping = connected_components(edges).select(
+            F.col("id").alias("split_group"),
+            F.col("component").alias("__sgc"),
+        )
+        pairs = (
+            pairs.join(mapping, "split_group", "left")
+            .withColumn(
+                "split_group", F.coalesce("__sgc", F.col("split_group"))
             )
-            mapping = connected_components(edges).select(
-                F.col("id").alias("split_group"),
-                F.col("component").alias("__sgc"),
-            )
-            pairs = (
-                pairs.join(mapping, "split_group", "left")
-                .withColumn(
-                    "split_group", F.coalesce("__sgc", F.col("split_group"))
-                )
-                .drop("__sgc")
-            )
+            .drop("__sgc")
+        )
     return pairs
 
 
@@ -385,6 +436,7 @@ def build_labeled_pairs(
     lsh: bool = False,
     strict_split: bool = False,
     adaptive_target: int | None = None,
+    phonetic: bool = False,
 ) -> DataFrame:
     """Multi-pass candidate pairs + planted labels.
 
@@ -399,6 +451,7 @@ def build_labeled_pairs(
         lsh=lsh,
         strict_split=strict_split,
         adaptive_target=adaptive_target,
+        phonetic=phonetic,
     )
     t = truth.select("conv_id", "entity_id")
     pairs = (

@@ -912,8 +912,17 @@ def ensure_transcript_corpus() -> str:
 
     os.makedirs(_CORPUS_DIR, exist_ok=True)
     t, g = generate_transcripts(seed=42)
+    # hard-mode twin (surname typos, byline dropout, homonyms) for the
+    # phonetic-blocking oracle (q61) — the confusions phonetic keys exist
+    # to absorb are only planted at hardness > 0.
+    th, gh = generate_transcripts(seed=42, hardness=0.7)
     pid = os.getpid()
-    for pdf, name in ((t, "transcripts"), (g, "truth")):
+    for pdf, name in (
+        (t, "transcripts"),
+        (g, "truth"),
+        (th, "transcripts_hard"),
+        (gh, "truth_hard"),
+    ):
         tmp = os.path.join(_CORPUS_DIR, f".{name}.{pid}.tmp")
         pdf.to_parquet(tmp, index=False)
         os.replace(tmp, os.path.join(_CORPUS_DIR, f"{name}.parquet"))
@@ -2986,6 +2995,87 @@ def q60(spark, sf):
         e, "vec_id", "embedding", dim=64, nlist=16,
         threshold_num=9, threshold_den=10, quant=1000,
     )
+
+
+# hard-mode corpus twin of the names CTE (surname typos, byline
+# dropout, homonyms planted at hardness=0.7 — sources/datagen.py)
+_NAMES_CTE_HARD_SQL = _NAMES_CTE_SQL.replace(
+    f"'{_CORPUS_DIR}/transcripts.parquet'",
+    f"'{_CORPUS_DIR}/transcripts_hard.parquet'",
+)
+
+
+def _phon_member_sql() -> str:
+    from pubmed_and_method_spark.functions.names import phonetic_key_sql
+
+    return (
+        "SELECT conv_id, block_key, "
+        f"{phonetic_key_sql('surname')} || '_' || substr(given_raw, 1, 1)"
+        " AS pk FROM nk WHERE block_key <> '__unblocked__'"
+    )
+
+
+@q(
+    "q61_phonetic_block_recovery",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    members AS ({{phon_members}}),
+    exact_p AS (
+        SELECT a.conv_id AS c1, b.conv_id AS c2
+        FROM members a JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'),
+    phon_p AS (
+        SELECT a.pk, a.conv_id AS c1, b.conv_id AS c2
+        FROM members a JOIN members b
+          ON a.pk = b.pk
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'),
+    rec AS (
+        SELECT * FROM phon_p p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM exact_p e WHERE e.c1 = p.c1 AND e.c2 = p.c2))
+    SELECT 'ph_' || r.pk AS block_key,
+           r.c1 || '#assistant' AS mention_id1,
+           r.c2 || '#assistant' AS mention_id2,
+           CAST(t1.entity_id = t2.entity_id AS INTEGER) AS same_entity
+    FROM rec r
+    JOIN tr t1 ON t1.conv_id = r.c1
+    JOIN tr t2 ON t2.conv_id = r.c2
+    """,
+)
+def q61(spark, sf):
+    """Phonetic blocking pass (pass 1.5): candidate pairs a Soundex-
+    class key (functions/names.phonetic_key) recovers that the exact
+    lastname+first-initial block missed, on the HARD corpus (surname
+    char-swap typos + byline dropout + homonyms, hardness=0.7).  The
+    reference blocks only on the exact normalized key
+    (database/model_building_using_rich_features.sql:438-444), so a
+    byline typo silently severs the entity; the labeled output here
+    quantifies exactly what a phonetic pass buys back (same_entity=1
+    rows are recovered recall, =0 rows are the extra comparison cost).
+    Full DuckDB value oracle: the identical builtin chain re-derives
+    the phonetic key, both pair sets, the anti-join, and the labels."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    pairs = build_labeled_pairs(sig, g, phonetic=True)
+    return pairs.filter(F.col("block_key").startswith("ph_")).select(
+        "block_key", "mention_id1", "mention_id2", "same_entity"
+    )
+
+
+# splice the phonetic-member CTE (built from phonetic_key_sql) into the
+# q61 oracle template
+ORACLES["q61_phonetic_block_recovery"] = ORACLES[
+    "q61_phonetic_block_recovery"
+].format(phon_members=_phon_member_sql())
 
 
 def flagship(spark: SparkSession) -> DataFrame:

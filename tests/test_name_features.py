@@ -149,3 +149,89 @@ def test_simhash_band_cap(spark):
     assert capped.count() == 0  # every bucket oversized -> all dropped
     uncapped = simhash_near_dups(df, "doc_id", "toks", max_hamming=3)
     assert uncapped.count() == 500 * 499 // 2
+
+
+def test_phonetic_key_classic_values(spark):
+    """Hand-checked Soundex values (classic on the standard examples
+    except the documented h/w-separator variant: ashcraft A226 here vs
+    A261 classic) + cross-engine parity with the DuckDB SQL twin."""
+    import duckdb
+
+    from pubmed_and_method_spark.functions.names import (
+        phonetic_key,
+        phonetic_key_sql,
+    )
+
+    cases = {
+        "smith": "S530", "smyth": "S530", "garcia": "G620",
+        "gracia": "G620", "robert": "R163", "pfister": "P236",
+        "jackson": "J250", "tymczak": "T522", "honeyman": "H555",
+        "lee": "L000", "ashcraft": "A226", "o'brien": "O165",
+        "x": "X000", "": "", "42": "", "MUELLER": "M460",
+        "muller": "M460",
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "n string"
+    ).select("n", phonetic_key("n").alias("k"))
+    got = {r.n: r.k for r in df.collect()}
+    assert got == cases
+    con = duckdb.connect()
+    sql = phonetic_key_sql("n")
+    for n, want in cases.items():
+        assert con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS n)", [n]
+        ).fetchone()[0] == want, n
+
+
+def test_phonetic_pass_supersets_exact(spark):
+    """phonetic=True only ADDS pairs (tagged ph_*), never drops or
+    re-labels exact-pass pairs; on the hard corpus it recovers
+    typo-severed true pairs; and every recovered pair's members share
+    a phonetic key but NOT an exact block key."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_candidate_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False).cache()
+    base = build_candidate_pairs(sig)
+    both = build_candidate_pairs(sig, phonetic=True).cache()
+    base_set = {
+        (r.mention_id1, r.mention_id2) for r in base.collect()
+    }
+    exact_rows = [r for r in both.collect() if not r.block_key.startswith("ph_")]
+    phon_rows = [r for r in both.collect() if r.block_key.startswith("ph_")]
+    assert {(r.mention_id1, r.mention_id2) for r in exact_rows} == base_set
+    assert phon_rows, "phonetic pass recovered nothing on the hard corpus"
+    assert not base_set & {
+        (r.mention_id1, r.mention_id2) for r in phon_rows
+    }
+    # recovered pairs: same phonetic key, different exact block
+    info = {
+        r.mention_id: (r.block_key, r.surname)
+        for r in sig.select(
+            "mention_id", "block_key", "surname",
+            phonetic_key("surname").alias("pk"),
+        ).collect()
+    }
+    pk = {
+        r.mention_id: r.pk
+        for r in sig.select(
+            "mention_id", phonetic_key("surname").alias("pk")
+        ).collect()
+    }
+    for r in phon_rows:
+        assert info[r.mention_id1][0] != info[r.mention_id2][0]
+        assert pk[r.mention_id1] == pk[r.mention_id2]
+    # truth: at least one recovered pair is a true match (recall won)
+    ent = {r.conv_id: r.entity_id for r in g.collect()}
+    conv = lambda m: m.split("#")[0]  # noqa: E731
+    assert any(
+        ent[conv(r.mention_id1)] == ent[conv(r.mention_id2)]
+        for r in phon_rows
+    )
+    sig.unpersist()
+    both.unpersist()
