@@ -85,6 +85,185 @@ def cluster_size_stats(
     )
 
 
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "same_entity",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Precision/recall/F1 at every threshold i/n_bins (i = 0..n-1) in
+    ONE aggregation pass — the operating-curve table behind a match-
+    probability bar.
+
+    The reference evaluates at the single fixed cut its sklearn
+    defaults give it (src/model/classification.py predict -> 0.5); an
+    operator choosing the bar for a precision target needs the whole
+    curve.  Computing it naively is n_bins passes over the pair table;
+    here scores histogram into n_bins buckets (one groupBy with
+    map-side partial agg — the ONLY pass over the data), and
+    cumulative sums from the top bucket down convert the histogram
+    into TP/PP at every threshold.  The window runs over n_bins
+    post-aggregation rows (a single tiny task by construction — this
+    is the one place an unpartitioned window is correct); the grid
+    left-join guarantees exactly n_bins output rows even when buckets
+    are empty.
+
+    Scores are clamped into [0, 1); a score of exactly 1.0 counts in
+    the top bucket.  ``threshold`` row i reads: classify score >=
+    i/n_bins as a match.
+    """
+    from pyspark.sql import Window as W
+
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    )
+    hist = (
+        scored.select(
+            b.alias("bucket"), F.col(label_col).cast("long").alias("__y")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__pos"))
+    )
+    grid = scored.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    hist = (
+        grid.join(hist, "bucket", "left")
+        .withColumn("__n", F.coalesce("__n", F.lit(0)))
+        .withColumn("__pos", F.coalesce("__pos", F.lit(0)))
+    )
+    w = W.orderBy(F.desc("bucket")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.withColumn("pp", F.sum("__n").over(w)).withColumn(
+        "tp", F.sum("__pos").over(w)
+    )
+    totals = hist.agg(F.coalesce(F.sum("__pos"), F.lit(0)).alias("__P"))
+    # zero_division=0 convention (sklearn): an empty predicted-positive
+    # or empty true-positive set scores 0.0, never NULL — downstream
+    # sorts/joins on the curve stay total-ordered.
+    prec = F.when(F.col("pp") > 0, F.col("tp") / F.col("pp")).otherwise(0.0)
+    rec = F.when(F.col("__P") > 0, F.col("tp") / F.col("__P")).otherwise(0.0)
+    # 2TP/(2TP+FP+FN) == 2TP/(PP+P)
+    f1 = F.when(
+        (F.col("pp") > 0) & (F.col("__P") > 0),
+        2 * F.col("tp") / (F.col("pp") + F.col("__P")),
+    ).otherwise(0.0)
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.round(F.col("bucket") / n_bins, 6).alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("__P") - F.col("tp")).cast("long").alias("fn"),
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def cluster_agreement_metrics(
+    assignments: DataFrame,
+    cluster_col: str = "cluster",
+    truth_col: str = "entity_id",
+) -> DataFrame:
+    """One-row extrinsic clustering evaluation: B-cubed P/R/F1 plus
+    V-measure (homogeneity / completeness) of a predicted clustering
+    against gold entity labels.
+
+    The reference evaluates ONLY pairwise P/R/F1 at a fixed cut
+    (src/model/classification.py); pairwise F1 is blind to the failure
+    transitive closure actually produces — one false edge welds two
+    entities into a mega-cluster yet costs just the cross pairs.  The
+    two standard cluster-level metrics close that blind spot:
+
+    - B-cubed (Bagga & Baldwin 1998): per-mention precision
+      |C(i)∩L(i)|/|C(i)| and recall |C(i)∩L(i)|/|L(i)|, averaged.
+      Mega-clusters crater per-member precision in proportion to how
+      many mentions they swallow.
+    - V-measure (Rosenberg & Hirschberg 2007): homogeneity
+      1 − H(E|C)/H(E) and completeness 1 − H(C|E)/H(C), harmonically
+      combined — the information-theoretic view of the same trade.
+
+    Both reduce to sums over the (cluster, entity) contingency CELLS:
+    B³P = Σ n_ce²/n_c / N, B³R = Σ n_ce²/n_e / N,
+    H(E|C) = −Σ n_ce·ln(n_ce/n_c) / N, H(E) = ln N − Σ n_e·ln(n_e) / N
+    (symmetrically for C).  At 10^12 mentions the cell table is the
+    only large intermediate, built by ONE groupBy with map-side
+    partial agg; marginals are groupBys OF THE CELLS (already tiny),
+    and the marginal joins re-use the cells' hash partitioning.  No
+    per-mention pair expansion anywhere — B-cubed via cells is O(cells),
+    not O(Σ cluster²).
+
+    Degenerate-case conventions match sklearn's homogeneity_
+    completeness_v_measure: a zero-entropy gold (or predicted)
+    partition scores homogeneity (completeness) 1.0; v = 0.0 when
+    h + c == 0; an empty input yields one all-zero row.
+    """
+    cells = assignments.groupBy(cluster_col, truth_col).agg(
+        F.count(F.lit(1)).alias("n_ce")
+    )
+    cl = cells.groupBy(cluster_col).agg(F.sum("n_ce").alias("n_c"))
+    en = cells.groupBy(truth_col).agg(F.sum("n_ce").alias("n_e"))
+    j = cells.join(cl, cluster_col).join(en, truth_col)
+    sums = j.agg(
+        F.coalesce(F.sum("n_ce"), F.lit(0)).alias("n"),
+        F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_c")).alias("sp"),
+        F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_e")).alias("sr"),
+        F.sum(F.col("n_ce") * F.log(F.col("n_ce") / F.col("n_c"))).alias(
+            "lec"
+        ),
+        F.sum(F.col("n_ce") * F.log(F.col("n_ce") / F.col("n_e"))).alias(
+            "lce"
+        ),
+    )
+    cl_sum = cl.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("n_c") * F.log("n_c")).alias("c_ln"),
+    )
+    en_sum = en.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.col("n_e") * F.log("n_e")).alias("e_ln"),
+    )
+    row = sums.crossJoin(F.broadcast(cl_sum)).crossJoin(F.broadcast(en_sum))
+    n = F.col("n")
+    bp = F.when(n > 0, F.col("sp") / n).otherwise(0.0)
+    br = F.when(n > 0, F.col("sr") / n).otherwise(0.0)
+    bf = F.when(
+        (F.col("sp") + F.col("sr")) > 0,
+        2 * (F.col("sp") / n) * (F.col("sr") / n)
+        / (F.col("sp") / n + F.col("sr") / n),
+    ).otherwise(0.0)
+    h_e = F.log(n) - F.col("e_ln") / n  # gold-partition entropy H(E)
+    h_c = F.log(n) - F.col("c_ln") / n
+    h_e_c = -F.col("lec") / n  # conditional H(E|C)
+    h_c_e = -F.col("lce") / n
+    hom = F.when(n <= 0, 0.0).otherwise(
+        F.when(h_e > 0, F.lit(1.0) - h_e_c / h_e).otherwise(1.0)
+    )
+    com = F.when(n <= 0, 0.0).otherwise(
+        F.when(h_c > 0, F.lit(1.0) - h_c_e / h_c).otherwise(1.0)
+    )
+    v = F.when((hom + com) > 0, 2 * hom * com / (hom + com)).otherwise(0.0)
+    return row.select(
+        n.cast("long").alias("n_items"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.round(bp, 6).alias("bcubed_precision"),
+        F.round(br, 6).alias("bcubed_recall"),
+        F.round(bf, 6).alias("bcubed_f1"),
+        F.round(hom, 6).alias("homogeneity"),
+        F.round(com, 6).alias("completeness"),
+        F.round(v, 6).alias("v_measure"),
+    )
+
+
 def blocking_quality(
     signatures: DataFrame,
     labeled_pairs: DataFrame,

@@ -3078,6 +3078,212 @@ ORACLES["q61_phonetic_block_recovery"] = ORACLES[
 ].format(phon_members=_phon_member_sql())
 
 
+@q(
+    "q62_threshold_sweep",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    scored AS (
+        SELECT round((round(jaro_winkler_similarity(
+                          a.given_name || ' ' || a.surname,
+                          b.given_name || ' ' || b.surname), 6)
+                      + round({{lj_toks}}, 6)
+                      + round({{lj_tools}}, 6)) / 3, 6) AS s,
+               CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    hist AS (
+        SELECT greatest(least(CAST(floor(s * 20) AS INTEGER), 19), 0)
+                   AS bucket,
+               count(*) AS n, sum(y) AS pos
+        FROM scored GROUP BY 1),
+    grid AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(20)),
+    h2 AS (
+        SELECT g.bucket, coalesce(h.n, 0) AS n, coalesce(h.pos, 0) AS pos
+        FROM grid g LEFT JOIN hist h ON h.bucket = g.bucket),
+    cum AS (
+        SELECT bucket,
+               sum(n) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+               sum(pos) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+        FROM h2),
+    tot AS (SELECT coalesce(sum(pos), 0) AS p FROM h2)
+    SELECT round(bucket / 20.0, 6) AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pp - tp AS BIGINT) AS fp,
+           CAST(t.p - tp AS BIGINT) AS fn,
+           CASE WHEN pp > 0 THEN round(tp * 1.0 / pp, 6)
+                ELSE 0.0 END AS precision,
+           CASE WHEN t.p > 0 THEN round(tp * 1.0 / t.p, 6)
+                ELSE 0.0 END AS recall,
+           CASE WHEN pp > 0 AND t.p > 0
+                THEN round(2.0 * tp / (pp + t.p), 6)
+                ELSE 0.0 END AS f1
+    FROM cum CROSS JOIN tot t
+    ORDER BY threshold
+    """,
+)
+def q62(spark, sf):
+    """Operating-curve table: pairwise P/R/F1 at 20 score thresholds in
+    ONE histogram pass + a 20-row cumulative window
+    (operators/er_metrics.threshold_sweep).  The reference evaluates
+    only at sklearn's fixed 0.5 cut (src/model/classification.py); an
+    operator picking the match bar for a precision target needs the
+    whole curve, and at 10^12 pairs it must cost one pass, not one
+    pass per threshold.  Scored with a deterministic feature blend
+    ((name_jw + token_jacc + tool_jacc)/3, each round-6 — the q44-
+    proven cross-engine-exact features), so DuckDB re-derives every
+    tp/fp/fn and metric value at every threshold."""
+    from pubmed_and_method_spark.operators.er_metrics import threshold_sweep
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    scored = feats.select(
+        F.round(
+            (
+                F.round("name_jw", 6)
+                + F.round("token_jacc", 6)
+                + F.round("tool_jacc", 6)
+            )
+            / 3,
+            6,
+        ).alias("score"),
+        "same_entity",
+    )
+    return threshold_sweep(scored, "score", "same_entity", n_bins=20)
+
+
+ORACLES["q62_threshold_sweep"] = ORACLES["q62_threshold_sweep"].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+)
+
+
+@q(
+    "q63_bcubed_vmeasure",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    a AS (
+        SELECT nk.block_key AS cluster, tr.entity_id
+        FROM nk JOIN tr USING (conv_id)
+        WHERE nk.block_key <> '__unblocked__'),
+    cells AS (
+        SELECT cluster, entity_id, count(*) AS n_ce
+        FROM a GROUP BY 1, 2),
+    cl AS (SELECT cluster, sum(n_ce) AS n_c FROM cells GROUP BY 1),
+    en AS (SELECT entity_id, sum(n_ce) AS n_e FROM cells GROUP BY 1),
+    j AS (
+        SELECT c.n_ce, cl.n_c, en.n_e
+        FROM cells c JOIN cl USING (cluster) JOIN en USING (entity_id)),
+    s AS (
+        SELECT coalesce(sum(n_ce), 0) AS n,
+               sum(n_ce * n_ce * 1.0 / n_c) AS sp,
+               sum(n_ce * n_ce * 1.0 / n_e) AS sr,
+               sum(n_ce * ln(n_ce * 1.0 / n_c)) AS lec,
+               sum(n_ce * ln(n_ce * 1.0 / n_e)) AS lce
+        FROM j),
+    m AS (
+        SELECT (SELECT count(*) FROM cl) AS n_clusters,
+               (SELECT sum(n_c * ln(n_c)) FROM cl) AS c_ln,
+               (SELECT count(*) FROM en) AS n_entities,
+               (SELECT sum(n_e * ln(n_e)) FROM en) AS e_ln),
+    k AS (
+        SELECT n, n_clusters, n_entities, sp, sr,
+               -lec / n AS h_e_c, -lce / n AS h_c_e,
+               ln(n) - e_ln / n AS h_e, ln(n) - c_ln / n AS h_c
+        FROM s CROSS JOIN m),
+    r AS (
+        SELECT n, n_clusters, n_entities,
+               sp / n AS bp, sr / n AS br,
+               CASE WHEN sp + sr > 0
+                    THEN 2 * (sp / n) * (sr / n) / (sp / n + sr / n)
+                    ELSE 0.0 END AS bf,
+               CASE WHEN h_e > 0 THEN 1.0 - h_e_c / h_e
+                    ELSE 1.0 END AS hom,
+               CASE WHEN h_c > 0 THEN 1.0 - h_c_e / h_c
+                    ELSE 1.0 END AS com
+        FROM k)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_entities AS BIGINT) AS n_entities,
+           round(bp, 6) AS bcubed_precision,
+           round(br, 6) AS bcubed_recall,
+           round(bf, 6) AS bcubed_f1,
+           round(hom, 6) AS homogeneity,
+           round(com, 6) AS completeness,
+           CASE WHEN hom + com > 0
+                THEN round(2 * hom * com / (hom + com), 6)
+                ELSE 0.0 END AS v_measure
+    FROM r
+    """,
+)
+def q63(spark, sf):
+    """Cluster-level evaluation the reference never computes: B-cubed
+    P/R/F1 + V-measure (homogeneity/completeness) of the exact-name
+    blocking partition against planted truth
+    (operators/er_metrics.cluster_agreement_metrics).  Pairwise F1
+    (src/model/classification.py's only metric) is blind to the
+    mega-cluster failure transitive closure produces; these are the
+    standard coreference metrics that are not.  Everything reduces to
+    one (cluster, entity) contingency-cell groupBy — O(cells), never
+    per-member pair expansion — and DuckDB re-derives every sum,
+    entropy, and guard from the same cells."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        cluster_agreement_metrics,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    assign = (
+        build_signatures(t, tfidf=False)
+        .filter(F.col("block_key") != "__unblocked__")
+        .select("conv_id", F.col("block_key").alias("cluster"))
+        .join(g.select("conv_id", "entity_id"), "conv_id")
+    )
+    return cluster_agreement_metrics(assign, "cluster", "entity_id")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

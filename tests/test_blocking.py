@@ -242,3 +242,109 @@ def test_blocking_quality_empty_edges(spark):
     assert row["n_true_pairs"] == 0
     assert row["pair_completeness"] is None
     assert row["reduction_ratio"] is None
+
+
+def test_threshold_sweep_hand_computed(spark):
+    """6 scored pairs, n_bins=4: every tp/fp/fn and metric at each of
+    the 4 thresholds re-derived by hand, including the zero_division=0
+    convention at the empty top bucket and clamping of score 1.0."""
+    from pubmed_and_method_spark.operators.er_metrics import threshold_sweep
+
+    rows = [
+        (0.05, 0), (0.10, 1), (0.30, 0), (0.60, 1), (0.74, 1), (1.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, same_entity int")
+    got = {
+        r.threshold: r
+        for r in threshold_sweep(df, n_bins=4).collect()
+    }
+    assert len(got) == 4
+    # P (total positives) = 3
+    # t=0.00: everything predicted positive
+    r = got[0.0]
+    assert (r.tp, r.fp, r.fn) == (3, 3, 0)
+    assert (r.precision, r.recall, r.f1) == (0.5, 1.0, round(2 * 3 / 9, 6))
+    # t=0.25: {0.30,0.60,0.74,1.0} positive -> tp=2 fp=2
+    r = got[0.25]
+    assert (r.tp, r.fp, r.fn) == (2, 2, 1)
+    assert (r.precision, r.recall) == (0.5, round(2 / 3, 6))
+    # t=0.50: {0.60,0.74,1.0} -> tp=2 fp=1
+    r = got[0.5]
+    assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+    assert (r.precision, r.recall, r.f1) == (
+        round(2 / 3, 6), round(2 / 3, 6), round(4 / 6, 6),
+    )
+    # t=0.75: only the clamped 1.0 -> tp=0 fp=1; zero-division -> 0.0
+    r = got[0.75]
+    assert (r.tp, r.fp, r.fn) == (0, 1, 3)
+    assert (r.precision, r.recall, r.f1) == (0.0, 0.0, 0.0)
+
+
+def test_cluster_agreement_hand_computed(spark):
+    """Clusters {A:[e1,e1], B:[e1], C:[e2,e2]} vs gold {e1 x3, e2 x2}:
+    every metric re-derived independently in the test body (pure
+    clusters -> B-cubed precision and homogeneity exactly 1.0; the
+    e1 split costs recall and completeness)."""
+    import math
+
+    from pubmed_and_method_spark.operators.er_metrics import (
+        cluster_agreement_metrics,
+    )
+
+    rows = [
+        ("A", "e1"), ("A", "e1"), ("B", "e1"), ("C", "e2"), ("C", "e2"),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, entity_id string")
+    r = cluster_agreement_metrics(df).collect()[0]
+    assert (r.n_items, r.n_clusters, r.n_entities) == (5, 3, 2)
+    # B-cubed: P = (4/2 + 1/1 + 4/2)/5, R = (4/3 + 1/3 + 4/2)/5
+    assert r.bcubed_precision == 1.0
+    assert r.bcubed_recall == round(11 / 15, 6)
+    assert r.bcubed_f1 == round(2 * 1.0 * (11 / 15) / (1 + 11 / 15), 6)
+    # pure clusters -> H(E|C)=0 -> homogeneity 1
+    assert r.homogeneity == 1.0
+    h_c_e = -(2 * math.log(2 / 3) + math.log(1 / 3)) / 5
+    h_c = math.log(5) - (2 * math.log(2) + 2 * math.log(2)) / 5
+    com = 1.0 - h_c_e / h_c
+    assert r.completeness == round(com, 6)
+    assert r.v_measure == round(2 * com / (1 + com), 6)
+
+
+def test_cluster_agreement_degenerate_and_empty(spark):
+    """sklearn conventions: single-cluster-single-entity input has
+    zero entropy on both sides -> hom = com = v = 1.0; empty input
+    yields one all-zero row."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        cluster_agreement_metrics,
+    )
+
+    one = spark.createDataFrame(
+        [("A", "e1"), ("A", "e1")], "cluster string, entity_id string"
+    )
+    r = cluster_agreement_metrics(one).collect()[0]
+    assert (r.homogeneity, r.completeness, r.v_measure) == (1.0, 1.0, 1.0)
+    assert (r.bcubed_precision, r.bcubed_recall, r.bcubed_f1) == (
+        1.0, 1.0, 1.0,
+    )
+
+    empty = spark.createDataFrame([], "cluster string, entity_id string")
+    r = cluster_agreement_metrics(empty).collect()[0]
+    assert (r.n_items, r.n_clusters, r.n_entities) == (0, 0, 0)
+    assert (r.bcubed_precision, r.bcubed_recall, r.bcubed_f1) == (
+        0.0, 0.0, 0.0,
+    )
+    assert (r.homogeneity, r.completeness, r.v_measure) == (0.0, 0.0, 0.0)
+
+
+def test_threshold_sweep_empty_input(spark):
+    """Zero pairs still yields n_bins total-ordered rows, all zeros."""
+    from pubmed_and_method_spark.operators.er_metrics import threshold_sweep
+
+    df = spark.createDataFrame([], "score double, same_entity int")
+    rows = threshold_sweep(df, n_bins=5).collect()
+    assert len(rows) == 5
+    assert all(
+        (r.tp, r.fp, r.fn, r.precision, r.recall, r.f1)
+        == (0, 0, 0, 0.0, 0.0, 0.0)
+        for r in rows
+    )
