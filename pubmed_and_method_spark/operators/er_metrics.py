@@ -264,6 +264,75 @@ def cluster_agreement_metrics(
     )
 
 
+def fs_weights(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    label_col: str = "same_entity",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Fellegi-Sunter m/u probabilities and log2 match weights, one row
+    per agreement feature, from labeled candidate pairs.
+
+    The canonical probabilistic record-linkage model (Fellegi & Sunter
+    1969; the estimator every Splink-style linker ships) that the
+    reference's train-a-classifier approach skips entirely: for each
+    binary agreement pattern, m = P(agree | match) and
+    u = P(agree | non-match), and the evidence a comparison contributes
+    is log2(m/u) on agreement, log2((1-m)/(1-u)) on disagreement —
+    directly interpretable bits of evidence, summable across
+    independent features into a match score with no model fit.
+
+    One generator projection (``stack`` — rows multiply by
+    len(agreement_cols), columns shrink to 3) feeds ONE groupBy on the
+    feature name with map-side partial aggregation; nothing else
+    touches the pair table, so at 10^12 candidate pairs this costs a
+    single pass and a |features|-row shuffle.
+
+    Probabilities are clamped into [eps, 1-eps] BEFORE the log-ratios
+    (the standard smoothing for never-observed patterns), so weights
+    are always finite and defined — division-by-zero can't arise even
+    under ANSI mode, and an empty class yields the maximally-smoothed
+    eps rather than NULL.
+    """
+    n = len(agreement_cols)
+    stack = "stack({}, {}) as (feature, agree)".format(
+        n,
+        ", ".join(f"'{c}', cast(`{c}` as int)" for c in agreement_cols),
+    )
+    long = pairs.selectExpr(stack, f"cast(`{label_col}` as int) as __y")
+    agg = long.groupBy("feature").agg(
+        F.sum("__y").cast("long").alias("n_match"),
+        F.sum(1 - F.col("__y")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("agree") * F.col("__y")).cast("long").alias(
+            "agree_match"
+        ),
+        F.sum(F.col("agree") * (1 - F.col("__y"))).cast("long").alias(
+            "agree_nonmatch"
+        ),
+    )
+    lo, hi = F.lit(eps), F.lit(1.0 - eps)
+
+    def clamp(num, den):
+        raw = F.when(den > 0, num / den).otherwise(lo)
+        return F.greatest(F.least(raw, hi), lo)
+
+    m = clamp(F.col("agree_match"), F.col("n_match"))
+    u = clamp(F.col("agree_nonmatch"), F.col("n_nonmatch"))
+    return agg.select(
+        "feature",
+        "n_match",
+        "n_nonmatch",
+        "agree_match",
+        "agree_nonmatch",
+        F.round(m, 6).alias("m_prob"),
+        F.round(u, 6).alias("u_prob"),
+        F.round(F.log2(m / u), 6).alias("match_weight"),
+        F.round(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), 6).alias(
+            "disagree_weight"
+        ),
+    ).orderBy("feature")
+
+
 def blocking_quality(
     signatures: DataFrame,
     labeled_pairs: DataFrame,

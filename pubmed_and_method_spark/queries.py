@@ -3284,6 +3284,151 @@ def q63(spark, sf):
     return cluster_agreement_metrics(assign, "cluster", "entity_id")
 
 
+@q(
+    "q64_fellegi_sunter_weights",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks,
+               epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+        FROM t GROUP BY conv_id),
+    fx AS (
+        SELECT CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name || ' ' || a.surname,
+                        b.given_name || ' ' || b.surname), 6) >= 0.9
+                    AS INTEGER) AS name_jw_hi,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name, b.given_name), 6) >= 0.9
+                    AS INTEGER) AS given_jw_hi,
+               CAST(round(CASE WHEN greatest(len(a.given_name),
+                                             len(b.given_name)) = 0
+                               THEN 1.0
+                               ELSE 1.0 - levenshtein(a.given_name,
+                                                      b.given_name) * 1.0
+                                    / greatest(len(a.given_name),
+                                               len(b.given_name)) END, 6)
+                        >= 0.8 AS INTEGER) AS lev_hi,
+               CAST(round({{lj_toks}}, 6) >= 0.5 AS INTEGER) AS token_hi,
+               CAST(round({{lj_tools}}, 6) >= 0.5 AS INTEGER) AS tool_hi,
+               CAST(least(f1.tmax, f2.tmax) - greatest(f1.tmin, f2.tmin) > 0
+                    AS INTEGER) AS time_overlap
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    long AS (
+                  SELECT 'name_jw_hi'   AS feature, name_jw_hi   AS agree, y FROM fx
+        UNION ALL SELECT 'given_jw_hi'  AS feature, given_jw_hi  AS agree, y FROM fx
+        UNION ALL SELECT 'lev_hi'       AS feature, lev_hi       AS agree, y FROM fx
+        UNION ALL SELECT 'token_hi'     AS feature, token_hi     AS agree, y FROM fx
+        UNION ALL SELECT 'tool_hi'      AS feature, tool_hi      AS agree, y FROM fx
+        UNION ALL SELECT 'time_overlap' AS feature, time_overlap AS agree, y FROM fx),
+    agg AS (
+        SELECT feature,
+               sum(y) AS n_match, sum(1 - y) AS n_nonmatch,
+               sum(agree * y) AS agree_match,
+               sum(agree * (1 - y)) AS agree_nonmatch
+        FROM long GROUP BY feature),
+    probs AS (
+        SELECT *,
+               greatest(least(CASE WHEN n_match > 0
+                                   THEN agree_match * 1.0 / n_match
+                                   ELSE 1e-6 END, 1 - 1e-6), 1e-6) AS m,
+               greatest(least(CASE WHEN n_nonmatch > 0
+                                   THEN agree_nonmatch * 1.0 / n_nonmatch
+                                   ELSE 1e-6 END, 1 - 1e-6), 1e-6) AS u
+        FROM agg)
+    SELECT feature,
+           CAST(n_match AS BIGINT) AS n_match,
+           CAST(n_nonmatch AS BIGINT) AS n_nonmatch,
+           CAST(agree_match AS BIGINT) AS agree_match,
+           CAST(agree_nonmatch AS BIGINT) AS agree_nonmatch,
+           round(m, 6) AS m_prob,
+           round(u, 6) AS u_prob,
+           round(log2(m / u), 6) AS match_weight,
+           round(log2((1.0 - m) / (1.0 - u)), 6) AS disagree_weight
+    FROM probs ORDER BY feature
+    """,
+)
+def q64(spark, sf):
+    """Fellegi-Sunter m/u estimation (operators/er_metrics.fs_weights)
+    over the labeled candidate pairs: P(agree|match), P(agree|
+    non-match), and the log2 evidence weights for six binarized
+    comparisons (name/given JW >= 0.9, Levenshtein ratio >= 0.8,
+    token/tool jaccard >= 0.5, temporal-span overlap — all on the
+    q44-proven round-6 cross-engine-exact features).  The canonical
+    probabilistic-linkage estimator the reference's classifier
+    pipeline skips; one stack + one groupBy = one pass over the pair
+    table at any scale.  DuckDB re-derives every count, clamped
+    probability, and weight."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_weights
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    ag = feats.select(
+        (F.round("name_jw", 6) >= 0.9).alias("name_jw_hi"),
+        (F.round("given_jw", 6) >= 0.9).alias("given_jw_hi"),
+        (F.round("name_lev_ratio", 6) >= 0.8).alias("lev_hi"),
+        (F.round("token_jacc", 6) >= 0.5).alias("token_hi"),
+        (F.round("tool_jacc", 6) >= 0.5).alias("tool_hi"),
+        (F.col("time_overlap") == 1).alias("time_overlap"),
+        "same_entity",
+    )
+    return fs_weights(
+        ag,
+        [
+            "name_jw_hi",
+            "given_jw_hi",
+            "lev_hi",
+            "token_hi",
+            "tool_hi",
+            "time_overlap",
+        ],
+    )
+
+
+ORACLES["q64_fellegi_sunter_weights"] = ORACLES[
+    "q64_fellegi_sunter_weights"
+].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

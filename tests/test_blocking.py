@@ -336,6 +336,42 @@ def test_cluster_agreement_degenerate_and_empty(spark):
     assert (r.homogeneity, r.completeness, r.v_measure) == (0.0, 0.0, 0.0)
 
 
+def test_fs_weights_hand_computed(spark):
+    """Two features over 7 labeled pairs: m/u and both log2 weights
+    re-derived by hand, including eps-clamping when a feature never
+    agrees on non-matches (u -> 1e-6, weight stays finite) and when
+    one class is empty."""
+    import math
+
+    from pubmed_and_method_spark.operators.er_metrics import fs_weights
+
+    # y=1 pairs: f1 agrees 2/3, f2 agrees 3/3; y=0: f1 1/4, f2 0/4
+    rows = [
+        (1, 1, 1), (1, 1, 1), (1, 0, 1),
+        (0, 1, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "same_entity int, f1 int, f2 int")
+    got = {r.feature: r for r in fs_weights(df, ["f1", "f2"]).collect()}
+    r = got["f1"]
+    assert (r.n_match, r.n_nonmatch) == (3, 4)
+    assert (r.agree_match, r.agree_nonmatch) == (2, 1)
+    assert (r.m_prob, r.u_prob) == (round(2 / 3, 6), 0.25)
+    assert r.match_weight == round(math.log2((2 / 3) / 0.25), 6)
+    assert r.disagree_weight == round(math.log2((1 / 3) / 0.75), 6)
+    r = got["f2"]
+    # m = 1.0 clamps to 1-1e-6; u = 0 clamps to 1e-6
+    assert (r.m_prob, r.u_prob) == (0.999999, 0.000001)
+    assert r.match_weight == round(math.log2((1 - 1e-6) / 1e-6), 6)
+    assert r.disagree_weight == round(math.log2(1e-6 / (1 - 1e-6)), 6)
+
+    # empty match class: m falls back to eps
+    neg = spark.createDataFrame(
+        [(0, 1), (0, 0)], "same_entity int, f1 int"
+    )
+    r = fs_weights(neg, ["f1"]).collect()[0]
+    assert (r.n_match, r.m_prob, r.u_prob) == (0, 0.000001, 0.5)
+
+
 def test_threshold_sweep_empty_input(spark):
     """Zero pairs still yields n_bins total-ordered rows, all zeros."""
     from pubmed_and_method_spark.operators.er_metrics import threshold_sweep
