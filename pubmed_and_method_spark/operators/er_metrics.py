@@ -333,6 +333,56 @@ def fs_weights(
     ).orderBy("feature")
 
 
+def transitive_conflicts(
+    scored: DataFrame,
+    threshold: float,
+    id1_col: str = "mention_id1",
+    id2_col: str = "mention_id2",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pairs welded ONLY by transitive closure: both endpoints land in
+    the same connected component of the >= threshold match graph, yet
+    their own direct score is < threshold.
+
+    Transitive closure is where ER goes wrong at scale — one false
+    edge merges two entities, and pairwise metrics barely notice (the
+    reference never audits its closure; it stops at pairwise labels,
+    src/model/classification.py).  This diagnostic materializes
+    exactly the pairs the closure asserts beyond their direct
+    evidence: joined with truth labels they split into transitivity's
+    recall wins (true pairs a weak feature missed) and its welds
+    (false merges to cut).  Cost: the real large-star/small-star CC
+    over the thresholded edges, then two hash joins of the sub-
+    threshold pairs against the (id, component) table — no pair
+    expansion beyond the candidate set that already exists.
+
+    Returns (id1, id2, component, score + every other column of
+    ``scored``) for conflicting pairs only.
+    """
+    from pubmed_and_method_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = scored.filter(F.col(score_col) >= threshold).select(
+        F.col(id1_col).alias("u"), F.col(id2_col).alias("v")
+    )
+    comp = connected_components(edges)
+    c1 = comp.select(
+        F.col("id").alias(id1_col), F.col("component").alias("__c1")
+    )
+    c2 = comp.select(
+        F.col("id").alias(id2_col), F.col("component").alias("__c2")
+    )
+    return (
+        scored.filter(F.col(score_col) < threshold)
+        .join(c1, id1_col)
+        .join(c2, id2_col)
+        .filter(F.col("__c1") == F.col("__c2"))
+        .withColumn("component", F.col("__c1"))
+        .drop("__c1", "__c2")
+    )
+
+
 def blocking_quality(
     signatures: DataFrame,
     labeled_pairs: DataFrame,

@@ -3429,6 +3429,126 @@ ORACLES["q64_fellegi_sunter_weights"] = ORACLES[
 )
 
 
+@q(
+    "q65_transitive_conflicts",
+    f"""
+    WITH RECURSIVE {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    scored AS (
+        SELECT a.conv_id || '#assistant' AS m1,
+               b.conv_id || '#assistant' AS m2,
+               round((round(jaro_winkler_similarity(
+                          a.given_name || ' ' || a.surname,
+                          b.given_name || ' ' || b.surname), 6)
+                      + round({{lj_toks}}, 6)
+                      + round({{lj_tools}}, 6)) / 3, 6) AS s,
+               CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    bidir AS (
+        SELECT m1 AS u, m2 AS v FROM scored WHERE s >= 0.6
+        UNION ALL
+        SELECT m2 AS u, m1 AS v FROM scored WHERE s >= 0.6),
+    walk AS (
+        SELECT u AS id, v AS peer FROM bidir
+        UNION
+        SELECT w.id, b.v AS peer FROM walk w JOIN bidir b ON b.u = w.peer),
+    comp AS (
+        SELECT id, least(id, min(peer)) AS component
+        FROM walk GROUP BY id)
+    SELECT s.m1 AS mention_id1, s.m2 AS mention_id2,
+           c1.component AS component,
+           s.s AS score,
+           s.y AS same_entity
+    FROM scored s
+    JOIN comp c1 ON c1.id = s.m1
+    JOIN comp c2 ON c2.id = s.m2
+    WHERE s.s < 0.6 AND c1.component = c2.component
+    """,
+)
+def q65(spark, sf):
+    """Transitive-closure audit (operators/er_metrics
+    .transitive_conflicts): candidate pairs whose endpoints the >= 0.6
+    match graph's connected components place in the same entity while
+    their own direct score is < 0.6 — exactly the assertions closure
+    makes beyond direct evidence, labeled with truth so they split
+    into transitivity's recall wins and its false welds.  The
+    reference never audits its closure (pairwise labels only,
+    src/model/classification.py).  Spark runs the REAL iterative
+    large-star/small-star operator; DuckDB re-derives the components
+    with a recursive-CTE reachability fixpoint — the first full value
+    oracle over the iterative operator on a non-clique graph (q25's
+    covers clique groups)."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        transitive_conflicts,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    scored = feats.select(
+        "mention_id1",
+        "mention_id2",
+        F.round(
+            (
+                F.round("name_jw", 6)
+                + F.round("token_jacc", 6)
+                + F.round("tool_jacc", 6)
+            )
+            / 3,
+            6,
+        ).alias("score"),
+        F.col("same_entity").cast("int").alias("same_entity"),
+    )
+    return transitive_conflicts(scored, threshold=0.6).select(
+        "mention_id1", "mention_id2", "component", "score", "same_entity"
+    )
+
+
+ORACLES["q65_transitive_conflicts"] = ORACLES[
+    "q65_transitive_conflicts"
+].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

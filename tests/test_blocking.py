@@ -372,6 +372,32 @@ def test_fs_weights_hand_computed(spark):
     assert (r.n_match, r.m_prob, r.u_prob) == (0, 0.000001, 0.5)
 
 
+def test_transitive_conflicts_chain(spark):
+    """Chain a-b-c with strong direct edges and a weak a-c pair: the
+    closure puts a and c in one component, so (a, c) is the single
+    conflict; the weak pair (a, d) in another component is not."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        transitive_conflicts,
+    )
+
+    rows = [
+        ("a", "b", 0.9, 1),
+        ("b", "c", 0.8, 1),
+        ("a", "c", 0.3, 1),   # transitively merged, weak direct score
+        ("a", "d", 0.2, 0),   # d is isolated -> never a conflict
+        ("d", "e", 0.7, 1),   # separate component
+    ]
+    df = spark.createDataFrame(
+        rows, "mention_id1 string, mention_id2 string, score double,"
+        " same_entity int"
+    )
+    got = transitive_conflicts(df, threshold=0.6).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.mention_id1, r.mention_id2, r.component) == ("a", "c", "a")
+    assert (r.score, r.same_entity) == (0.3, 1)
+
+
 def test_threshold_sweep_empty_input(spark):
     """Zero pairs still yields n_bins total-ordered rows, all zeros."""
     from pubmed_and_method_spark.operators.er_metrics import threshold_sweep
