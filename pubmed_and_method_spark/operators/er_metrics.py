@@ -383,6 +383,106 @@ def transitive_conflicts(
     )
 
 
+def fs_em(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    n_iter: int = 5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter estimation by EM over the
+    agreement-pattern histogram — m/u probabilities and log2 evidence
+    weights per feature with NO labels, the estimator at the core of
+    every Splink-style production linker.
+
+    ``fs_weights`` needs truth labels; real linkage jobs rarely have
+    them.  EM exploits that the pair population is a two-component
+    mixture (matches / non-matches): E-step scores each agreement
+    pattern's match responsibility under naive-Bayes independence,
+    M-step re-estimates per-feature m_j, u_j and the match prevalence
+    λ from the responsibility-weighted counts.
+
+    Scale shape: the pair table is touched EXACTLY ONCE — a groupBy on
+    the k agreement flags (map-side partial agg) reduces 10^12 pairs
+    to at most 2^k pattern rows.  EM then iterates on that tiny
+    histogram driver-side (k=6 → ≤64 rows; this is the 2-row
+    class-count precedent, not a driver bottleneck).  Patterns are
+    summed in sorted order and every iteration's parameters are
+    clamped to [eps, 1-eps] and rounded to 12 decimals — a
+    deterministic sync point that makes the trajectory reproducible
+    bit-for-bit across engines and summation orders (the DuckDB oracle
+    re-runs the same unrolled iterations and must land on identical
+    round-6 outputs).
+
+    Returns one row per feature: (feature, m_prob, u_prob,
+    match_weight, disagree_weight, lambda_match), λ repeated on every
+    row, all round-6.
+    """
+    import math
+
+    k = len(agreement_cols)
+    hist = (
+        pairs.groupBy(
+            *[F.col(c).cast("int").alias(c) for c in agreement_cols]
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    # sorted pattern order => deterministic summation order
+    pats = sorted(
+        (tuple(int(r[c]) for c in agreement_cols), int(r["__n"]))
+        for r in hist
+    )
+
+    def sync(x: float) -> float:
+        return round(min(max(x, eps), 1.0 - eps), 12)
+
+    m = [sync(init_m)] * k
+    u = [sync(init_u)] * k
+    lam = sync(init_lambda)
+    for _ in range(n_iter):
+        sw = swc = 0.0
+        sma = [0.0] * k
+        sua = [0.0] * k
+        n_tot = 0
+        for a, n in pats:
+            pm = lam
+            pu = 1.0 - lam
+            for j in range(k):
+                pm *= m[j] if a[j] else 1.0 - m[j]
+                pu *= u[j] if a[j] else 1.0 - u[j]
+            w = pm / (pm + pu)
+            sw += w * n
+            swc += (1.0 - w) * n
+            n_tot += n
+            for j in range(k):
+                if a[j]:
+                    sma[j] += w * n
+                    sua[j] += (1.0 - w) * n
+        lam = sync(sw / n_tot) if n_tot else sync(init_lambda)
+        m = [sync(sma[j] / sw) if sw > 0 else m[j] for j in range(k)]
+        u = [sync(sua[j] / swc) if swc > 0 else u[j] for j in range(k)]
+    rows = [
+        (
+            c,
+            round(m[j], 6),
+            round(u[j], 6),
+            round(math.log2(m[j] / u[j]), 6),
+            round(math.log2((1.0 - m[j]) / (1.0 - u[j])), 6),
+            round(lam, 6),
+        )
+        for j, c in enumerate(agreement_cols)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        rows,
+        "feature string, m_prob double, u_prob double,"
+        " match_weight double, disagree_weight double,"
+        " lambda_match double",
+    ).orderBy("feature")
+
+
 def blocking_quality(
     signatures: DataFrame,
     labeled_pairs: DataFrame,

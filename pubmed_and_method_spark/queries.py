@@ -3549,6 +3549,198 @@ ORACLES["q65_transitive_conflicts"] = ORACLES[
 )
 
 
+_FS_EM_FEATURES = [
+    "name_jw_hi",
+    "given_jw_hi",
+    "lev_hi",
+    "token_hi",
+    "tool_hi",
+    "time_overlap",
+]
+
+
+def _fs_em_sql(n_iter: int = 5) -> str:
+    """Generate the q66 EM oracle: the fixed-point loop UNROLLED as
+    chained CTEs, one (w{{i}}, p{{i}}) pair per iteration.  Every
+    iteration's parameters are clamped to [1e-6, 1-1e-6] and rounded
+    to 12 decimals — the same cross-engine sync points fs_em applies —
+    so DuckDB's trajectory is bit-identical to the engine's.  Products
+    are written left-to-right in feature order to match fs_em's
+    multiplication order exactly."""
+    k = len(_FS_EM_FEATURES)
+    a = [f"a{j + 1}" for j in range(k)]
+    pat_cols = ", ".join(
+        f"{c} AS {a[j]}" for j, c in enumerate(_FS_EM_FEATURES)
+    )
+    p0 = ", ".join(
+        [f"CAST(0.9 AS DOUBLE) AS m{j + 1}" for j in range(k)]
+        + [f"CAST(0.1 AS DOUBLE) AS u{j + 1}" for j in range(k)]
+        + ["CAST(0.1 AS DOUBLE) AS lam"]
+    )
+    pm = " * ".join(
+        ["lam"]
+        + [
+            f"(CASE WHEN {a[j]} = 1 THEN m{j + 1} ELSE 1.0 - m{j + 1} END)"
+            for j in range(k)
+        ]
+    )
+    pu = " * ".join(
+        ["(1.0 - lam)"]
+        + [
+            f"(CASE WHEN {a[j]} = 1 THEN u{j + 1} ELSE 1.0 - u{j + 1} END)"
+            for j in range(k)
+        ]
+    )
+
+    def sync(x: str) -> str:
+        return f"round(greatest(least({x}, 1.0 - 1e-6), 1e-6), 12)"
+
+    ctes = []
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"w{i} AS (SELECT pat.*, {pm} AS pm, {pu} AS pu"
+            f" FROM pat CROSS JOIN p{i - 1})"
+        )
+        upd = [sync("sum(pm / (pm + pu) * n) / sum(n)") + " AS lam"]
+        for j in range(k):
+            upd.append(
+                sync(
+                    f"sum(CASE WHEN {a[j]} = 1 THEN pm / (pm + pu) * n"
+                    f" ELSE 0.0 END) / sum(pm / (pm + pu) * n)"
+                )
+                + f" AS m{j + 1}"
+            )
+            upd.append(
+                sync(
+                    f"sum(CASE WHEN {a[j]} = 1 THEN"
+                    f" (1.0 - pm / (pm + pu)) * n ELSE 0.0 END)"
+                    f" / sum((1.0 - pm / (pm + pu)) * n)"
+                )
+                + f" AS u{j + 1}"
+            )
+        ctes.append(f"p{i} AS (SELECT {', '.join(upd)} FROM w{i})")
+    finals = []
+    for j, c in enumerate(_FS_EM_FEATURES):
+        finals.append(
+            f"SELECT '{c}' AS feature,"
+            f" round(m{j + 1}, 6) AS m_prob,"
+            f" round(u{j + 1}, 6) AS u_prob,"
+            f" round(log2(m{j + 1} / u{j + 1}), 6) AS match_weight,"
+            f" round(log2((1.0 - m{j + 1}) / (1.0 - u{j + 1})), 6)"
+            f" AS disagree_weight,"
+            f" round(lam, 6) AS lambda_match FROM p{n_iter}"
+        )
+    return (
+        f"pat AS (SELECT {pat_cols}, count(*) AS n FROM fx"
+        f" GROUP BY {', '.join(str(j + 1) for j in range(k))}),\n"
+        f"    p0 AS (SELECT {p0}),\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    ORDER BY feature"
+    )
+
+
+@q(
+    "q66_fellegi_sunter_em",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks,
+               epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+        FROM t GROUP BY conv_id),
+    fx AS (
+        SELECT CAST(round(jaro_winkler_similarity(
+                        a.given_name || ' ' || a.surname,
+                        b.given_name || ' ' || b.surname), 6) >= 0.9
+                    AS INTEGER) AS name_jw_hi,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name, b.given_name), 6) >= 0.9
+                    AS INTEGER) AS given_jw_hi,
+               CAST(round(CASE WHEN greatest(len(a.given_name),
+                                             len(b.given_name)) = 0
+                               THEN 1.0
+                               ELSE 1.0 - levenshtein(a.given_name,
+                                                      b.given_name) * 1.0
+                                    / greatest(len(a.given_name),
+                                               len(b.given_name)) END, 6)
+                        >= 0.8 AS INTEGER) AS lev_hi,
+               CAST(round({{lj_toks}}, 6) >= 0.5 AS INTEGER) AS token_hi,
+               CAST(round({{lj_tools}}, 6) >= 0.5 AS INTEGER) AS tool_hi,
+               CAST(least(f1.tmax, f2.tmax) - greatest(f1.tmin, f2.tmin) > 0
+                    AS INTEGER) AS time_overlap
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id),
+    {{em_ctes}}
+    """,
+)
+def q66(spark, sf):
+    """UNSUPERVISED Fellegi-Sunter estimation
+    (operators/er_metrics.fs_em): EM over the agreement-pattern
+    histogram recovers m/u probabilities, log2 evidence weights, and
+    the match prevalence with NO truth labels — the Splink-core
+    estimator the reference (which trains supervised classifiers
+    exclusively) has no analog of.  The pair table is touched exactly
+    once (a 6-flag groupBy reduces any pair volume to <= 64 pattern
+    rows); EM iterates on that histogram with round-12 parameter sync
+    each step, and the DuckDB oracle re-runs the SAME five iterations
+    UNROLLED as chained CTEs — an iterative algorithm with a full
+    cross-engine value oracle."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_em
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    ag = feats.select(
+        (F.round("name_jw", 6) >= 0.9).alias("name_jw_hi"),
+        (F.round("given_jw", 6) >= 0.9).alias("given_jw_hi"),
+        (F.round("name_lev_ratio", 6) >= 0.8).alias("lev_hi"),
+        (F.round("token_jacc", 6) >= 0.5).alias("token_hi"),
+        (F.round("tool_jacc", 6) >= 0.5).alias("tool_hi"),
+        (F.col("time_overlap") == 1).alias("time_overlap"),
+    )
+    return fs_em(ag, _FS_EM_FEATURES, n_iter=5)
+
+
+ORACLES["q66_fellegi_sunter_em"] = ORACLES["q66_fellegi_sunter_em"].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    em_ctes=_fs_em_sql(5),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

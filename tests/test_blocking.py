@@ -398,6 +398,47 @@ def test_transitive_conflicts_chain(spark):
     assert (r.score, r.same_entity) == (0.3, 1)
 
 
+def test_fs_em_single_step_hand_computed(spark):
+    """k=1, n_iter=1: the E and M steps re-derived by hand from the
+    two-pattern histogram (4 agreeing pairs, 6 disagreeing), through
+    the same clamp+round-12 sync the operator applies."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_em
+
+    rows = [(1,)] * 4 + [(0,)] * 6
+    df = spark.createDataFrame(rows, "f int")
+    r = fs_em(df, ["f"], n_iter=1).collect()[0]
+    # E-step at (m,u,lam)=(0.9,0.1,0.1):
+    w1 = 0.1 * 0.9 / (0.1 * 0.9 + 0.9 * 0.1)          # = 0.5
+    w0 = 0.1 * 0.1 / (0.1 * 0.1 + 0.9 * 0.9)
+    sw, swc = w1 * 4 + w0 * 6, (1 - w1) * 4 + (1 - w0) * 6
+    lam = round(min(max(sw / 10, 1e-6), 1 - 1e-6), 12)
+    m = round(min(max(w1 * 4 / sw, 1e-6), 1 - 1e-6), 12)
+    u = round(min(max(w1 * 4 / swc, 1e-6), 1 - 1e-6), 12)
+    assert r.lambda_match == round(lam, 6)
+    assert r.m_prob == round(m, 6)
+    assert r.u_prob == round(u, 6)
+
+
+def test_fs_em_recovers_separation(spark):
+    """Well-separated unlabeled mixture (30% matches agreeing on both
+    features, 70% non-matches agreeing on neither): EM recovers
+    prevalence ~0.3, m near 1, u near 0, positive match weights —
+    with no labels anywhere.  Determinism: two runs identical."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_em
+
+    rows = [(1, 1)] * 30 + [(0, 0)] * 70
+    df = spark.createDataFrame(rows, "fa int, fb int")
+    got = fs_em(df, ["fa", "fb"], n_iter=5).collect()
+    for r in got:
+        assert 0.25 < r.lambda_match < 0.35
+        assert r.m_prob > 0.95
+        assert r.u_prob < 0.05
+        assert r.match_weight > 3.0
+        assert r.disagree_weight < -3.0
+    again = fs_em(df, ["fa", "fb"], n_iter=5).collect()
+    assert got == again
+
+
 def test_threshold_sweep_empty_input(spark):
     """Zero pairs still yields n_bins total-ordered rows, all zeros."""
     from pubmed_and_method_spark.operators.er_metrics import threshold_sweep
