@@ -124,6 +124,62 @@ def ann_recall_section(spark) -> list[str]:
     return lines
 
 
+def fs_section(spark) -> list[str]:
+    """Supervised (q64) vs unsupervised-EM (q66) Fellegi-Sunter
+    parameters side by side on the seed-42 corpus: the check that EM
+    recovers the labeled estimates with no labels, per feature."""
+    from pubmed_and_method_spark.queries import QUERIES
+
+    sup = {
+        r["feature"]: r
+        for r in QUERIES["q64_fellegi_sunter_weights"](spark, "").collect()
+    }
+    em = {
+        r["feature"]: r
+        for r in QUERIES["q66_fellegi_sunter_em"](spark, "").collect()
+    }
+    any_sup = next(iter(sup.values()))
+    n_m, n_n = any_sup["n_match"], any_sup["n_nonmatch"]
+    prev = n_m / (n_m + n_n)
+    lam = next(iter(em.values()))["lambda_match"]
+    lines = [
+        "## Fellegi-Sunter parameters: supervised vs unsupervised EM",
+        "",
+        "m = P(agree|match), u = P(agree|non-match), w = log2(m/u)",
+        "bits of evidence on agreement.  'sup' columns estimated from",
+        f"truth labels (q64, {n_m + n_n} candidate pairs); 'EM' columns",
+        "estimated by 5 EM iterations over the agreement-pattern",
+        "histogram with NO labels (q66).  Both DuckDB-value-oracled.",
+        "",
+        "| feature | m sup | m EM | u sup | u EM | w sup | w EM |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for f in sorted(sup):
+        s, e = sup[f], em[f]
+        lines.append(
+            f"| {f} | {s['m_prob']:.3f} | {e['m_prob']:.3f} "
+            f"| {s['u_prob']:.3f} | {e['u_prob']:.3f} "
+            f"| {s['match_weight']:+.2f} | {e['match_weight']:+.2f} |"
+        )
+    lines += [
+        "",
+        f"True match prevalence {prev:.3f} vs EM λ {lam:.3f}.  Reading:",
+        "every EM weight agrees with its supervised counterpart in",
+        "SIGN and ranking (tool_hi is the discriminator both ways;",
+        "the name thresholds carry ~0 bits because candidate pairs",
+        "already share surname + first initial — blocking absorbed",
+        "the name signal, the same effect as the ablation tables'",
+        "name-only collapse), but λ overshoots: the within-block",
+        "features separate weakly and are correlated, exactly the",
+        "independence violation the FS literature warns about.  On a",
+        "WELL-separated mixture EM recovers λ to ±0.05 with no labels",
+        "(tests/test_blocking.py::test_fs_em_recovers_separation);",
+        "this table is the honest behavior on a corpus where blocking",
+        "already ate the easy evidence.",
+    ]
+    return lines
+
+
 def _say(msg: str) -> None:
     """Timestamped, flushed progress line — the long sections run for
     tens of minutes and detached logs need liveness markers."""
@@ -248,10 +304,40 @@ def only_ann() -> int:
     return 0
 
 
+def only_fs() -> int:
+    """Regenerate ONLY the Fellegi-Sunter section of an existing
+    RESULTS.md (`--only-fs`): seconds vs the hours the model-fit
+    sections take.  Splices before the ANN grid (which `--only-ann`
+    partitions on, so the two partial-regen paths compose)."""
+    from pubmed_and_method_spark.session import get_spark
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "RESULTS.md"
+    )
+    with open(path) as f:
+        cur = f.read()
+    head, sep, tail = cur.partition("## ANN recall grid")
+    if not sep:
+        print("no ANN section found; run the full report", file=sys.stderr)
+        return 1
+    fs_head, fs_sep, _ = head.partition(
+        "## Fellegi-Sunter parameters"
+    )
+    if fs_sep:
+        head = fs_head
+    spark = get_spark(app_name="results_report_fs", cores="16")
+    lines = fs_section(spark)
+    out = head + "\n".join(lines) + "\n\n" + sep + tail
+    with open(path, "w") as f:
+        f.write(out)
+    print("\n".join(lines))
+    return 0
+
+
 #: where per-section row dumps live between `--section` runs and
 #: `--assemble` (machine-local scratch; survives the writing process)
 PARTS_DIR = os.environ.get("SPARK_GRAFT_RESULTS_PARTS", "/tmp/results_parts")
-SECTIONS = ("main", "hard05", "hard10", "ann")
+SECTIONS = ("main", "hard05", "hard10", "ann", "fs")
 
 
 def run_section(name: str, cores: str | None = None) -> int:
@@ -286,6 +372,8 @@ def run_section(name: str, cores: str | None = None) -> int:
                    "groups": groups, "models": models}
     elif name == "ann":
         payload = {"lines": ann_recall_section(spark)}
+    elif name == "fs":
+        payload = {"lines": fs_section(spark)}
     else:
         print(f"unknown section {name!r}; one of {SECTIONS}", file=sys.stderr)
         return 1
@@ -329,6 +417,8 @@ def main() -> int:
 
     if "--only-ann" in sys.argv:
         return only_ann()
+    if "--only-fs" in sys.argv:
+        return only_fs()
     if "--assemble" in sys.argv:
         return assemble()
     if "--section" in sys.argv:
@@ -467,6 +557,8 @@ def write_report(parts: dict) -> None:
         "shared by construction), so the full-stack margin over every",
         "ablation row is the multi-evidence design doing its job, as",
         "in the reference's exclusion study.",
+        "",
+        *parts["fs"]["lines"],
         "",
         *ann_lines,
         "",
