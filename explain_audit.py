@@ -85,6 +85,24 @@ AUDIT = [
     # literal centroids; the in-cluster pairing must be a hash join on
     # the cluster id, never a cartesian over the corpus
     ("q60_semantic_dedup", [r"codegen id : ", r"HashAggregate"], [r"CartesianProduct"]),
+    # threshold sweep: the pair table feeds ONE histogram HashAggregate;
+    # the cumulative window runs over n_bins post-agg rows only — no
+    # per-threshold rescans, no cartesian
+    ("q62_threshold_sweep", [r"HashAggregate", r"Window"], [r"CartesianProduct"]),
+    # B-cubed/V-measure: everything reduces through the (cluster,
+    # entity) contingency-cell HashAggregate; the three 1-row summary
+    # relations cross-join for free (the q52 documented cheap case)
+    ("q63_bcubed_vmeasure", [r"HashAggregate"], [r"CartesianProduct"]),
+    # FS weights: stack unpivot (Generate) + ONE feature-keyed
+    # HashAggregate — a single pass over the pair table
+    ("q64_fellegi_sunter_weights", [r"HashAggregate"], [r"CartesianProduct"]),
+    # transitive conflicts: CC components join the sub-threshold pairs
+    # via hash joins; never a pair-space cartesian
+    ("q65_transitive_conflicts", [r"codegen id : "], [r"CartesianProduct"]),
+    # q66 is deliberately absent: its OUTPUT plan is a LocalTableScan
+    # (<= 64 EM parameter rows built driver-side); the distributed work
+    # — the one-pass pattern-histogram groupBy — runs eagerly inside
+    # fs_em and is the same aggregate shape q64 audits.
 ]
 
 
