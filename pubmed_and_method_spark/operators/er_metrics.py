@@ -483,6 +483,44 @@ def fs_em(
     ).orderBy("feature")
 
 
+def fs_classify(
+    pairs: DataFrame,
+    weights: dict[str, tuple[float, float]],
+    upper: float,
+    lower: float,
+    score_alias: str = "llr",
+) -> DataFrame:
+    """The Fellegi-Sunter decision rule: score every pair by its total
+    log2 evidence and classify into the theory's THREE classes —
+    'link' (score >= upper), 'nonlink' (score <= lower), and the
+    'possible' clerical-review band between them that makes FS more
+    than a thresholded classifier.
+
+    ``weights`` maps each binary agreement column to its
+    (match_weight, disagree_weight) pair, as estimated by
+    ``fs_weights`` (supervised) or ``fs_em`` (label-free).  The model
+    is TINY (a handful of floats), so it is baked into the plan as
+    literals — the score is a pure codegen projection with no join, no
+    broadcast relation, no shuffle; at 10^12 pairs this adds zero
+    exchanges to whatever produced the pairs.  Appends
+    ``score_alias`` (round-6) and ``decision`` to the input columns.
+    """
+    terms = [
+        F.when(F.col(c).cast("int") == 1, F.lit(mw)).otherwise(F.lit(dw))
+        for c, (mw, dw) in weights.items()
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    score = F.round(total, 6)
+    return pairs.withColumn(score_alias, score).withColumn(
+        "decision",
+        F.when(score >= upper, "link")
+        .when(score <= lower, "nonlink")
+        .otherwise("possible"),
+    )
+
+
 def blocking_quality(
     signatures: DataFrame,
     labeled_pairs: DataFrame,

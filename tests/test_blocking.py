@@ -439,6 +439,33 @@ def test_fs_em_recovers_separation(spark):
     assert got == again
 
 
+def test_fs_classify_hand_computed(spark):
+    """Two-feature decision rule with hand weights: scores sum the
+    per-feature agreement/disagreement weights and the three-way
+    decision is inclusive at both thresholds (>= upper links,
+    <= lower rejects)."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_classify
+
+    weights = {"fa": (3.0, -1.0), "fb": (2.0, -2.0)}
+    rows = [
+        ("p1", 1, 1),   # 3 + 2 = 5 -> link
+        ("p2", 1, 0),   # 3 - 2 = 1 -> possible
+        ("p3", 0, 1),   # -1 + 2 = 1 -> possible
+        ("p4", 0, 0),   # -1 - 2 = -3 -> nonlink
+        ("p5", 1, 1),   # boundary: upper = 5 -> still link (>=)
+    ]
+    df = spark.createDataFrame(rows, "pid string, fa int, fb int")
+    got = {
+        r.pid: r for r in fs_classify(df, weights, upper=5.0, lower=-3.0)
+        .collect()
+    }
+    assert (got["p1"].llr, got["p1"].decision) == (5.0, "link")
+    assert (got["p2"].llr, got["p2"].decision) == (1.0, "possible")
+    assert (got["p3"].llr, got["p3"].decision) == (1.0, "possible")
+    assert (got["p4"].llr, got["p4"].decision) == (-3.0, "nonlink")
+    assert got["p5"].decision == "link"
+
+
 def test_threshold_sweep_empty_input(spark):
     """Zero pairs still yields n_bins total-ordered rows, all zeros."""
     from pubmed_and_method_spark.operators.er_metrics import threshold_sweep
