@@ -3915,6 +3915,128 @@ ORACLES["q67_fs_decision_rule"] = ORACLES["q67_fs_decision_rule"].format(
 )
 
 
+@q(
+    "q68_sorted_neighborhood_recovery",
+    f"""
+    WITH {{names_hard}},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id || '#assistant' AS mid, surname, given_name,
+               block_key
+        FROM wf WHERE block_key <> '__unblocked__'),
+    ranked AS (
+        SELECT mid, block_key,
+               row_number() OVER (ORDER BY surname, given_name, mid) - 1
+                   AS rnk
+        FROM members),
+    snb AS (
+        SELECT a.mid AS ma, b.mid AS mb,
+               CAST(b.rnk - a.rnk AS INTEGER) AS sort_dist,
+               a.block_key AS bk1, b.block_key AS bk2
+        FROM ranked a JOIN ranked b
+          ON b.rnk >= a.rnk + 1 AND b.rnk <= a.rnk + 5)
+    SELECT least(s.ma, s.mb) AS mention_id1,
+           greatest(s.ma, s.mb) AS mention_id2,
+           s.sort_dist,
+           CAST(t1.entity_id = t2.entity_id AS INTEGER) AS same_entity
+    FROM snb s
+    JOIN tr t1 ON t1.conv_id = split_part(s.ma, '#', 1)
+    JOIN tr t2 ON t2.conv_id = split_part(s.mb, '#', 1)
+    WHERE s.bk1 <> s.bk2
+    """,
+)
+def q68(spark, sf):
+    """Sorted-neighborhood blocking (pass 3,
+    operators/blocking.sorted_neighborhood_pairs): slide a width-6
+    window down the corpus ordered by (surname, given_name) and keep
+    the pairs NO equality block produced — on the HARD corpus a
+    surname char-swap typo severs the exact block, but the shared
+    sort-key prefix keeps the two mentions adjacent.  The reference
+    blocks only on key equality
+    (database/model_building_using_rich_features.sql:438-444); SNB is
+    the multi-pass complement from the record-linkage literature
+    (Hernandez & Stolfo, SIGMOD'95).  Scale: the global rank comes
+    from repartitionByRange + per-partition offsets (one
+    O(partitions) driver round-trip) — never a single-partition
+    window; pairing is one equi-join on shifted ranks.  DuckDB
+    re-derives the total order, every rank, window pair, cross-block
+    filter, and label."""
+    from pubmed_and_method_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    members = sig.filter(F.col("block_key") != "__unblocked__").select(
+        "mention_id", "surname", "given_name", "block_key"
+    )
+    snb = sorted_neighborhood_pairs(
+        members, ["surname", "given_name"], id_col="mention_id", window=6
+    )
+    bk = members.select("mention_id", "block_key")
+    truth = g.select("conv_id", "entity_id")
+    out = (
+        snb.join(
+            bk.select(
+                F.col("mention_id").alias("mention_id1"),
+                F.col("block_key").alias("bk1"),
+            ),
+            "mention_id1",
+        )
+        .join(
+            bk.select(
+                F.col("mention_id").alias("mention_id2"),
+                F.col("block_key").alias("bk2"),
+            ),
+            "mention_id2",
+        )
+        .filter(F.col("bk1") != F.col("bk2"))
+        .withColumn("conv1", F.substring_index("mention_id1", "#", 1))
+        .withColumn("conv2", F.substring_index("mention_id2", "#", 1))
+        .join(
+            F.broadcast(
+                truth.select(
+                    F.col("conv_id").alias("conv1"),
+                    F.col("entity_id").alias("e1"),
+                )
+            ),
+            "conv1",
+        )
+        .join(
+            F.broadcast(
+                truth.select(
+                    F.col("conv_id").alias("conv2"),
+                    F.col("entity_id").alias("e2"),
+                )
+            ),
+            "conv2",
+        )
+    )
+    return out.select(
+        F.least("mention_id1", "mention_id2").alias("mention_id1"),
+        F.greatest("mention_id1", "mention_id2").alias("mention_id2"),
+        "sort_dist",
+        (F.col("e1") == F.col("e2")).cast("int").alias("same_entity"),
+    )
+
+
+ORACLES["q68_sorted_neighborhood_recovery"] = ORACLES[
+    "q68_sorted_neighborhood_recovery"
+].format(names_hard=_NAMES_CTE_HARD_SQL)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -478,3 +478,33 @@ def test_threshold_sweep_empty_input(spark):
         == (0, 0, 0, 0.0, 0.0, 0.0)
         for r in rows
     )
+
+
+def test_sorted_neighborhood_rank_definition(spark):
+    """SNB pairs == every (i, i+d) of the total order for d < window,
+    independent of partition count (empty range partitions included);
+    window < 2 rejected."""
+    from pubmed_and_method_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(f"m{i:02d}", k) for i, k in enumerate("bacbddaacab")]
+    df = spark.createDataFrame(rows, "mid string, k string")
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    w = 3
+    expected = {
+        (order[i][0], order[i + d][0], d)
+        for i in range(len(order))
+        for d in range(1, w)
+        if i + d < len(order)
+    }
+    for nparts in (1, 3, 8):
+        got = {
+            (r.mid1, r.mid2, r.sort_dist)
+            for r in sorted_neighborhood_pairs(
+                df, ["k"], id_col="mid", window=w, num_partitions=nparts
+            ).collect()
+        }
+        assert got == expected, f"nparts={nparts}"
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, ["k"], id_col="mid", window=1)
