@@ -4037,6 +4037,157 @@ ORACLES["q68_sorted_neighborhood_recovery"] = ORACLES[
 ].format(names_hard=_NAMES_CTE_HARD_SQL)
 
 
+@q(
+    "q69_meta_blocking_wnp",
+    f"""
+    WITH {{names_hard}},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    named AS (SELECT * FROM wf WHERE block_key <> '__unblocked__'),
+    memb AS (
+        SELECT DISTINCT mid, key FROM (
+            SELECT conv_id || '#assistant' AS mid,
+                   'sn_' || surname AS key FROM named
+            UNION ALL
+            SELECT conv_id || '#assistant', 'gv_' || given_name FROM named
+            UNION ALL
+            SELECT conv_id || '#assistant',
+                   'ph_' || {{phon}} FROM named
+            UNION ALL
+            SELECT w.conv_id || '#assistant', 'tl_' || d.tool
+            FROM (SELECT DISTINCT conv_id, tool FROM t WHERE tool <> '') d
+            JOIN named w ON w.conv_id = d.conv_id)),
+    purged AS (
+        SELECT * FROM memb WHERE key IN (
+            SELECT key FROM memb GROUP BY key HAVING count(*) <= 25)),
+    nb AS (SELECT mid, count(*) AS nb FROM purged GROUP BY mid),
+    pairs AS (
+        SELECT a.mid AS m1, b.mid AS m2, count(*) AS cbs
+        FROM purged a JOIN purged b ON a.key = b.key AND a.mid < b.mid
+        GROUP BY 1, 2),
+    wts AS (
+        SELECT p.m1, p.m2, p.cbs, n1.nb AS nb1, n2.nb AS nb2,
+               p.cbs * 1.0 / (n1.nb + n2.nb - p.cbs) AS js
+        FROM pairs p
+        JOIN nb n1 ON n1.mid = p.m1
+        JOIN nb n2 ON n2.mid = p.m2),
+    thr AS (
+        SELECT mid, avg(w) AS thr FROM (
+            SELECT m1 AS mid, cbs AS w FROM wts
+            UNION ALL SELECT m2, cbs FROM wts) GROUP BY mid)
+    SELECT w.m1 AS mention_id1, w.m2 AS mention_id2, w.cbs,
+           round(w.js, 6) AS js,
+           CAST(w.cbs >= t1.thr OR w.cbs >= t2.thr AS INTEGER) AS kept,
+           CAST(tr1.entity_id = tr2.entity_id AS INTEGER) AS same_entity
+    FROM wts w
+    JOIN thr t1 ON t1.mid = w.m1
+    JOIN thr t2 ON t2.mid = w.m2
+    JOIN tr tr1 ON tr1.conv_id = split_part(w.m1, '#', 1)
+    JOIN tr tr2 ON tr2.conv_id = split_part(w.m2, '#', 1)
+    """,
+)
+def q69(spark, sf):
+    """Meta-blocking with weighted node pruning
+    (operators/meta_blocking): a schema-agnostic redundancy-positive
+    block collection — surname / given / phonetic / per-tool token
+    keys, oversized blocks purged — is restructured into a pair graph
+    weighted by block overlap (CBS + Jaccard), then pruned per node:
+    an edge survives iff its weight reaches the MEAN incident weight
+    of either endpoint (Papadakis et al., TKDE'13).  The precision
+    lever for the regime where no single hand-designed key (the
+    reference's only mechanism) survives typos.  All weights are
+    integer ratios, so cross-engine value parity is exact; DuckDB
+    re-derives the purge, every CBS/Jaccard weight, both node
+    thresholds, and every keep/prune decision."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.meta_blocking import (
+        pair_block_weights,
+        weighted_node_pruning,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    named = sig.filter(F.col("block_key") != "__unblocked__")
+    mid = F.col("mention_id")
+    members = (
+        named.select(mid, F.concat(F.lit("sn_"), "surname").alias("block_key"))
+        .unionAll(
+            named.select(
+                mid, F.concat(F.lit("gv_"), "given_name").alias("block_key")
+            )
+        )
+        .unionAll(
+            named.select(
+                mid,
+                F.concat(F.lit("ph_"), phonetic_key("surname")).alias(
+                    "block_key"
+                ),
+            )
+        )
+        .unionAll(
+            named.select(mid, F.explode("tool_profile").alias("tool")).select(
+                mid, F.concat(F.lit("tl_"), "tool").alias("block_key")
+            )
+        )
+    )
+    w = pair_block_weights(members, max_block_size=25)
+    p = weighted_node_pruning(w, weight_col="cbs")
+    truth = g.select("conv_id", "entity_id")
+    out = (
+        p.withColumn("conv1", F.substring_index("mention_id1", "#", 1))
+        .withColumn("conv2", F.substring_index("mention_id2", "#", 1))
+        .join(
+            F.broadcast(
+                truth.select(
+                    F.col("conv_id").alias("conv1"),
+                    F.col("entity_id").alias("e1"),
+                )
+            ),
+            "conv1",
+        )
+        .join(
+            F.broadcast(
+                truth.select(
+                    F.col("conv_id").alias("conv2"),
+                    F.col("entity_id").alias("e2"),
+                )
+            ),
+            "conv2",
+        )
+    )
+    return out.select(
+        "mention_id1",
+        "mention_id2",
+        "cbs",
+        F.round("js", 6).alias("js"),
+        "kept",
+        (F.col("e1") == F.col("e2")).cast("int").alias("same_entity"),
+    )
+
+
+def _q69_phon_sql() -> str:
+    from pubmed_and_method_spark.functions.names import phonetic_key_sql
+
+    return phonetic_key_sql("surname")
+
+
+ORACLES["q69_meta_blocking_wnp"] = ORACLES["q69_meta_blocking_wnp"].format(
+    names_hard=_NAMES_CTE_HARD_SQL,
+    phon=_q69_phon_sql(),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

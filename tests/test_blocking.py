@@ -508,3 +508,50 @@ def test_sorted_neighborhood_rank_definition(spark):
         assert got == expected, f"nparts={nparts}"
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, ["k"], id_col="mid", window=1)
+
+
+def test_meta_blocking_hand_computed(spark):
+    """4-record token-block collection with one purged oversized
+    block: CBS/Jaccard weights and WNP keep/prune decisions match the
+    hand derivation (incl. edges kept only via the weaker endpoint's
+    threshold)."""
+    from pubmed_and_method_spark.operators.meta_blocking import (
+        pair_block_weights,
+        weighted_node_pruning,
+    )
+
+    memb = [
+        ("b1", "A"), ("b1", "B"), ("b1", "C"),
+        ("b2", "A"), ("b2", "B"),
+        ("b3", "B"), ("b3", "C"), ("b3", "D"),
+        ("b4", "A"), ("b4", "D"),
+        # oversized (4 > 3): must be purged before pairing
+        ("b5", "A"), ("b5", "B"), ("b5", "C"), ("b5", "D"),
+    ]
+    df = spark.createDataFrame(memb, "block_key string, mention_id string")
+    w = pair_block_weights(df, max_block_size=3)
+    got = {
+        (r.mention_id1, r.mention_id2): (r.cbs, r.nb1, r.nb2, r.js)
+        for r in w.collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 3, 3, 0.5),
+        ("A", "C"): (1, 3, 2, 0.25),
+        ("A", "D"): (1, 3, 2, 0.25),
+        ("B", "C"): (2, 3, 2, 2 / 3),
+        ("B", "D"): (1, 3, 2, 0.25),
+        ("C", "D"): (1, 2, 2, 1 / 3),
+    }
+    pruned = weighted_node_pruning(w, weight_col="cbs")
+    kept = {
+        (r.mention_id1, r.mention_id2): r.kept for r in pruned.collect()
+    }
+    # node means: A=4/3, B=5/3, C=4/3, D=1
+    assert kept == {
+        ("A", "B"): 1,   # 2 >= 4/3
+        ("A", "C"): 0,   # 1 < 4/3 both sides -> the pruned edge
+        ("A", "D"): 1,   # kept only via D's threshold (1 >= 1)
+        ("B", "C"): 1,
+        ("B", "D"): 1,   # kept only via D
+        ("C", "D"): 1,   # kept only via D
+    }
