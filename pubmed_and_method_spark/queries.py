@@ -4188,6 +4188,164 @@ ORACLES["q69_meta_blocking_wnp"] = ORACLES["q69_meta_blocking_wnp"].format(
 )
 
 
+def _star_sql(rounds: int) -> str:
+    """Generate the q70 oracle suffix: the SAME ``rounds`` peel rounds
+    star_clusters runs, unrolled as chained CTEs (two per round:
+    new-centers then status update — same-round centers must be
+    visible to the cover step), then the (w, cdeg, id) struct-max
+    satellite assignment."""
+    # every CTE is MATERIALIZED: DuckDB inlines multiply-referenced
+    # CTEs by default, and the round chain references each s{k} several
+    # times — inlining re-expands the whole chain per reference
+    # (exponential plan, "too many open files" on the base parquet)
+    parts = [
+        """sadj AS MATERIALIZED (
+        SELECT m1 AS a, m2 AS b, s AS w FROM sedges
+        UNION ALL SELECT m2, m1, s FROM sedges),
+    dg AS MATERIALIZED (SELECT a, count(*) AS deg FROM sadj GROUP BY a),
+    s0 AS MATERIALIZED (SELECT a AS node, deg, 0 AS status FROM dg)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+        SELECT u.node FROM {p} u
+        WHERE u.status = 0 AND NOT EXISTS (
+            SELECT 1 FROM sadj e JOIN {p} v ON v.node = e.b
+            WHERE e.a = u.node AND v.status = 0
+              AND (v.deg > u.deg
+                   OR (v.deg = u.deg AND v.node > u.node))))"""
+        )
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+        SELECT q.node, q.deg,
+               CASE WHEN q.status <> 0 THEN q.status
+                    WHEN q.node IN (SELECT node FROM c{k}) THEN 1
+                    WHEN EXISTS (SELECT 1 FROM sadj e JOIN c{k} c
+                                 ON c.node = e.b
+                                 WHERE e.a = q.node) THEN 2
+                    ELSE 0 END AS status
+        FROM {p} q)"""
+        )
+    tail = f"""centers AS MATERIALIZED (SELECT node, deg FROM s{rounds} WHERE status = 1),
+    sat AS (
+        SELECT e.a AS node,
+               max(struct_pack(w := e.w, cdeg := c.deg, b := e.b)) AS best
+        FROM sadj e JOIN centers c ON c.node = e.b
+        WHERE e.a NOT IN (SELECT node FROM centers)
+        GROUP BY e.a)
+    SELECT node AS mention_id, node AS center, 1 AS is_center FROM centers
+    UNION ALL
+    SELECT node AS mention_id, best.b AS center, 0 AS is_center FROM sat"""
+    return ",\n    ".join(parts) + ",\n    " + tail
+
+
+_STAR_ROUNDS = 8
+_STAR_THR = 0.55
+
+
+@q(
+    "q70_star_clusters",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    sc AS (
+        SELECT a.conv_id || '#assistant' AS m1,
+               b.conv_id || '#assistant' AS m2,
+               round((round(jaro_winkler_similarity(
+                          a.given_name || ' ' || a.surname,
+                          b.given_name || ' ' || b.surname), 6)
+                      + round({{lj_toks}}, 6)
+                      + round({{lj_tools}}, 6)) / 3, 6) AS s
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id),
+    sedges AS MATERIALIZED (SELECT * FROM sc WHERE s >= {_STAR_THR}),
+    {{star}}
+    """,
+)
+def q70(spark, sf):
+    """Star clustering of the match graph
+    (operators/star_clustering.star_clusters): bounded-diameter
+    clusters (every satellite directly match-adjacent to its center)
+    instead of the unbounded chain welds of transitive closure — the
+    reference's only clustering is the namespace weld
+    (database/and_datasets.sql:56-68), where one false edge anywhere
+    in a chain merges two entities.  Centers are the greedy
+    (degree, id)-priority MIS computed by the derandomized parallel
+    peel; satellites attach by (edge weight, center degree, id)
+    struct max.  The DuckDB oracle unrolls the SAME peel rounds as
+    chained CTEs (the q66 iterative-oracle pattern) and re-derives
+    every center election and satellite assignment."""
+    from pubmed_and_method_spark.operators.star_clustering import (
+        star_clusters,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    edges = feats.select(
+        "mention_id1",
+        "mention_id2",
+        F.round(
+            (
+                F.round("name_jw", 6)
+                + F.round("token_jacc", 6)
+                + F.round("tool_jacc", 6)
+            )
+            / 3,
+            6,
+        ).alias("score"),
+    ).filter(F.col("score") >= _STAR_THR)
+    return star_clusters(
+        edges,
+        id_cols=("mention_id1", "mention_id2"),
+        weight_col="score",
+        rounds=_STAR_ROUNDS,
+    ).select(
+        F.col("node").alias("mention_id"), "center", "is_center"
+    )
+
+
+ORACLES["q70_star_clusters"] = ORACLES["q70_star_clusters"].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    star=_star_sql(_STAR_ROUNDS),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

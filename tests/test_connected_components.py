@@ -156,3 +156,46 @@ def test_cluster_size_stats_hand_computed(spark):
         spark.createDataFrame([], "id int, component int")
     )
     assert empty.count() == 0
+
+
+def test_star_clusters_path_and_weights(spark):
+    """6-path: peel produces centers {p5, p3, p1} (3 bounded-diameter
+    stars where CC would weld all 6); satellite assignment prefers
+    edge WEIGHT over center degree; under-provisioned rounds raise."""
+    import pytest
+
+    from pubmed_and_method_spark.operators.star_clustering import (
+        star_clusters,
+    )
+
+    path = [(f"p{i}", f"p{i+1}", 1.0) for i in range(1, 6)]
+    df = spark.createDataFrame(path, "id1 string, id2 string, w double")
+    got = {
+        r.node: (r.center, r.is_center)
+        for r in star_clusters(df, weight_col="w").collect()
+    }
+    assert got == {
+        "p5": ("p5", 1), "p3": ("p3", 1), "p1": ("p1", 1),
+        "p4": ("p5", 0), "p6": ("p5", 0), "p2": ("p3", 0),
+    }
+
+    # s sits between center c1 (w .9, deg 3) and center c2 (w .5,
+    # deg 4): weight dominates the (w, cdeg, id) struct order
+    star2 = [
+        ("c1", "a1", 1.0), ("c1", "a2", 1.0), ("c1", "s", 0.9),
+        ("c2", "b1", 1.0), ("c2", "b2", 1.0), ("c2", "b3", 1.0),
+        ("c2", "s", 0.5),
+    ]
+    df2 = spark.createDataFrame(star2, "id1 string, id2 string, w double")
+    got2 = {
+        r.node: (r.center, r.is_center)
+        for r in star_clusters(df2, weight_col="w").collect()
+    }
+    assert got2["s"] == ("c1", 0)
+    assert got2["c1"] == ("c1", 1) and got2["c2"] == ("c2", 1)
+    assert {n for n, (c, _) in got2.items() if c == "c2"} == {
+        "c2", "b1", "b2", "b3",
+    }
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        star_clusters(df, weight_col="w", rounds=1)
