@@ -103,6 +103,22 @@ AUDIT = [
     # (<= 64 EM parameter rows built driver-side); the distributed work
     # — the one-pass pattern-histogram groupBy — runs eagerly inside
     # fs_em and is the same aggregate shape q64 audits.
+    # FS decision rule: weights are plan literals — the score/decision
+    # must be a codegen projection adding no join beyond pair assembly
+    ("q67_fs_decision_rule", [r"codegen id : "], [r"CartesianProduct"]),
+    # sorted neighborhood: rank pairing is ONE shuffled hash join on
+    # the shifted rank (plus the tiny broadcast offset map); never a
+    # single-partition global Window and never a cartesian
+    ("q68_sorted_neighborhood_recovery", [r"codegen id : ", r"Window"], [r"CartesianProduct"]),
+    # meta-blocking: CBS reduces per-block pairs through a HashAggregate
+    # (map-side partial agg); node thresholds/blk counts join back as
+    # hash joins — per-record tables must never broadcast... the
+    # BroadcastHashJoins present are the truth/oversized-key dims only
+    ("q69_meta_blocking_wnp", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # star clustering: q70's OUTPUT plan reflects the final
+    # centers/satellite assembly (checkpointed peel rounds collapse to
+    # scans); the guard is the same as CC — hash joins only
+    ("q70_star_clusters", [r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
