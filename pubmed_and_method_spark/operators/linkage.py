@@ -1,0 +1,116 @@
+"""One-to-one record linkage: greedy max-weight bipartite matching by
+parallel local dominance.
+
+The reference links catalogs with unconstrained similarity joins plus
+a 1:1 pre-enforcement filter (J7; database/
+link_pubmed_to_aminer_amg_s2.sql) — every left record keeps its best
+right INDEPENDENTLY, so two lefts can claim the same right and a
+homonym silently double-links.  The linkage-correct discipline is a
+MATCHING: each record on either side used at most once, conflicts
+resolved globally by score.
+
+Exact max-weight matching is sequential (Hungarian); the standard
+scalable surrogate is GREEDY matching by descending (score, l, r) —
+a 1/2-approximation with strong practical quality.  Sequential greedy
+is also unparallelizable as written, so we run its provably
+equivalent parallel form (the same local-dominance argument as the
+star-clustering peel): each round, an edge is matched iff it is the
+priority maximum of BOTH endpoints' surviving edges ("locally
+dominant"); matched endpoints leave the graph; repeat.  Every round
+matches at least the globally maximum surviving edge, and with a
+total priority order the union of rounds is EXACTLY the sequential
+greedy matching.
+
+Scale: per round, two keyed max-aggregations (map-side partial) + two
+hash semi/anti joins on a strictly shrinking edge set; state is
+localCheckpoint-pinned like the CC operator.  Worst case is an
+equal-score bipartite clique (c rounds for a c-clique — greedy is
+inherently serial there), which is why ``rounds`` is explicit and the
+operator RAISES on non-convergence instead of silently truncating:
+the output stays a pure function of (pairs, rounds), which is what
+lets a SQL oracle unroll the identical rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def greedy_one_to_one(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    score_col: str = "score",
+    rounds: int = 12,
+) -> DataFrame:
+    """Greedy 1:1 matching of a scored bipartite pair table.
+
+    Returns (left_col, right_col, score_col, round_matched) — one row
+    per matched pair; records whose every candidate lost a conflict
+    are simply absent (unmatched).  Raises if conflicts survive all
+    ``rounds``.
+    """
+    e = pairs.select(
+        F.col(left_col).alias("l"),
+        F.col(right_col).alias("r"),
+        F.col(score_col).cast("double").alias("s"),
+    ).localCheckpoint(eager=True)
+    matched: list[DataFrame] = []
+
+    for k in range(1, rounds + 1):
+        if e.isEmpty():
+            break
+        bl = e.groupBy("l").agg(
+            F.max(
+                F.struct(F.col("s").alias("s"), F.col("r").alias("o"))
+            ).alias("bl")
+        )
+        br = e.groupBy("r").agg(
+            F.max(
+                F.struct(F.col("s").alias("s"), F.col("l").alias("o"))
+            ).alias("br")
+        )
+        m = (
+            e.join(bl, "l")
+            .filter(
+                F.struct(F.col("s").alias("s"), F.col("r").alias("o"))
+                == F.col("bl")
+            )
+            .join(br, "r")
+            .filter(
+                F.struct(F.col("s").alias("s"), F.col("l").alias("o"))
+                == F.col("br")
+            )
+            .select("l", "r", "s", F.lit(k).alias("round_matched"))
+            .localCheckpoint(eager=True)
+        )
+        matched.append(m)
+        e = (
+            e.join(m.select("l"), "l", "left_anti")
+            .join(m.select("r"), "r", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    if not e.isEmpty():
+        n = e.count()
+        raise RuntimeError(
+            f"greedy matching did not converge in {rounds} rounds: "
+            f"{n} conflicted pairs remain — raise `rounds`"
+        )
+
+    spark = pairs.sparkSession
+    if not matched:
+        out = spark.createDataFrame(
+            [], "l string, r string, s double, round_matched int"
+        )
+    else:
+        out = matched[0]
+        for m in matched[1:]:
+            out = out.unionAll(m)
+    return out.select(
+        F.col("l").alias(left_col),
+        F.col("r").alias(right_col),
+        F.col("s").alias(score_col),
+        "round_matched",
+    )

@@ -4346,6 +4346,219 @@ ORACLES["q70_star_clusters"] = ORACLES["q70_star_clusters"].format(
 )
 
 
+# hard-corpus names chain with every CTE renamed (t_h/fa_h/nk_h) so it
+# can share one WITH clause with the clean chain in cross-catalog
+# oracles
+_NAMES_CTE_HARD_RENAMED = (
+    _NAMES_CTE_HARD_SQL
+    .replace("t AS (SELECT * FROM", "t_h AS (SELECT * FROM")
+    .replace("fa AS (", "fa_h AS (")
+    .replace("FROM t WHERE role", "FROM t_h WHERE role")
+    .replace("nk AS (", "nk_h AS (")
+    .replace("FROM fa))", "FROM fa_h))")
+)
+
+
+def _greedy_match_sql(rounds: int) -> str:
+    """Generate the q71 oracle suffix: the SAME ``rounds`` local-
+    dominance matching rounds greedy_one_to_one runs, unrolled as
+    chained MATERIALIZED CTEs (two per round: mutual-best selection,
+    then survivor filtering)."""
+    parts = ["e0 AS MATERIALIZED (SELECT l, r, s FROM cand)"]
+    for k in range(1, rounds + 1):
+        p = f"e{k - 1}"
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+        SELECT e.l, e.r, e.s FROM {p} e
+        JOIN (SELECT l, max(struct_pack(s := s, o := r)) AS b
+              FROM {p} GROUP BY l) bl
+          ON bl.l = e.l AND bl.b.s = e.s AND bl.b.o = e.r
+        JOIN (SELECT r, max(struct_pack(s := s, o := l)) AS b
+              FROM {p} GROUP BY r) br
+          ON br.r = e.r AND br.b.s = e.s AND br.b.o = e.l)"""
+        )
+        parts.append(
+            f"""e{k} AS MATERIALIZED (
+        SELECT * FROM {p}
+        WHERE l NOT IN (SELECT l FROM m{k})
+          AND r NOT IN (SELECT r FROM m{k}))"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT l, r, s, {k} AS round_matched FROM m{k}"
+        for k in range(1, rounds + 1)
+    )
+    tail = f"""matches AS (
+        {unions})
+    SELECT m.l AS left_conv, m.r AS right_conv, m.s AS score,
+           m.round_matched,
+           CAST(t1.entity_id = t2.entity_id AS INTEGER) AS correct
+    FROM matches m
+    JOIN tr_l t1 ON t1.conv_id = m.l
+    JOIN tr_r t2 ON t2.conv_id = m.r"""
+    return ",\n    ".join(parts) + ",\n    " + tail
+
+
+_MATCH_ROUNDS = 8
+
+
+@q(
+    "q71_one_to_one_linkage",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    {{names_hard}},
+    tr_l AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    tr_r AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    wf_h AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk_h)),
+    sigf AS (
+        SELECT conv_id, coalesce(list_distinct({{toks}}),
+                                 CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    sigf_h AS (
+        SELECT conv_id, coalesce(list_distinct({{toks_h}}),
+                                 CAST([] AS VARCHAR[])) AS toks
+        FROM t_h GROUP BY conv_id),
+    ml AS (
+        SELECT w.conv_id, w.given_name || ' ' || w.surname AS name,
+               {{phon}} AS ph, f.toks
+        FROM wf w JOIN sigf f ON f.conv_id = w.conv_id
+        WHERE w.block_key <> '__unblocked__'),
+    mr AS (
+        SELECT w.conv_id, w.given_name || ' ' || w.surname AS name,
+               {{phon}} AS ph, f.toks
+        FROM wf_h w JOIN sigf_h f ON f.conv_id = w.conv_id
+        WHERE w.block_key <> '__unblocked__'),
+    cand AS (
+        SELECT * FROM (
+            SELECT a.conv_id AS l, b.conv_id AS r,
+                   round(jaro_winkler_similarity(a.name, b.name), 6)
+                          + round({{lj}}, 6) AS s
+            FROM ml a JOIN mr b ON a.ph = b.ph)
+        WHERE s >= 1.0),
+    {{match}}
+    """,
+)
+def q71(spark, sf):
+    """Cross-catalog 1:1 record linkage
+    (operators/linkage.greedy_one_to_one): the clean corpus linked to
+    its hard (typo/homonym) twin — same entity universe, two noisy
+    views — under a MATCHING constraint: each record on either side
+    used at most once, conflicts resolved by greedy descending
+    (score, l, r), computed as the parallel local-dominance peel
+    (provably the sequential greedy result).  The reference's catalog
+    links keep every left's best right independently
+    (database/link_pubmed_to_aminer_amg_s2.sql), so homonyms
+    double-link; the matching constraint is the linkage-correct
+    discipline.  Score blends name JW with content token jaccard —
+    identical homonym NAMES tie at JW=1.0 and would serialize the
+    greedy into clique-sized rounds; content breaks the tie (6 rounds
+    measured vs 28 name-only); the blend is the SUM of the two round-6
+    components (a /2 mean lands on x.xxxxxx5 half-ulp boundaries that
+    round differently across engines).  DuckDB unrolls the same 8 rounds and
+    re-derives every mutual-best election and survivor set."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.functions.strings import (
+        jaro_winkler_udf,
+        token_jaccard,
+    )
+    from pubmed_and_method_spark.operators.linkage import greedy_one_to_one
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    tc, gc = transcripts_df(spark, seed=42)
+    th, gh = transcripts_df(spark, seed=42, hardness=0.7)
+
+    def side(t, tag):
+        s = build_signatures(t, tfidf=False).filter(
+            F.col("block_key") != "__unblocked__"
+        )
+        return s.select(
+            F.col("conv_id").alias(f"{tag}_conv"),
+            F.concat_ws(" ", "given_name", "surname").alias(f"{tag}_name"),
+            F.col("tokens").alias(f"{tag}_toks"),
+            phonetic_key("surname").alias(f"{tag}_ph"),
+        )
+
+    L, R = side(tc, "l"), side(th, "r")
+    cand = (
+        L.join(R, L["l_ph"] == R["r_ph"])
+        .withColumn(
+            # SUM of the two round-6 components, not their mean: a /2
+            # can land exactly on the x.xxxxxx5 rounding boundary and
+            # flip the last digit across engines; the sum stays on the
+            # 1e-6 grid (monotone-equivalent for matching order)
+            "score",
+            F.round(jaro_winkler_udf("l_name", "r_name"), 6)
+            + F.round(token_jaccard("l_toks", "r_toks"), 6),
+        )
+        .filter(F.col("score") >= 1.0)
+        .select("l_conv", "r_conv", "score")
+    )
+    m = greedy_one_to_one(
+        cand, "l_conv", "r_conv", "score", rounds=_MATCH_ROUNDS
+    )
+    return (
+        m.join(
+            F.broadcast(
+                gc.select(
+                    F.col("conv_id").alias("l_conv"),
+                    F.col("entity_id").alias("e1"),
+                ).distinct()
+            ),
+            "l_conv",
+        )
+        .join(
+            F.broadcast(
+                gh.select(
+                    F.col("conv_id").alias("r_conv"),
+                    F.col("entity_id").alias("e2"),
+                ).distinct()
+            ),
+            "r_conv",
+        )
+        .select(
+            F.col("l_conv").alias("left_conv"),
+            F.col("r_conv").alias("right_conv"),
+            "score",
+            "round_matched",
+            (F.col("e1") == F.col("e2")).cast("int").alias("correct"),
+        )
+    )
+
+
+ORACLES["q71_one_to_one_linkage"] = ORACLES["q71_one_to_one_linkage"].format(
+    names_hard=_NAMES_CTE_HARD_RENAMED,
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    toks_h=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    phon=_q69_phon_sql(),
+    lj=_LJ.format(a="a.toks", b="b.toks"),
+    match=_greedy_match_sql(_MATCH_ROUNDS),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

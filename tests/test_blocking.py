@@ -555,3 +555,47 @@ def test_meta_blocking_hand_computed(spark):
         ("B", "D"): 1,   # kept only via D
         ("C", "D"): 1,   # kept only via D
     }
+
+
+def test_greedy_one_to_one_matching(spark):
+    """Parallel local-dominance matching == sequential greedy by
+    (score, l, r): conflict resolution across rounds, rank-aligned
+    resolution of an equal-score clique (one match per round), and the
+    non-convergence guard."""
+    from pubmed_and_method_spark.operators.linkage import greedy_one_to_one
+
+    edges = [
+        ("L1", "R1", 0.9), ("L1", "R2", 0.8),
+        ("L2", "R1", 0.8), ("L2", "R2", 0.7),
+    ]
+    df = spark.createDataFrame(edges, "left_id string, right_id string, score double")
+    got = {
+        (r.left_id, r.right_id): r.round_matched
+        for r in greedy_one_to_one(df).collect()
+    }
+    assert got == {("L1", "R1"): 1, ("L2", "R2"): 2}
+
+    clique = [
+        (l, r, 0.5) for l in ("L1", "L2", "L3") for r in ("R1", "R2", "R3")
+    ]
+    cdf = spark.createDataFrame(
+        clique, "left_id string, right_id string, score double"
+    )
+    got2 = {
+        (r.left_id, r.right_id): r.round_matched
+        for r in greedy_one_to_one(cdf).collect()
+    }
+    # ties break by descending id: (L3,R3) then (L2,R2) then (L1,R1)
+    assert got2 == {
+        ("L3", "R3"): 1, ("L2", "R2"): 2, ("L1", "R1"): 3,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        greedy_one_to_one(cdf, rounds=2)
+
+    empty = spark.createDataFrame(
+        [], "left_id string, right_id string, score double"
+    )
+    assert greedy_one_to_one(empty).count() == 0
