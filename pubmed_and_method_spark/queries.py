@@ -4559,6 +4559,134 @@ ORACLES["q71_one_to_one_linkage"] = ORACLES["q71_one_to_one_linkage"].format(
 )
 
 
+@q(
+    "q72_pprl_bloom_dice",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    {{names_hard}},
+    tr_l AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    tr_r AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    wf_h AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk_h)),
+    ml AS (
+        SELECT conv_id, given_name || ' ' || surname AS name,
+               {{phon}} AS ph
+        FROM wf WHERE block_key <> '__unblocked__'),
+    mr AS (
+        SELECT conv_id, given_name || ' ' || surname AS name,
+               {{phon}} AS ph
+        FROM wf_h WHERE block_key <> '__unblocked__'),
+    mlb AS (SELECT conv_id, ph, {{bloom}} AS bloom FROM ml),
+    mrb AS (SELECT conv_id, ph, {{bloom}} AS bloom FROM mr)
+    SELECT a.conv_id AS left_conv, b.conv_id AS right_conv,
+           round(2.0 * len(list_intersect(a.bloom, b.bloom))
+                 / (len(a.bloom) + len(b.bloom)), 6) AS dice,
+           CAST(t1.entity_id = t2.entity_id AS INTEGER) AS same_entity
+    FROM mlb a
+    JOIN mrb b ON a.ph = b.ph
+    JOIN tr_l t1 ON t1.conv_id = a.conv_id
+    JOIN tr_r t2 ON t2.conv_id = b.conv_id
+    WHERE 2.0 * len(list_intersect(a.bloom, b.bloom))
+          / (len(a.bloom) + len(b.bloom)) >= 0.4
+    """,
+)
+def q72(spark, sf):
+    """Privacy-preserving record linkage (operators/pprl): the clean
+    and hard catalogs compare BLOOM-ENCODED names only — padded
+    character bigrams, 4 md5-seeded positions each mod 256, shared as
+    sparse sorted bit-position arrays — and link by Dice similarity
+    of the encodings (Schnell et al. 2009), the standard primitive
+    when plaintext names may not cross the catalog boundary (the
+    reference compares plaintext everywhere,
+    src/eutilities/string_utils.py).  Encoding is pure native
+    array/hash exprs (no UDF, no shuffle); Dice is an exact integer
+    ratio.  DuckDB re-derives every encoding bit-for-bit from the
+    same md5 space and every Dice value and threshold decision."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.pprl import (
+        bloom_bits,
+        dice_similarity,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    tc, gc = transcripts_df(spark, seed=42)
+    th, gh = transcripts_df(spark, seed=42, hardness=0.7)
+
+    def side(t, tag):
+        s = build_signatures(t, tfidf=False).filter(
+            F.col("block_key") != "__unblocked__"
+        )
+        return s.select(
+            F.col("conv_id").alias(f"{tag}_conv"),
+            phonetic_key("surname").alias(f"{tag}_ph"),
+            bloom_bits(
+                F.concat_ws(" ", "given_name", "surname")
+            ).alias(f"{tag}_bloom"),
+        )
+
+    L, R = side(tc, "l"), side(th, "r")
+    out = (
+        L.join(R, L["l_ph"] == R["r_ph"])
+        .withColumn("dice", dice_similarity("l_bloom", "r_bloom"))
+        .filter(F.col("dice") >= 0.4)
+        .join(
+            F.broadcast(
+                gc.select(
+                    F.col("conv_id").alias("l_conv"),
+                    F.col("entity_id").alias("e1"),
+                ).distinct()
+            ),
+            "l_conv",
+        )
+        .join(
+            F.broadcast(
+                gh.select(
+                    F.col("conv_id").alias("r_conv"),
+                    F.col("entity_id").alias("e2"),
+                ).distinct()
+            ),
+            "r_conv",
+        )
+    )
+    return out.select(
+        F.col("l_conv").alias("left_conv"),
+        F.col("r_conv").alias("right_conv"),
+        F.round("dice", 6).alias("dice"),
+        (F.col("e1") == F.col("e2")).cast("int").alias("same_entity"),
+    )
+
+
+def _q72_bloom_sql() -> str:
+    from pubmed_and_method_spark.operators.pprl import bloom_bits_sql
+
+    return bloom_bits_sql("name")
+
+
+ORACLES["q72_pprl_bloom_dice"] = ORACLES["q72_pprl_bloom_dice"].format(
+    names_hard=_NAMES_CTE_HARD_RENAMED,
+    phon=_q69_phon_sql(),
+    bloom=_q72_bloom_sql(),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -599,3 +599,56 @@ def test_greedy_one_to_one_matching(spark):
         [], "left_id string, right_id string, score double"
     )
     assert greedy_one_to_one(empty).count() == 0
+
+
+def test_bloom_encoding_matches_reference(spark):
+    """Spark Bloom encodings match an independent hashlib re-derivation
+    bit-for-bit; self-Dice is 1.0; Dice is symmetric; similar names
+    score far above dissimilar ones."""
+    import hashlib
+
+    from pubmed_and_method_spark.operators.pprl import (
+        bloom_bits,
+        dice_similarity,
+    )
+
+    def ref(name, m=256, k=4, gl=2):
+        p = "_" + name.lower() + "_"
+        pos = set()
+        for i in range(len(p) - gl + 1):
+            g = p[i : i + gl]
+            for h in range(k):
+                pos.add(
+                    int(
+                        hashlib.md5((g + f"#{h}").encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % m
+                )
+        return sorted(pos)
+
+    names = ["Smith", "smyth", "garcia", "", "a"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r.name: list(r.b)
+        for r in df.select("name", bloom_bits("name").alias("b")).collect()
+    }
+    assert got == {n: ref(n) for n in names}
+
+    d = (
+        df.alias("x")
+        .crossJoin(df.alias("y"))
+        .select(
+            F.col("x.name").alias("a"),
+            F.col("y.name").alias("b"),
+            dice_similarity(
+                bloom_bits("x.name"), bloom_bits("y.name")
+            ).alias("dice"),
+        )
+        .collect()
+    )
+    dd = {(r.a, r.b): r.dice for r in d}
+    for n in names:
+        assert abs(dd[(n, n)] - 1.0) < 1e-12
+    assert dd[("Smith", "smyth")] == dd[("smyth", "Smith")]
+    assert dd[("Smith", "smyth")] > 0.6 > 0.2 > dd[("Smith", "garcia")]
