@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "q58_dataset_mixture",
     "q59_pii_redaction",
     "q60_semantic_dedup",
+    "q68_sorted_neighborhood_recovery",
+    "q69_meta_blocking_wnp",
+    "q70_star_clusters",
+    "q71_one_to_one_linkage",
+    "q72_pprl_bloom_dice",
 ]
 
 

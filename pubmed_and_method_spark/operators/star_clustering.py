@@ -63,10 +63,17 @@ def star_clusters(
     e = edges.select(
         F.col(c1).alias("a"), F.col(c2).alias("b"), w.alias("w")
     ).filter(F.col("a") != F.col("b"))
-    # symmetrize once; degree = distinct neighbors
-    adj = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).distinct()
+    # symmetrize once; degree = distinct neighbors.  adj is PINNED:
+    # every peel round joins against it, and without the checkpoint
+    # each round would recompute the whole upstream edge pipeline
+    # (measured 68s -> ~15s on the q70 corpus)
+    adj = (
+        e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
     # status: 0 unknown, 1 center, 2 covered
     st = deg.select(
