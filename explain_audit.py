@@ -119,6 +119,13 @@ AUDIT = [
     # centers/satellite assembly (checkpointed peel rounds collapse to
     # scans); the guard is the same as CC — hash joins only
     ("q70_star_clusters", [r"codegen id : "], [r"CartesianProduct"]),
+    # greedy matching: q71's OUTPUT plan is the checkpointed per-round
+    # matches unioned + label joins — hash joins only, no cartesian
+    ("q71_one_to_one_linkage", [r"codegen id : "], [r"CartesianProduct"]),
+    # PPRL: Bloom encode is a pure projection (higher-order array
+    # exprs); the only joins are the phonetic-block equi-join + the
+    # broadcast truth dims
+    ("q72_pprl_bloom_dice", [r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
