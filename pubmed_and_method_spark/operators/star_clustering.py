@@ -82,6 +82,11 @@ def star_clusters(
 
     for _ in range(rounds):
         unk = st.filter(F.col("status") == 0).select("node", "deg")
+        # early exit at the fixpoint: remaining rounds are no-ops, so
+        # the result is identical to running all `rounds` (what the
+        # unrolled SQL oracle does) — this only skips the idle jobs
+        if unk.isEmpty():
+            break
         # priority max over each unknown node's UNKNOWN neighbors
         nb_max = (
             adj.join(unk.withColumnRenamed("node", "a"), "a")

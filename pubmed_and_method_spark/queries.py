@@ -4687,6 +4687,194 @@ ORACLES["q72_pprl_bloom_dice"] = ORACLES["q72_pprl_bloom_dice"].format(
 )
 
 
+@q(
+    "q73_blocking_ladder",
+    f"""
+    WITH {{names_hard}},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS MATERIALIZED (
+        SELECT conv_id || '#assistant' AS mid, surname, given_name,
+               block_key, {{phon}} AS ph
+        FROM wf WHERE block_key <> '__unblocked__'),
+    exact_p AS (
+        SELECT a.mid AS m1, b.mid AS m2 FROM members a JOIN members b
+          ON a.block_key = b.block_key AND a.mid < b.mid),
+    phon_p AS (
+        SELECT a.mid AS m1, b.mid AS m2 FROM members a JOIN members b
+          ON a.ph = b.ph AND a.mid < b.mid),
+    ranked AS (
+        SELECT mid,
+               row_number() OVER (ORDER BY surname, given_name, mid) - 1
+                   AS rnk
+        FROM members),
+    snb_p AS (
+        SELECT least(a.mid, b.mid) AS m1, greatest(a.mid, b.mid) AS m2
+        FROM ranked a JOIN ranked b
+          ON b.rnk >= a.rnk + 1 AND b.rnk <= a.rnk + 5),
+    union_p AS (
+        SELECT DISTINCT m1, m2 FROM (
+            SELECT * FROM exact_p
+            UNION ALL SELECT * FROM phon_p
+            UNION ALL SELECT * FROM snb_p)),
+    base AS MATERIALIZED (
+        SELECT (SELECT count(*) FROM members) AS n_mentions,
+               (SELECT sum(m * (m - 1) // 2) FROM (
+                    SELECT count(*) AS m FROM members x
+                    JOIN tr ON tr.conv_id = split_part(x.mid, '#', 1)
+                    GROUP BY tr.entity_id)) AS n_true_pairs),
+    lab AS (
+        SELECT p.scheme,
+               CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y
+        FROM (
+            SELECT 'exact' AS scheme, m1, m2 FROM exact_p
+            UNION ALL SELECT 'phonetic', m1, m2 FROM phon_p
+            UNION ALL SELECT 'snb', m1, m2 FROM snb_p
+            UNION ALL SELECT 'union', m1, m2 FROM union_p) p
+        JOIN tr t1 ON t1.conv_id = split_part(p.m1, '#', 1)
+        JOIN tr t2 ON t2.conv_id = split_part(p.m2, '#', 1))
+    SELECT scheme,
+           count(*) AS n_candidates,
+           sum(y) AS n_matched_true,
+           round(sum(y) * 1.0 / b.n_true_pairs, 6) AS pair_completeness,
+           round(1.0 - count(*) * 1.0
+                 / (b.n_mentions * (b.n_mentions - 1) / 2), 6)
+               AS reduction_ratio
+    FROM lab CROSS JOIN base b
+    GROUP BY scheme, b.n_true_pairs, b.n_mentions
+    """,
+)
+def q73(spark, sf):
+    """The multi-pass blocking LADDER, evaluated: pair completeness
+    (blocking recall — the hard ceiling on any downstream F1) and
+    reduction ratio for each blocking pass on the hard corpus — exact
+    key (the reference's only mechanism,
+    model_building_using_rich_features.sql:438-444), phonetic
+    (q61/pass 1.5), sorted-neighborhood (q68/pass 3), and their
+    union.  The table an operator reads to decide which passes pay
+    their comparison cost.  Every pass's pair set comes from the
+    production operators (generate_pairs / sorted_neighborhood_pairs);
+    completeness/reduction are exact integer ratios.  DuckDB
+    re-derives all four pair sets, the shared true-pair denominator,
+    and every ratio."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.blocking import (
+        generate_pairs,
+        sorted_neighborhood_pairs,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    named = sig.filter(F.col("block_key") != "__unblocked__").select(
+        "mention_id", "conv_id", "surname", "given_name", "block_key"
+    )
+    exact_p = generate_pairs(
+        named.select("block_key", "mention_id")
+    ).select("mention_id1", "mention_id2")
+    phon_p = generate_pairs(
+        named.select(
+            F.concat(F.lit("ph_"), phonetic_key("surname")).alias(
+                "block_key"
+            ),
+            "mention_id",
+        )
+    ).select("mention_id1", "mention_id2")
+    snb_raw = sorted_neighborhood_pairs(
+        named, ["surname", "given_name"], id_col="mention_id", window=6
+    )
+    snb_p = snb_raw.select(
+        F.least("mention_id1", "mention_id2").alias("mention_id1"),
+        F.greatest("mention_id1", "mention_id2").alias("mention_id2"),
+    )
+    union_p = exact_p.unionAll(phon_p).unionAll(snb_p).distinct()
+
+    truth = g.select("conv_id", "entity_id")
+    named_truth = named.select("conv_id").join(truth, "conv_id")
+    denoms = (
+        named.agg(F.count(F.lit(1)).alias("n_mentions"))
+        .crossJoin(
+            named_truth.groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("m") * (F.col("m") - F.lit(1))), F.lit(0)
+                ).alias("tp2")
+            )
+            .select(F.expr("tp2 div 2").alias("n_true_pairs"))
+        )
+    )
+
+    def row(scheme: str, pairs: DataFrame) -> DataFrame:
+        labeled = (
+            pairs.withColumn(
+                "conv1", F.substring_index("mention_id1", "#", 1)
+            )
+            .withColumn("conv2", F.substring_index("mention_id2", "#", 1))
+            .join(
+                F.broadcast(
+                    truth.select(
+                        F.col("conv_id").alias("conv1"),
+                        F.col("entity_id").alias("e1"),
+                    )
+                ),
+                "conv1",
+            )
+            .join(
+                F.broadcast(
+                    truth.select(
+                        F.col("conv_id").alias("conv2"),
+                        F.col("entity_id").alias("e2"),
+                    )
+                ),
+                "conv2",
+            )
+        )
+        agg = labeled.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("e1") == F.col("e2")).cast("long")).alias(
+                "n_matched_true"
+            ),
+        )
+        return agg.crossJoin(F.broadcast(denoms)).select(
+            F.lit(scheme).alias("scheme"),
+            "n_candidates",
+            "n_matched_true",
+            F.round(
+                F.col("n_matched_true") / F.col("n_true_pairs"), 6
+            ).alias("pair_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates")
+                / (F.col("n_mentions") * (F.col("n_mentions") - 1) / 2),
+                6,
+            ).alias("reduction_ratio"),
+        )
+
+    return (
+        row("exact", exact_p)
+        .unionAll(row("phonetic", phon_p))
+        .unionAll(row("snb", snb_p))
+        .unionAll(row("union", union_p))
+    )
+
+
+ORACLES["q73_blocking_ladder"] = ORACLES["q73_blocking_ladder"].format(
+    names_hard=_NAMES_CTE_HARD_SQL,
+    phon=_q69_phon_sql(),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
