@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q70_star_clusters",
     "q71_one_to_one_linkage",
     "q72_pprl_bloom_dice",
+    "q73_blocking_ladder",
 ]
 
 

@@ -126,6 +126,9 @@ AUDIT = [
     # exprs); the only joins are the phonetic-block equi-join + the
     # broadcast truth dims
     ("q72_pprl_bloom_dice", [r"codegen id : "], [r"CartesianProduct"]),
+    # blocking ladder: four pair sets reduced through HashAggregates;
+    # the 1-row denominator relation cross-joins for free
+    ("q73_blocking_ladder", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 

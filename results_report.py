@@ -204,8 +204,14 @@ def clustering_section(spark) -> list[str]:
     from pubmed_and_method_spark.queries import ensure_transcript_corpus
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
-    ensure_transcript_corpus()
-    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    n_entities = 2000
+    t, g = transcripts_df(
+        spark,
+        seed=42,
+        hardness=0.7,
+        n_entities=n_entities,
+        n_blocks=max(24, n_entities * 3 // 10),
+    )
     sig = build_signatures(t, tfidf=False)
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     scored = feats.select(
@@ -282,18 +288,23 @@ def clustering_section(spark) -> list[str]:
             f"| {r['b3_f1']:.3f} | {r['v']:.3f} |"
         )
     by = {(r["thr"], r["method"]): r for r in rows}
-    lo_cc, lo_st = by[(1.0, "CC")], by[(1.0, "star")]
+    hi_cc, hi_st = by[(1.6, "CC")], by[(1.6, "star")]
     lines += [
         "",
-        "Reading: at the permissive cut the weld shows — CC's max",
-        f"cluster is {lo_cc['max_cluster']} vs {lo_st['max_cluster']}",
-        f"for star, B3 precision {lo_cc['b3_p']:.3f} vs",
-        f"{lo_st['b3_p']:.3f} — star trades a little recall (chains",
-        "longer than one hop split) for weld containment.  As the cut",
-        "tightens the two converge: with few false edges, closure is",
-        "safe and star's diameter bound costs recall for nothing.",
-        "Strategy choice is a threshold-regime decision, which is why",
-        "both are first-class operators.",
+        "Reading: at the PERMISSIVE cut the two coincide — the false",
+        "edges are so dense that welded components are also single",
+        "hubs' neighborhoods, so the diameter bound changes nothing.",
+        "The separation appears as the cut tightens and false edges",
+        "thin into CHAINS: closure still welds along them (max",
+        f"cluster {hi_cc['max_cluster']} at thr=1.6, B3 precision",
+        f"{hi_cc['b3_p']:.3f}) while star breaks them at hub",
+        f"boundaries (max {hi_st['max_cluster']}, precision",
+        f"{hi_st['b3_p']:.3f}, B3 F1 {hi_st['b3_f1']:.3f} vs",
+        f"{hi_cc['b3_f1']:.3f}).  Star is the right default exactly",
+        "where a pipeline operates — a cut tight enough that errors",
+        "are chain-shaped, not blob-shaped; closure remains correct",
+        "when edges are near-certain.  Both are first-class operators",
+        "because the choice is a threshold-regime decision.",
     ]
     return lines
 
