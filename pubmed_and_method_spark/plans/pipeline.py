@@ -246,6 +246,8 @@ def build_candidate_pairs(
     strict_split: bool = False,
     adaptive_target: int | None = None,
     phonetic: bool = False,
+    snb: bool = False,
+    snb_window: int = 6,
 ) -> DataFrame:
     """Multi-pass blocking -> candidate pairs (canonical id1<id2).
 
@@ -381,6 +383,35 @@ def build_candidate_pairs(
         extra_tagged.append(phon_tagged)
         pairs = pairs.unionByName(phon_tagged.select(*out_cols))
 
+    if snb:
+        # Pass 3 (q68/q73): sorted-neighborhood window over the
+        # (surname, given_name) total order — catches pairs whose key
+        # typo severs BOTH the exact and phonetic blocks but whose
+        # shared sort-key prefix keeps them adjacent (q73 ladder:
+        # union completeness 0.995 vs 0.787 exact-only on the hard
+        # corpus).  Pairs come back in rank order; canonicalize to
+        # id order before the anti-join against earlier passes.
+        from pubmed_and_method_spark.operators.blocking import (
+            sorted_neighborhood_pairs,
+        )
+
+        snb_members = signatures.filter(
+            (F.col("surname") != "") & (F.col("given_name") != "")
+        ).select("mention_id", "surname", "given_name")
+        snb_raw = sorted_neighborhood_pairs(
+            snb_members,
+            ["surname", "given_name"],
+            id_col="mention_id",
+            window=snb_window,
+        )
+        snb_cand = snb_raw.select(
+            F.least("mention_id1", "mention_id2").alias("mention_id1"),
+            F.greatest("mention_id1", "mention_id2").alias("mention_id2"),
+        )
+        snb_tagged = _tag_extra(snb_cand, F.lit("__snb__"))
+        extra_tagged.append(snb_tagged)
+        pairs = pairs.unionByName(snb_tagged.select(*out_cols))
+
     if lsh:
         from pubmed_and_method_spark.operators.blocking import (
             lsh_candidate_pairs,
@@ -437,6 +468,8 @@ def build_labeled_pairs(
     strict_split: bool = False,
     adaptive_target: int | None = None,
     phonetic: bool = False,
+    snb: bool = False,
+    snb_window: int = 6,
 ) -> DataFrame:
     """Multi-pass candidate pairs + planted labels.
 
@@ -452,6 +485,8 @@ def build_labeled_pairs(
         strict_split=strict_split,
         adaptive_target=adaptive_target,
         phonetic=phonetic,
+        snb=snb,
+        snb_window=snb_window,
     )
     t = truth.select("conv_id", "entity_id")
     pairs = (

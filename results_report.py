@@ -291,9 +291,9 @@ def clustering_section(spark) -> list[str]:
     hi_cc, hi_st = by[(1.6, "CC")], by[(1.6, "star")]
     lines += [
         "",
-        "Reading: at the PERMISSIVE cut the two coincide — the false",
+        "Reading: at the PERMISSIVE cut the two nearly coincide — the false",
         "edges are so dense that welded components are also single",
-        "hubs' neighborhoods, so the diameter bound changes nothing.",
+        "hubs' neighborhoods, so the diameter bound buys little.",
         "The separation appears as the cut tightens and false edges",
         "thin into CHAINS: closure still welds along them (max",
         f"cluster {hi_cc['max_cluster']} at thr=1.6, B3 precision",
