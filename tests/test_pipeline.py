@@ -333,3 +333,45 @@ def test_curation_pipeline_verdicts(spark):
         6: "near_dup",
         7: "contaminated",
     }
+
+
+def test_snb_pass_superset_and_recovery(spark):
+    """snb=True: candidate pairs are a strict superset of the
+    exact+phonetic passes, recovered pairs carry the '__snb__' tag
+    with member-derived split groups (never the literal), and pair
+    completeness strictly improves on the hard corpus."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_candidate_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False).cache()
+    base = build_candidate_pairs(sig, phonetic=True)
+    with_snb = build_candidate_pairs(sig, phonetic=True, snb=True)
+
+    base_set = {
+        (r.mention_id1, r.mention_id2)
+        for r in base.select("mention_id1", "mention_id2").collect()
+    }
+    snb_rows = with_snb.collect()
+    snb_set = {(r.mention_id1, r.mention_id2) for r in snb_rows}
+    assert base_set < snb_set
+
+    tagged = [r for r in snb_rows if r.block_key == "__snb__"]
+    assert tagged, "snb pass recovered nothing on the hard corpus"
+    assert {(r.mention_id1, r.mention_id2) for r in tagged} == (
+        snb_set - base_set
+    )
+    assert all(r.split_group != "__snb__" for r in tagged)
+
+    truth = {r.conv_id: r.entity_id for r in g.collect()}
+    def matched_true(pairs):
+        return sum(
+            1
+            for (m1, m2) in pairs
+            if truth[m1.split("#")[0]] == truth[m2.split("#")[0]]
+        )
+    assert matched_true(snb_set) > matched_true(base_set)
+    sig.unpersist()
