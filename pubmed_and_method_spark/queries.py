@@ -4875,6 +4875,143 @@ ORACLES["q73_blocking_ladder"] = ORACLES["q73_blocking_ladder"].format(
 )
 
 
+@q(
+    "q74_common_neighbor_evidence",
+    f"""
+    WITH {{names_hard}},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    sc AS MATERIALIZED (
+        SELECT a.conv_id || '#assistant' AS m1,
+               b.conv_id || '#assistant' AS m2,
+               round(jaro_winkler_similarity(
+                         a.given_name || ' ' || a.surname,
+                         b.given_name || ' ' || b.surname), 6)
+                   + round({{lj_toks}}, 6)
+                   + round({{lj_tools}}, 6) AS s,
+               CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    ev AS (SELECT m1 AS a, m2 AS b FROM sc WHERE s >= 1.6),
+    adj AS MATERIALIZED (
+        SELECT a, b FROM ev UNION SELECT b, a FROM ev),
+    dg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),
+    cand AS MATERIALIZED (
+        SELECT m1 AS u, m2 AS v, y FROM sc WHERE s >= 0.9 AND s < 1.6),
+    cnt AS (
+        SELECT c.u, c.v, count(*) AS cn
+        FROM cand c
+        JOIN adj n1 ON n1.a = c.u
+        JOIN adj n2 ON n2.a = c.v AND n2.b = n1.b
+        GROUP BY c.u, c.v)
+    SELECT c.u AS mention_id1, c.v AS mention_id2,
+           coalesce(cnt.cn, 0) AS cn,
+           round(CASE WHEN coalesce(d1.deg, 0) + coalesce(d2.deg, 0)
+                           - coalesce(cnt.cn, 0) > 0
+                      THEN coalesce(cnt.cn, 0) * 1.0
+                           / (coalesce(d1.deg, 0) + coalesce(d2.deg, 0)
+                              - coalesce(cnt.cn, 0))
+                      ELSE 0.0 END, 6) AS nbr_jaccard,
+           c.y AS same_entity
+    FROM cand c
+    LEFT JOIN cnt ON cnt.u = c.u AND cnt.v = c.v
+    LEFT JOIN dg d1 ON d1.a = c.u
+    LEFT JOIN dg d2 ON d2.a = c.v
+    """,
+)
+def q74(spark, sf):
+    """Structural match evidence for BORDERLINE pairs
+    (operators/graph_features.common_neighbor_features): candidate
+    pairs in the undecided score band [0.9, 1.6) are scored by their
+    common neighbors in the high-confidence (score >= 1.6) match
+    graph — cn count and exact-ratio neighborhood Jaccard, the
+    one-hop collective-ER signal (Liben-Nowell & Kleinberg link
+    prediction) that no pair-local feature of the reference sees.
+    Triangle enumeration is two hash joins reduced by one pair-keyed
+    count; hubs are capped via `max_degree` in the operator (uncapped
+    here for oracle exactness).  DuckDB re-derives the evidence
+    graph, every common-neighbor count, and every Jaccard."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        common_neighbor_features,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    scored = feats.select(
+        "mention_id1",
+        "mention_id2",
+        (
+            F.round("name_jw", 6)
+            + F.round("token_jacc", 6)
+            + F.round("tool_jacc", 6)
+        ).alias("score"),
+        "same_entity",
+    ).localCheckpoint(eager=True)
+    edges = scored.filter(F.col("score") >= 1.6).select(
+        "mention_id1", "mention_id2"
+    )
+    cand = scored.filter(
+        (F.col("score") >= 0.9) & (F.col("score") < 1.6)
+    ).select("mention_id1", "mention_id2", "same_entity")
+    out = common_neighbor_features(
+        cand.select("mention_id1", "mention_id2"),
+        edges,
+        id_cols=("mention_id1", "mention_id2"),
+    )
+    return out.join(cand, ["mention_id1", "mention_id2"]).select(
+        "mention_id1",
+        "mention_id2",
+        "cn",
+        F.round("nbr_jaccard", 6).alias("nbr_jaccard"),
+        "same_entity",
+    )
+
+
+ORACLES["q74_common_neighbor_evidence"] = ORACLES[
+    "q74_common_neighbor_evidence"
+].format(
+    names_hard=_NAMES_CTE_HARD_SQL,
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -652,3 +652,40 @@ def test_bloom_encoding_matches_reference(spark):
         assert abs(dd[(n, n)] - 1.0) < 1e-12
     assert dd[("Smith", "smyth")] == dd[("smyth", "Smith")]
     assert dd[("Smith", "smyth")] > 0.6 > 0.2 > dd[("Smith", "garcia")]
+
+
+def test_common_neighbor_features_hand_computed(spark):
+    """Triangle + pendant evidence graph: cn and neighborhood Jaccard
+    match the hand derivation; unknown nodes score zero; the degree
+    cap drops hubs from the neighbor role only."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        common_neighbor_features,
+    )
+
+    ev = [("x1", "x2"), ("x1", "x3"), ("x2", "x3"), ("x3", "x4")]
+    edges = spark.createDataFrame(ev, "id1 string, id2 string")
+    cand = spark.createDataFrame(
+        [("x1", "x2"), ("x1", "x4"), ("x2", "x4"), ("x1", "x5")],
+        "id1 string, id2 string",
+    )
+    got = {
+        (r.id1, r.id2): (r.cn, round(r.nbr_jaccard, 6))
+        for r in common_neighbor_features(cand, edges).collect()
+    }
+    assert got == {
+        ("x1", "x2"): (1, round(1 / 3, 6)),
+        ("x1", "x4"): (1, 0.5),
+        ("x2", "x4"): (1, 0.5),
+        ("x1", "x5"): (0, 0.0),
+    }
+    capped = {
+        (r.id1, r.id2): r.cn
+        for r in common_neighbor_features(
+            cand, edges, max_degree=1
+        ).collect()
+    }
+    # x1/x2/x3 exceed the cap -> excluded as NEIGHBORS; every common
+    # neighbor in this graph was one of them
+    assert capped == {
+        ("x1", "x2"): 0, ("x1", "x4"): 0, ("x2", "x4"): 0, ("x1", "x5"): 0,
+    }
