@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q71_one_to_one_linkage",
     "q72_pprl_bloom_dice",
     "q73_blocking_ladder",
+    "q74_common_neighbor_evidence",
 ]
 
 

@@ -129,6 +129,9 @@ AUDIT = [
     # blocking ladder: four pair sets reduced through HashAggregates;
     # the 1-row denominator relation cross-joins for free
     ("q73_blocking_ladder", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # common-neighbor evidence: triangle enumeration must be hash joins
+    # reduced through a pair-keyed HashAggregate, never a cartesian
+    ("q74_common_neighbor_evidence", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
