@@ -5012,6 +5012,47 @@ ORACLES["q74_common_neighbor_evidence"] = ORACLES[
 )
 
 
+@q("q75_fs_triage_evaluation")
+def q75(spark, sf):
+    """The clerical-review WORKLOAD table for the q67 three-way
+    decision rule: per band (link / possible / nonlink), pair volume,
+    volume share, true matches, and match rate.  This is the table
+    that justifies the 'possible' band — it shows how many pairs a
+    human must review and how pure the automatic bands are (Fellegi &
+    Sunter set the thresholds from exactly these error rates).  One
+    groupBy over q67's output + a 1-row total broadcast; every ratio
+    an exact integer quotient.  DuckDB wraps the ENTIRE q67 oracle as
+    a nested CTE and re-derives the bands."""
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    bands = scored.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("same_entity").cast("long").alias("n_match"),
+    )
+    total = bands.agg(F.sum("n_pairs").alias("__total"))
+    return bands.crossJoin(F.broadcast(total)).select(
+        "decision",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("__total"), 6).alias("volume_share"),
+        "n_match",
+        F.round(F.col("n_match") / F.col("n_pairs"), 6).alias("match_rate"),
+    )
+
+
+ORACLES["q75_fs_triage_evaluation"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    bands AS (
+        SELECT decision, count(*) AS n_pairs,
+               sum(same_entity) AS n_match
+        FROM q67 GROUP BY decision),
+    tot AS (SELECT sum(n_pairs) AS t FROM bands)
+    SELECT decision, n_pairs,
+           round(n_pairs * 1.0 / t, 6) AS volume_share,
+           n_match,
+           round(n_match * 1.0 / n_pairs, 6) AS match_rate
+    FROM bands CROSS JOIN tot
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
