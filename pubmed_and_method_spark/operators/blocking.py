@@ -298,8 +298,13 @@ def sorted_neighborhood_pairs(
     order_cols = [F.col(c) for c in sort_cols] + [F.col(id_col)]
     keyed = members.select(id_col, *sort_cols)
     n_parts = num_partitions or keyed.sparkSession.sparkContext.defaultParallelism
-    ranged = keyed.repartitionByRange(n_parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # pinned: the offsets collect and the rank computation below are
+    # separate jobs — both must see ONE materialization of the range
+    # partitioning (and the upstream plan runs once, not twice)
+    ranged = (
+        keyed.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
     # O(partitions) driver round-trip: partition sizes -> rank offsets
