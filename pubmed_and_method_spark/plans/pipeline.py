@@ -683,8 +683,18 @@ def run_pipeline(
     datagen_kwargs: dict | None = None,
     tfidf_top_k: int | None = 64,
     blocking_metrics: bool = False,
+    clusterer: str = "cc",
 ) -> dict:
     """Full AND pipeline on the synthetic corpus; returns metrics.
+
+    ``clusterer``: 'cc' (default — transitive closure via
+    large-star/small-star) or 'star' (bounded-diameter star
+    clustering, operators/star_clustering.py).  RESULTS.md
+    "Clustering strategy" quantifies the tradeoff: at tight cuts star
+    contains chain welds (B3 F1 0.653 vs 0.488 on the 2000-entity
+    hard corpus); with near-certain edges closure recovers more.
+    The stage key carries the choice, so checkpoint resume never
+    mixes clusterings.
 
     ``blocking_metrics=True`` adds the q52 blocking-quality row
     (pair completeness / reduction ratio / block stats,
@@ -796,13 +806,38 @@ def run_pipeline(
             | (F.col("token_jacc") > 0.25)
         )
     )
+    if clusterer == "star":
+        from pubmed_and_method_spark.operators.star_clustering import (
+            star_clusters,
+        )
+
+        def _cluster():
+            return star_clusters(
+                matched.select(
+                    "mention_id1", "mention_id2", "pred_prob"
+                ),
+                id_cols=("mention_id1", "mention_id2"),
+                weight_col="pred_prob",
+                rounds=32,
+            ).select(
+                F.col("node").alias("id"),
+                F.col("center").alias("component"),
+            )
+    elif clusterer == "cc":
+        def _cluster():
+            return connected_components(
+                matched, u_col="mention_id1", v_col="mention_id2"
+            )
+    else:
+        raise ValueError(f"unknown clusterer {clusterer!r}")
     components = store.run_stage(
         "clusters",
-        lambda: connected_components(
-            matched, u_col="mention_id1", v_col="mention_id2"
-        ),
+        _cluster,
         inputs=("scored_pairs",),
-        params={"cluster_threshold": cluster_threshold},
+        params={
+            "cluster_threshold": cluster_threshold,
+            "clusterer": clusterer,
+        },
     )
 
     # cluster-level pairwise agreement vs truth (within candidate pairs)

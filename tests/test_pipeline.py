@@ -375,3 +375,21 @@ def test_snb_pass_superset_and_recovery(spark):
         )
     assert matched_true(snb_set) > matched_true(base_set)
     sig.unpersist()
+
+
+def test_pipeline_star_clusterer(spark, tmp_path):
+    """run_pipeline(clusterer='star') produces a valid clustering with
+    F1 at the gate on the easy corpus (where star and closure should
+    agree — edges are near-certain), and the stage key separates the
+    two clusterings for resume."""
+    from pubmed_and_method_spark.plans.pipeline import run_pipeline
+
+    import json
+
+    store = StageStore(spark, str(tmp_path / "stages_star"))
+    m = run_pipeline(spark, store, seed=42, clusterer="star")
+    assert m["clusters"]["f1"] >= 0.99
+    manifest = json.loads(
+        (tmp_path / "stages_star" / "clusters.manifest.json").read_text()
+    )
+    assert manifest["params"]["clusterer"] == "star"
