@@ -15,7 +15,7 @@ requires.  At 100 TB the pattern per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pubmed_and_method_spark.operators.blocking import lsh_candidate_pairs
@@ -413,4 +413,116 @@ def winnow_near_dup_pairs(
         .groupBy(f"{id_col}1", f"{id_col}2")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, span_start, span_end, span_len, n_dup_grams) — exact
+    duplicated-substring SPANS, the Lee et al. (ACL'22,
+    "Deduplicating Training Data Makes Language Models Better")
+    ExactSubstr semantics re-expressed as DataFrame ops: a token
+    k-gram that occurs >= ``min_count`` times in the whole corpus is a
+    duplicated gram, and overlapping/adjacent duplicated grams within
+    a document merge into maximal spans (1-based token offsets,
+    inclusive).
+
+    Where q17 (whole-doc hash) finds identical DOCUMENTS and q46/q47
+    (winnowing) find documents sharing passages, this finds the
+    passage EXTENTS themselves — the actual byte ranges a training-
+    data pipeline cuts out, boilerplate headers included, without the
+    suffix array: at web scale the suffix array's global sort is
+    replaced by one k-gram frequency shuffle.
+
+    Plan (three shuffles, all on narrow rows):
+      1. per-doc ordered clean tokens -> (pos, md5(k-gram)) pairs via
+         one native ``transform`` + ``posexplode`` (no Python);
+      2. gram frequency groupBy (map-side partial agg; 16-byte-ish
+         keys) -> grams with total count >= min_count;
+      3. semi-join positions against duplicated grams, then per-doc
+         window: with fixed gram length the interval ends are
+         monotone in the starts, so a new span begins exactly where
+         ``pos - lag(pos) > k`` (no running-max needed) and a
+         cumulative sum numbers the spans; one (doc, span) groupBy
+         summarizes (reuses the window's hash partitioning).
+
+    Everything is integer/md5 arithmetic — the q78 DuckDB oracle
+    re-derives every gram, frequency, and span boundary exactly.  A
+    boilerplate gram shared by millions of docs costs ONE frequency
+    row here (unlike the pair self-join in winnow_near_dup_pairs,
+    which caps it) — span detection never joins doc-to-doc.
+    """
+    from pubmed_and_method_spark.functions.normalize import clean_tokens
+
+    toks = df.select(
+        F.col(id_col), clean_tokens(text_col).alias("__toks")
+    )
+    cnt = F.size("__toks")
+    # The when() guard is load-bearing, not belt-and-braces: sequence()
+    # without a step DESCENDS when start > stop (cnt < k would emit
+    # [0, -1, ...] and slice(start=0) throws under ANSI), and Catalyst's
+    # project/filter collapsing may evaluate this expression before the
+    # cnt >= k filter.  CaseWhen branches are lazy per-row, so short
+    # docs never touch the sequence.
+    grams = F.when(
+        cnt >= k,
+        F.transform(
+            F.sequence(F.lit(0), cnt - k),
+            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")),
+        ),
+    )
+    pos_grams = (
+        toks.where(cnt >= k)
+        .select(F.col(id_col), grams.alias("__grams"))
+        .select(
+            F.col(id_col),
+            F.posexplode("__grams").alias("__p0", "gram"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__p0") + 1).alias("pos"),
+            "gram",
+        )
+    )
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("gram")
+    )
+    dup_pos = pos_grams.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup_pos.withColumn(
+            "__brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+    )
+    return spans.select(
+        F.col(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        "n_dup_grams",
     )

@@ -593,3 +593,98 @@ def blocking_quality(
             F.round(F.lit(1.0) - F.col("n_candidates") / total_pairs, 6),
         ).alias("reduction_ratio"),
     )
+
+
+def pair_counting_metrics(
+    assignments: DataFrame,
+    cluster_col: str = "cluster",
+    truth_col: str = "entity_id",
+) -> DataFrame:
+    """One-row PAIR-COUNTING clustering evaluation: Rand index,
+    adjusted Rand index (Hubert & Arabie 1985), Fowlkes-Mallows, and
+    the raw pairwise precision/recall it decomposes into.
+
+    Completes the extrinsic-evaluation triad next to
+    ``cluster_agreement_metrics``: the reference reports pairwise
+    P/R/F1 at one cut (src/model/classification.py), B-cubed/V-measure
+    (q63) add the per-mention and information-theoretic views, and the
+    pair-counting family here is the third standard lens — ARI is the
+    chance-CORRECTED agreement (raw Rand saturates near 1.0 on any
+    fine partition; ARI is 0 in expectation under random labels, so it
+    is the number to compare across blocking schemes with different
+    granularities).
+
+    Everything reduces to four exact integer pair counts derived from
+    the same (cluster, entity) contingency cells as q63 — one groupBy
+    with map-side partial agg over the mention table, then groupBys OF
+    THE CELLS; no per-member pair expansion, O(cells) at 10^12
+    mentions:
+
+      tp  = Σ_ce C(n_ce,2)   same cluster AND same entity
+      pc  = Σ_c  C(n_c,2)    same cluster (predicted positives)
+      pe  = Σ_e  C(n_e,2)    same entity  (gold positives)
+      tot = C(n,2)
+
+      rand = (tot - pc - pe + 2·tp) / tot
+      ARI  = (tp - pc·pe/tot) / ((pc+pe)/2 - pc·pe/tot)
+      FM   = tp / sqrt(pc·pe)
+
+    Pair counts use integer `div` (exact past 2^53 pairs); only the
+    final ratios are floats, computed in the same literal expression
+    shape the DuckDB oracle uses so round-6 parity is structural.
+    Degenerate conventions follow sklearn: ARI = 1.0 when the
+    chance-corrected denominator is 0 (both partitions trivially
+    agree), FM/precision/recall = 0.0 on empty denominators.
+    """
+    cells = assignments.groupBy(cluster_col, truth_col).agg(
+        F.count(F.lit(1)).alias("n_ce")
+    )
+    c2 = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
+    tp_row = cells.agg(
+        F.coalesce(F.sum(c2("n_ce")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("n_ce"), F.lit(0)).alias("n"),
+    )
+    pc_row = (
+        cells.groupBy(cluster_col)
+        .agg(F.sum("n_ce").alias("n_c"))
+        .agg(F.coalesce(F.sum(c2("n_c")), F.lit(0)).alias("pc"))
+    )
+    pe_row = (
+        cells.groupBy(truth_col)
+        .agg(F.sum("n_ce").alias("n_e"))
+        .agg(F.coalesce(F.sum(c2("n_e")), F.lit(0)).alias("pe"))
+    )
+    row = tp_row.crossJoin(F.broadcast(pc_row)).crossJoin(
+        F.broadcast(pe_row)
+    )
+    tot = F.expr("(n * (n - 1)) div 2")
+    tp, pc, pe = F.col("tp"), F.col("pc"), F.col("pe")
+    row = row.withColumn("tot", tot)
+    totc = F.col("tot")
+    rand = F.when(
+        totc > 0, (totc - pc - pe + 2 * tp) / totc
+    ).otherwise(0.0)
+    expected = pc * pe / totc
+    ari_den = (pc + pe) / F.lit(2.0) - expected
+    ari = F.when(totc <= 0, 0.0).otherwise(
+        F.when(ari_den != 0.0, (tp - expected) / ari_den).otherwise(1.0)
+    )
+    fm = F.when(
+        (pc > 0) & (pe > 0), tp / F.sqrt(pc.cast("double") * pe)
+    ).otherwise(0.0)
+    return row.select(
+        F.col("n").cast("long").alias("n_items"),
+        tp.cast("long").alias("tp_pairs"),
+        pc.cast("long").alias("pred_pairs"),
+        pe.cast("long").alias("true_pairs"),
+        totc.cast("long").alias("total_pairs"),
+        F.round(rand, 6).alias("rand_index"),
+        F.round(ari, 6).alias("adjusted_rand"),
+        F.round(fm, 6).alias("fowlkes_mallows"),
+        F.when(pc > 0, F.round(tp / pc, 6)).otherwise(0.0).alias(
+            "pair_precision"
+        ),
+        F.when(pe > 0, F.round(tp / pe, 6)).otherwise(0.0).alias(
+            "pair_recall"
+        ),
+    )

@@ -5053,6 +5053,206 @@ ORACLES["q75_fs_triage_evaluation"] = f"""
 """
 
 
+@q(
+    "q76_pair_counting_metrics",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    a AS (
+        SELECT nk.block_key AS cluster, tr.entity_id
+        FROM nk JOIN tr USING (conv_id)
+        WHERE nk.block_key <> '__unblocked__'),
+    cells AS (
+        SELECT cluster, entity_id, count(*) AS n_ce
+        FROM a GROUP BY 1, 2),
+    s AS (
+        SELECT coalesce(sum((n_ce * (n_ce - 1)) // 2), 0) AS tp,
+               coalesce(sum(n_ce), 0) AS n
+        FROM cells),
+    cl AS (
+        SELECT coalesce(sum((n_c * (n_c - 1)) // 2), 0) AS pc
+        FROM (SELECT sum(n_ce) AS n_c FROM cells GROUP BY cluster)),
+    en AS (
+        SELECT coalesce(sum((n_e * (n_e - 1)) // 2), 0) AS pe
+        FROM (SELECT sum(n_ce) AS n_e FROM cells GROUP BY entity_id)),
+    j AS (
+        SELECT n, tp, pc, pe, (n * (n - 1)) // 2 AS tot
+        FROM s CROSS JOIN cl CROSS JOIN en)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(tp AS BIGINT) AS tp_pairs,
+           CAST(pc AS BIGINT) AS pred_pairs,
+           CAST(pe AS BIGINT) AS true_pairs,
+           CAST(tot AS BIGINT) AS total_pairs,
+           round(CASE WHEN tot > 0
+                      THEN (tot - pc - pe + 2 * tp) * 1.0 / tot
+                      ELSE 0.0 END, 6) AS rand_index,
+           round(CASE WHEN tot <= 0 THEN 0.0
+                      WHEN (pc + pe) / 2.0 - pc * pe * 1.0 / tot <> 0.0
+                      THEN (tp - pc * pe * 1.0 / tot)
+                           / ((pc + pe) / 2.0 - pc * pe * 1.0 / tot)
+                      ELSE 1.0 END, 6) AS adjusted_rand,
+           round(CASE WHEN pc > 0 AND pe > 0
+                      THEN tp / sqrt(pc * 1.0 * pe)
+                      ELSE 0.0 END, 6) AS fowlkes_mallows,
+           CASE WHEN pc > 0 THEN round(tp * 1.0 / pc, 6)
+                ELSE 0.0 END AS pair_precision,
+           CASE WHEN pe > 0 THEN round(tp * 1.0 / pe, 6)
+                ELSE 0.0 END AS pair_recall
+    FROM j
+    """,
+)
+def q76(spark, sf):
+    """Pair-counting cluster evaluation (Rand, ADJUSTED Rand,
+    Fowlkes-Mallows) of the exact-name blocking partition against
+    planted truth (operators/er_metrics.pair_counting_metrics) —
+    the third standard extrinsic lens next to pairwise F1
+    (src/model/classification.py, the reference's only metric) and
+    q63's B-cubed/V-measure.  ARI is the chance-corrected number: raw
+    Rand saturates near 1.0 on any fine partition, so comparing
+    blocking schemes of different granularity NEEDS the correction.
+    All four pair counts are exact integer sums over the same
+    (cluster, entity) contingency cells as q63 — one groupBy, O(cells)
+    at 10^12 mentions, never per-member pair expansion — and DuckDB
+    re-derives every count, ratio, and degenerate guard."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        pair_counting_metrics,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    assign = (
+        build_signatures(t, tfidf=False)
+        .filter(F.col("block_key") != "__unblocked__")
+        .select("conv_id", F.col("block_key").alias("cluster"))
+        .join(g.select("conv_id", "entity_id"), "conv_id")
+    )
+    return pair_counting_metrics(assign, "cluster", "entity_id")
+
+
+@q(
+    "q77_entity_epochs",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    conv AS (
+        SELECT conv_id, CAST(epoch(min(ts)) AS BIGINT) AS secs
+        FROM t GROUP BY conv_id),
+    a AS (
+        SELECT nk.block_key AS cluster, nk.conv_id, conv.secs
+        FROM nk JOIN conv USING (conv_id)
+        WHERE nk.block_key <> '__unblocked__'),
+    fl AS (
+        SELECT cluster, conv_id, secs,
+               CASE WHEN lag(secs) OVER w IS NULL
+                         OR secs - lag(secs) OVER w > 172800
+                    THEN 1 ELSE 0 END AS brk
+        FROM a
+        WINDOW w AS (PARTITION BY cluster ORDER BY secs, conv_id)),
+    ep AS (
+        SELECT cluster, secs,
+               sum(brk) OVER (PARTITION BY cluster
+                              ORDER BY secs, conv_id
+                              ROWS UNBOUNDED PRECEDING) AS epoch
+        FROM fl)
+    SELECT cluster, CAST(epoch AS BIGINT) AS epoch,
+           count(*) AS n_mentions,
+           min(secs) AS epoch_start,
+           max(secs) AS epoch_end,
+           max(secs) - min(secs) AS span_seconds
+    FROM ep GROUP BY 1, 2
+    """,
+)
+def q77(spark, sf):
+    """Gap-based ENTITY-EPOCH splitting of the blocking clusters
+    (operators/temporal.entity_epochs): each cluster's mention
+    timeline (first-turn time per conversation) is cut wherever the
+    silence between consecutive mentions exceeds 2 days, yielding the
+    temporal view of a resolved entity — the slowly-changing-entity /
+    drift unit the reference's static blocks
+    (database/and_datasets.sql) cannot express.  Session-window
+    semantics at cluster granularity, the batch twin of the streaming
+    sessionizer (streaming/stateful.py).  One cluster-key window + a
+    co-partitioned groupBy; all integer epoch-second arithmetic, so
+    DuckDB re-derives every boundary, epoch number, and span
+    exactly."""
+    from pubmed_and_method_spark.operators.temporal import entity_epochs
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42)
+    conv_ts = t.groupBy("conv_id").agg(F.min("ts").alias("ts"))
+    assign = (
+        build_signatures(t, tfidf=False)
+        .filter(F.col("block_key") != "__unblocked__")
+        .select("conv_id", F.col("block_key").alias("cluster"))
+        .join(conv_ts, "conv_id")
+    )
+    return entity_epochs(
+        assign, "cluster", "conv_id", "ts", gap_seconds=172_800
+    )
+
+
+@q(
+    "q78_duplicate_spans",
+    f"""
+    WITH toksrc AS (
+        SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
+        FROM documents),
+    pg0 AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM toksrc WHERE len(toks) >= 5),
+    pg AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(toks[i : i + 4], ' ')) AS gram
+        FROM pg0),
+    dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
+    dp AS (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (gram)),
+    fl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos - lag(pos) OVER w > 5
+                    THEN 1 ELSE 0 END AS brk
+        FROM dp
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS spn
+        FROM fl)
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 4 AS span_end,
+           max(pos) + 4 - min(pos) + 1 AS span_len,
+           count(*) AS n_dup_grams
+    FROM sp GROUP BY doc_id, spn
+    """,
+)
+def q78(spark, sf):
+    """Exact duplicated-substring SPANS over documents
+    (operators/dedup.duplicate_spans): token 5-grams occurring >= 2
+    times corpus-wide, merged into maximal per-document extents — the
+    Lee et al. ExactSubstr semantics (the passage RANGES a training
+    pipeline cuts, not just which docs share them as in q46/q47)
+    with the suffix array's global sort replaced by one k-gram
+    frequency shuffle.  Fixed gram length makes interval ends
+    monotone, so span boundaries are a lag + cumulative-sum window,
+    no running max.  All md5/integer arithmetic; DuckDB re-derives
+    every gram, frequency cut, and merged boundary."""
+    from pubmed_and_method_spark.operators.dedup import duplicate_spans
+
+    d = load_table(spark, sf, "documents")
+    return duplicate_spans(d, "doc_id", "text", k=5, min_count=2).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+        "n_dup_grams",
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -336,6 +336,100 @@ def test_cluster_agreement_degenerate_and_empty(spark):
     assert (r.homogeneity, r.completeness, r.v_measure) == (0.0, 0.0, 0.0)
 
 
+def test_pair_counting_hand_computed(spark):
+    """Same {A:[e1,e1], B:[e1], C:[e2,e2]} fixture as the B-cubed
+    test: tp=2, pred=2, true=4, total=10 pairs, so Rand=0.8,
+    ARI=(2-0.8)/((2+4)/2-0.8)=1.2/2.2, FM=2/sqrt(8), P=1.0, R=0.5 —
+    every number re-derived by hand."""
+    import math
+
+    from pubmed_and_method_spark.operators.er_metrics import (
+        pair_counting_metrics,
+    )
+
+    rows = [
+        ("A", "e1"), ("A", "e1"), ("B", "e1"), ("C", "e2"), ("C", "e2"),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, entity_id string")
+    r = pair_counting_metrics(df).collect()[0]
+    assert (r.n_items, r.tp_pairs, r.pred_pairs, r.true_pairs,
+            r.total_pairs) == (5, 2, 2, 4, 10)
+    assert r.rand_index == 0.8
+    assert r.adjusted_rand == round(1.2 / 2.2, 6)
+    assert r.fowlkes_mallows == round(2 / math.sqrt(8), 6)
+    assert (r.pair_precision, r.pair_recall) == (1.0, 0.5)
+
+
+def test_pair_counting_degenerate_and_empty(spark):
+    """sklearn conventions: a single trivially-agreeing partition has
+    ARI denominator 0 -> ARI = 1.0; empty input yields one all-zero
+    row (no division blows up)."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        pair_counting_metrics,
+    )
+
+    one = spark.createDataFrame(
+        [("A", "e1"), ("A", "e1")], "cluster string, entity_id string"
+    )
+    r = pair_counting_metrics(one).collect()[0]
+    assert (r.tp_pairs, r.pred_pairs, r.true_pairs, r.total_pairs) == (
+        1, 1, 1, 1,
+    )
+    assert (r.rand_index, r.adjusted_rand, r.fowlkes_mallows) == (
+        1.0, 1.0, 1.0,
+    )
+
+    empty = spark.createDataFrame([], "cluster string, entity_id string")
+    r = pair_counting_metrics(empty).collect()[0]
+    assert (r.n_items, r.tp_pairs, r.total_pairs) == (0, 0, 0)
+    assert (r.rand_index, r.adjusted_rand, r.fowlkes_mallows,
+            r.pair_precision, r.pair_recall) == (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_entity_epochs_hand_computed(spark):
+    """Gap-based epoch splitting: cluster A's timeline [0, 100, 100,
+    5000] at gap 1000 cuts exactly once (4900 > 1000); equal
+    timestamps (gap 0) can never straddle a boundary; a singleton
+    cluster is one epoch of span 0.  Integer-second and timestamp
+    inputs produce identical output."""
+    import datetime
+
+    from pubmed_and_method_spark.operators.temporal import entity_epochs
+
+    rows = [
+        ("A", "m1", 0), ("A", "m2", 100), ("A", "m3", 100),
+        ("A", "m4", 5000), ("B", "m5", 7),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, mention_id string, ts long")
+    expect = {
+        ("A", 1): (3, 0, 100, 100),
+        ("A", 2): (1, 5000, 5000, 0),
+        ("B", 1): (1, 7, 7, 0),
+    }
+    got = {
+        (r.cluster, r.epoch): (
+            r.n_mentions, r.epoch_start, r.epoch_end, r.span_seconds
+        )
+        for r in entity_epochs(df, gap_seconds=1000).collect()
+    }
+    assert got == expect
+
+    ts_rows = [
+        (c, m, datetime.datetime.fromtimestamp(s, datetime.timezone.utc))
+        for c, m, s in rows
+    ]
+    tdf = spark.createDataFrame(
+        ts_rows, "cluster string, mention_id string, ts timestamp"
+    )
+    got_ts = {
+        (r.cluster, r.epoch): (
+            r.n_mentions, r.epoch_start, r.epoch_end, r.span_seconds
+        )
+        for r in entity_epochs(tdf, gap_seconds=1000).collect()
+    }
+    assert got_ts == expect
+
+
 def test_fs_weights_hand_computed(spark):
     """Two features over 7 labeled pairs: m/u and both log2 weights
     re-derived by hand, including eps-clamping when a feature never

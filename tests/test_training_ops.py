@@ -418,6 +418,51 @@ def test_winnow_near_dup_pairs_df_cap(spark):
     assert uncapped > len(got)
 
 
+def test_duplicate_spans_hand_computed(spark):
+    """Adjacent duplicated 3-grams merge into ONE maximal span with
+    1-based inclusive token offsets; every boundary re-derived by
+    hand.  doc1/doc2 share the run [alpha beta gamma delta] -> two
+    overlapping dup grams -> one merged span of length 4."""
+    from pubmed_and_method_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "omega alpha beta gamma delta kappa"),
+        (3, "nothing shared appears anywhere herein"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_len, r.n_dup_grams)
+        for r in duplicate_spans(df, "doc_id", "text", k=3).collect()
+    }
+    # doc1 grams: pos1 [a b g], pos2 [b g d] duplicated -> span 1..4
+    # doc2: same grams at pos2/pos3 -> span 2..5
+    assert got == {1: (1, 4, 4, 2), 2: (2, 5, 4, 2)}
+
+
+def test_duplicate_spans_split_and_degenerate(spark):
+    """Dup-gram positions more than k apart stay SEPARATE spans; docs
+    shorter than k tokens or with no duplicated gram emit no rows."""
+    from pubmed_and_method_spark.operators.dedup import duplicate_spans
+
+    head, tail = "redwood cypress maple", "basalt gneiss schist"
+    rows = [
+        (1, f"{head} fern moss lichen pine {tail}"),
+        (2, f"{head} clay silt loam sand {tail}"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicate_spans(df, "doc_id", "text", k=3).collect()
+    )
+    # 10 tokens/doc: dup grams only at pos 1 (head) and pos 8 (tail);
+    # gap 7 > k -> two spans per doc, never welded across the filler.
+    assert got == [
+        (1, 1, 3, 1), (1, 8, 10, 1), (2, 1, 3, 1), (2, 8, 10, 1),
+    ]
+
+
 def test_ivf_topk_recall_gate(spark):
     """Quality gate for the trained-IVF ANN path: on the ER-shaped
     clustered corpus, ivf_topk at the default knobs (16 lists x 4
