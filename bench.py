@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q72_pprl_bloom_dice",
     "q73_blocking_ladder",
     "q74_common_neighbor_evidence",
+    "q78_duplicate_spans",
 ]
 
 

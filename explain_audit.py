@@ -132,6 +132,10 @@ AUDIT = [
     # common-neighbor evidence: triangle enumeration must be hash joins
     # reduced through a pair-keyed HashAggregate, never a cartesian
     ("q74_common_neighbor_evidence", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # duplicate spans: gram frequency is a HashAggregate (map-side
+    # partial agg), dup positions rejoin by LeftSemi hash join, span
+    # merge is a per-doc Window — never a doc-to-doc join
+    ("q78_duplicate_spans", [r"HashAggregate", r"LeftSemi", r"Window"], [r"CartesianProduct"]),
 ]
 
 

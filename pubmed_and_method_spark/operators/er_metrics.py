@@ -688,3 +688,167 @@ def pair_counting_metrics(
             "pair_recall"
         ),
     )
+
+
+def tf_adjusted_weights(
+    pairs: DataFrame,
+    mentions: DataFrame,
+    value_col: str,
+    val1_col: str,
+    val2_col: str,
+    label_col: str = "same_entity",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-VALUE term-frequency-adjusted Fellegi-Sunter evidence for
+    one exact-agreement comparison (the Splink ``tf_adjustments``
+    idea): agreement on a rare value ("zabrinsky") is far stronger
+    evidence than agreement on a common one ("smith"), but the global
+    u = P(agree | non-match) averages that distinction away.
+
+    For a pair agreeing on value v, the better non-match agreement
+    probability is the chance a RANDOM co-blocked mention also carries
+    v — its relative frequency p_v = n_v / n among the mention table —
+    so the adjusted evidence is log2(m / p_v), decomposable as the
+    global weight log2(m/u) plus the per-value correction
+    log2(u / p_v) (positive bits for rare values, negative for common
+    ones).  This is the principled generalization of the reference's
+    name-commonness feature (X16 ambiguity,
+    database/pubmed_inner_outer_feature.sql) into the probabilistic
+    weight framework: the SAME quantity, but calibrated in evidence
+    bits instead of fed opaquely to a classifier.
+
+    One row per distinct value with at least one agreeing candidate
+    pair: mention frequency, agreeing-pair counts by label, the
+    clamped p_v, and the three weights.
+
+    Scale: three linear passes, never per-pair state —
+      1. global m/u: ONE map-side-partial groupBy of the pair table
+         to a single row (same plan as ``fs_weights``);
+      2. value frequencies: one groupBy of the MENTION table (orders
+         of magnitude smaller than pairs);
+      3. agreeing pairs per value: one filtered groupBy of the pair
+         table.
+    The 1-row base and the total broadcast onto the per-value rows;
+    nothing quadratic, no skew (a hot value is ONE row after each
+    groupBy).  All counts exact integers; probabilities clamped into
+    [eps, 1-eps] before the log-ratios exactly as ``fs_weights``.
+    """
+    agree = F.when(F.col(val1_col) == F.col(val2_col), 1).otherwise(0)
+    y = F.col(label_col).cast("int")
+    base = pairs.select(agree.alias("__a"), y.alias("__y")).agg(
+        F.sum("__y").cast("long").alias("n_match"),
+        F.sum(1 - F.col("__y")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("__a") * F.col("__y")).cast("long").alias("am"),
+        F.sum(F.col("__a") * (1 - F.col("__y"))).cast("long").alias("an"),
+    )
+    total = mentions.agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    freq = mentions.groupBy(F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_value")
+    )
+    agreed = (
+        pairs.filter(F.col(val1_col) == F.col(val2_col))
+        .groupBy(F.col(val1_col).alias("value"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_agree_pairs"),
+            F.sum(y).cast("long").alias("n_agree_match"),
+        )
+    )
+    lo, hi = F.lit(eps), F.lit(1.0 - eps)
+
+    def clamp(raw):
+        return F.greatest(F.least(raw, hi), lo)
+
+    row = (
+        agreed.join(freq, "value")
+        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(total))
+    )
+    m = clamp(
+        F.when(F.col("n_match") > 0, F.col("am") / F.col("n_match")).otherwise(lo)
+    )
+    u = clamp(
+        F.when(
+            F.col("n_nonmatch") > 0, F.col("an") / F.col("n_nonmatch")
+        ).otherwise(lo)
+    )
+    u_v = clamp(F.col("n_value") / F.col("n_mentions"))
+    return row.select(
+        "value",
+        "n_value",
+        "n_mentions",
+        "n_agree_pairs",
+        "n_agree_match",
+        F.round(u_v, 6).alias("u_value"),
+        F.round(F.log2(m / u), 6).alias("base_weight"),
+        F.round(F.log2(m / u_v), 6).alias("tf_weight"),
+        F.round(F.log2(u / u_v), 6).alias("tf_adjustment"),
+    ).orderBy("value")
+
+
+def ceaf_alignment(
+    assignments: DataFrame,
+    cluster_col: str = "cluster",
+    truth_col: str = "entity_id",
+    rounds: int = 12,
+) -> DataFrame:
+    """Greedy CEAF alignment (Luo, EMNLP'05): a 1:1 matching between
+    predicted clusters and gold entities maximizing mention overlap,
+    one row per matched (cluster, entity) with both phi scores — the
+    fourth extrinsic lens after pairwise F1, B-cubed/V-measure (q63)
+    and pair-counting ARI (q76).  CEAF is the metric that punishes
+    the "one giant cluster" degenerate case hardest: a weld can match
+    at most ONE gold entity, every other entity contributes zero.
+
+    Exact CEAF needs the Hungarian algorithm (inherently sequential);
+    the scalable surrogate is GREEDY max-weight matching — the same
+    parallel local-dominance peel as ``linkage.greedy_one_to_one``,
+    provably equal to sequential greedy by descending (overlap,
+    partner id), a 1/2-approximation and in practice near-exact on
+    peaked contingency tables.  Deliberately emitted as an ALIGNMENT
+    TABLE, not a one-row summary: per-pair phi values are floats, and
+    summing millions of them in one row would need either an
+    unbounded collect_list fold or an order-sensitive float sum (the
+    q44/BENCH parity rule); the per-row form is exact, scale-safe,
+    and lets the caller pick the phi and the denominator.
+
+    Input contract and scale are those of ``pair_counting_metrics``:
+    one O(cells) contingency groupBy of the mention table, then
+    matching rounds over the CELLS (two keyed max-aggs + anti-joins
+    per round, never per-mention state).  ``phi_m`` is the raw
+    integer overlap (CEAF-m numerator); ``phi_e`` is the per-pair
+    2*overlap/(|C|+|E|) (CEAF-e numerator term), round-6 from exact
+    integers.  Raises on non-convergence like the matching operator,
+    so the output is a pure function of (assignments, rounds) and a
+    SQL oracle can unroll the identical rounds.
+    """
+    from pubmed_and_method_spark.operators.linkage import greedy_one_to_one
+
+    cells = assignments.groupBy(
+        F.col(cluster_col).alias("cluster"),
+        F.col(truth_col).alias("entity_id"),
+    ).agg(F.count(F.lit(1)).alias("n_ce"))
+    n_c = assignments.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_cluster")
+    )
+    n_e = assignments.groupBy(F.col(truth_col).alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_entity")
+    )
+    m = greedy_one_to_one(
+        cells, "cluster", "entity_id", "n_ce", rounds=rounds
+    )
+    return (
+        m.join(n_c, "cluster")
+        .join(n_e, "entity_id")
+        .select(
+            "cluster",
+            "entity_id",
+            F.col("n_ce").cast("long").alias("phi_m"),
+            "n_cluster",
+            "n_entity",
+            F.round(
+                2 * F.col("n_ce") / (F.col("n_cluster") + F.col("n_entity")),
+                6,
+            ).alias("phi_e"),
+            "round_matched",
+        )
+    )

@@ -5253,6 +5253,322 @@ def q78(spark, sf):
     )
 
 
+@q(
+    "q79_tf_adjusted_weights",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name
+        FROM wf WHERE block_key <> '__unblocked__'),
+    px AS (
+        SELECT CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y,
+               CASE WHEN a.given_name = b.given_name THEN 1 ELSE 0 END AS ag,
+               a.given_name AS g1
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    base AS (
+        SELECT sum(y) AS n_match, sum(1 - y) AS n_nonmatch,
+               sum(ag * y) AS am, sum(ag * (1 - y)) AS an
+        FROM px),
+    tot AS (SELECT count(*) AS n_mentions FROM members),
+    freq AS (
+        SELECT given_name AS value, count(*) AS n_value
+        FROM members GROUP BY 1),
+    agreed AS (
+        SELECT g1 AS value, count(*) AS n_agree_pairs,
+               sum(y) AS n_agree_match
+        FROM px WHERE ag = 1 GROUP BY 1),
+    probs AS (
+        SELECT agreed.value, freq.n_value, tot.n_mentions,
+               agreed.n_agree_pairs, agreed.n_agree_match,
+               greatest(least(CASE WHEN n_match > 0
+                                   THEN am * 1.0 / n_match
+                                   ELSE 1e-6 END, 1 - 1e-6), 1e-6) AS m,
+               greatest(least(CASE WHEN n_nonmatch > 0
+                                   THEN an * 1.0 / n_nonmatch
+                                   ELSE 1e-6 END, 1 - 1e-6), 1e-6) AS u,
+               greatest(least(n_value * 1.0 / n_mentions,
+                              1 - 1e-6), 1e-6) AS u_v
+        FROM agreed
+        JOIN freq USING (value)
+        CROSS JOIN base CROSS JOIN tot)
+    SELECT value,
+           CAST(n_value AS BIGINT) AS n_value,
+           CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_agree_pairs AS BIGINT) AS n_agree_pairs,
+           CAST(n_agree_match AS BIGINT) AS n_agree_match,
+           round(u_v, 6) AS u_value,
+           round(log2(m / u), 6) AS base_weight,
+           round(log2(m / u_v), 6) AS tf_weight,
+           round(log2(u / u_v), 6) AS tf_adjustment
+    FROM probs ORDER BY value
+    """,
+)
+def q79(spark, sf):
+    """Term-frequency-adjusted Fellegi-Sunter evidence per given-name
+    value (operators/er_metrics.tf_adjusted_weights, the Splink
+    ``tf_adjustments`` idea): the global u of exact given-name
+    agreement is replaced, per value, by that value's mention
+    frequency — agreement on a rare name carries MORE bits, a common
+    name fewer, with the correction log2(u/p_v) decomposed explicitly.
+    The principled weight-space form of the reference's name-
+    commonness feature (X16, pubmed_inner_outer_feature.sql).  Three
+    linear passes (1-row base over the pairs, mention-table frequency,
+    agreeing-pair groupBy); DuckDB re-derives every count, clamp, and
+    log-ratio."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        tf_adjusted_weights,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    members = sig.filter(F.col("block_key") != "__unblocked__")
+    names = members.select("mention_id", "given_name")
+    pairs = (
+        build_labeled_pairs(sig, g)
+        .join(
+            names.select(
+                F.col("mention_id").alias("mention_id1"),
+                F.col("given_name").alias("given_name1"),
+            ),
+            "mention_id1",
+        )
+        .join(
+            names.select(
+                F.col("mention_id").alias("mention_id2"),
+                F.col("given_name").alias("given_name2"),
+            ),
+            "mention_id2",
+        )
+    )
+    return tf_adjusted_weights(
+        pairs, members, "given_name", "given_name1", "given_name2"
+    )
+
+
+def _ceaf_match_sql(rounds: int) -> str:
+    """q81 oracle suffix: the SAME ``rounds`` local-dominance greedy
+    matching rounds ceaf_alignment runs over the contingency cells,
+    unrolled as chained MATERIALIZED CTEs (q71 pattern), then the
+    size joins and phi projections."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT cluster AS l, entity_id AS r, "
+        "CAST(n_ce AS DOUBLE) AS s FROM cells)"
+    ]
+    for k in range(1, rounds + 1):
+        p = f"e{k - 1}"
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+        SELECT e.l, e.r, e.s FROM {p} e
+        JOIN (SELECT l, max(struct_pack(s := s, o := r)) AS b
+              FROM {p} GROUP BY l) bl
+          ON bl.l = e.l AND bl.b.s = e.s AND bl.b.o = e.r
+        JOIN (SELECT r, max(struct_pack(s := s, o := l)) AS b
+              FROM {p} GROUP BY r) br
+          ON br.r = e.r AND br.b.s = e.s AND br.b.o = e.l)"""
+        )
+        parts.append(
+            f"""e{k} AS MATERIALIZED (
+        SELECT * FROM {p}
+        WHERE l NOT IN (SELECT l FROM m{k})
+          AND r NOT IN (SELECT r FROM m{k}))"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT l, r, s, {k} AS round_matched FROM m{k}"
+        for k in range(1, rounds + 1)
+    )
+    tail = f"""matches AS (
+        {unions})
+    SELECT m.l AS cluster, m.r AS entity_id,
+           CAST(m.s AS BIGINT) AS phi_m,
+           nc.n_cluster, ne.n_entity,
+           round(2 * m.s / (nc.n_cluster + ne.n_entity), 6) AS phi_e,
+           m.round_matched
+    FROM matches m
+    JOIN nc ON nc.cluster = m.l
+    JOIN ne ON ne.entity_id = m.r"""
+    return ",\n    ".join(parts) + ",\n    " + tail
+
+
+_CEAF_ROUNDS = 8
+
+
+@q(
+    "q81_ceaf_alignment",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    a AS (
+        SELECT nk.block_key AS cluster, tr.entity_id
+        FROM nk JOIN tr USING (conv_id)
+        WHERE nk.block_key <> '__unblocked__'),
+    cells AS (
+        SELECT cluster, entity_id, count(*) AS n_ce
+        FROM a GROUP BY 1, 2),
+    nc AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster
+        FROM a GROUP BY 1),
+    ne AS (
+        SELECT entity_id, CAST(count(*) AS BIGINT) AS n_entity
+        FROM a GROUP BY 1),
+    {_ceaf_match_sql(_CEAF_ROUNDS)}
+    """,
+)
+def q81(spark, sf):
+    """Greedy CEAF cluster-entity alignment
+    (operators/er_metrics.ceaf_alignment) of the exact-name blocking
+    partition against planted truth: a 1:1 max-overlap matching
+    between predicted clusters and gold entities via the parallel
+    local-dominance peel, one row per matched pair with the CEAF-m
+    (integer overlap) and CEAF-e (2*overlap/(|C|+|E|)) numerator
+    terms.  The metric family that punishes mega-cluster welds
+    hardest — a weld can match at most ONE gold entity.  DuckDB
+    unrolls the same 8 greedy rounds (q71 iterative-oracle pattern)
+    and re-derives every election, size, and phi."""
+    from pubmed_and_method_spark.operators.er_metrics import ceaf_alignment
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    assign = (
+        build_signatures(t, tfidf=False)
+        .filter(F.col("block_key") != "__unblocked__")
+        .select("conv_id", F.col("block_key").alias("cluster"))
+        .join(g.select("conv_id", "entity_id"), "conv_id")
+    )
+    return ceaf_alignment(assign, rounds=_CEAF_ROUNDS)
+
+
+@q(
+    "q80_monge_elkan_names",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id || '#assistant' AS mid, block_key,
+               list_filter([given_name, surname], x -> x <> '') AS toks
+        FROM wf WHERE block_key <> '__unblocked__'),
+    p AS (
+        SELECT a.mid AS id1, b.mid AS id2,
+               a.toks AS t1s, b.toks AS t2s
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key AND a.mid < b.mid
+        WHERE len(a.toks) > 0 AND len(b.toks) > 0),
+    e_fwd AS (
+        SELECT id1, id2, unnest(generate_series(1, len(t1s))) AS i,
+               t1s, t2s
+        FROM p),
+    b_fwd AS (
+        SELECT id1, id2, i,
+               max(round(jaro_winkler_similarity(t1s[i], u.s), 6)) AS best
+        FROM e_fwd, unnest(t2s) AS u(s)
+        GROUP BY 1, 2, 3),
+    m_fwd AS (
+        SELECT id1, id2,
+               list_reduce(list(best ORDER BY i), (a, b) -> a + b)
+                   / count(*) AS fwd
+        FROM b_fwd GROUP BY 1, 2),
+    e_bwd AS (
+        SELECT id1, id2, unnest(generate_series(1, len(t2s))) AS i,
+               t1s, t2s
+        FROM p),
+    b_bwd AS (
+        SELECT id1, id2, i,
+               max(round(jaro_winkler_similarity(t2s[i], u.s), 6)) AS best
+        FROM e_bwd, unnest(t1s) AS u(s)
+        GROUP BY 1, 2, 3),
+    m_bwd AS (
+        SELECT id1, id2,
+               list_reduce(list(best ORDER BY i), (a, b) -> a + b)
+                   / count(*) AS bwd
+        FROM b_bwd GROUP BY 1, 2)
+    SELECT id1 AS mention_id1, id2 AS mention_id2,
+           round(fwd, 6) AS me_fwd,
+           round(bwd, 6) AS me_bwd,
+           round((fwd + bwd) / 2, 6) AS monge_elkan
+    FROM m_fwd JOIN m_bwd USING (id1, id2)
+    """,
+)
+def q80(spark, sf):
+    """Monge-Elkan token-set name similarity over the labeled
+    candidate pairs (operators/token_similarity.monge_elkan_scores):
+    each name token matched to its BEST JW counterpart on the other
+    side, per-side means symmetrized — the transposition-robust
+    similarity the reference's whole-string JW/Levenshtein
+    (string_utils.py:80-102) lacks ("maria santos" vs "santos maria"
+    scores 1.0 here).  Float discipline: per-token bests are maxes of
+    round-6 values, per-side means are strict left folds in token-
+    index order on BOTH engines (F.aggregate vs list_reduce), so every
+    score is bit-reproducible; DuckDB re-derives all three columns."""
+    from pubmed_and_method_spark.operators.token_similarity import (
+        monge_elkan_scores,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    toks = F.filter(
+        F.array("given_name", "surname"), lambda x: x != ""
+    )
+    names = sig.filter(F.col("block_key") != "__unblocked__").select(
+        "mention_id", toks.alias("name_toks")
+    )
+    pairs = (
+        build_labeled_pairs(sig, g)
+        .select("mention_id1", "mention_id2")
+        .join(
+            names.select(
+                F.col("mention_id").alias("mention_id1"),
+                F.col("name_toks").alias("toks1"),
+            ),
+            "mention_id1",
+        )
+        .join(
+            names.select(
+                F.col("mention_id").alias("mention_id2"),
+                F.col("name_toks").alias("toks2"),
+            ),
+            "mention_id2",
+        )
+    )
+    return monge_elkan_scores(pairs, "toks1", "toks2")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -386,6 +386,110 @@ def test_pair_counting_degenerate_and_empty(spark):
             r.pair_precision, r.pair_recall) == (0.0, 0.0, 0.0, 0.0, 0.0)
 
 
+def test_tf_adjusted_weights_hand_computed(spark):
+    """4 mentions {x,x,x,y}, 4 labeled pairs: base m=2/2 (clamped to
+    1-1e-6), u=1/2; p_x=0.75 so agreeing on x LOSES bits
+    (log2(0.5/0.75) < 0) while p_y=0.25 GAINS exactly +1 bit — every
+    count and weight re-derived by hand."""
+    import math
+
+    from pubmed_and_method_spark.operators.er_metrics import (
+        tf_adjusted_weights,
+    )
+
+    mentions = spark.createDataFrame(
+        [("m1", "x"), ("m2", "x"), ("m3", "x"), ("m4", "y")],
+        "mention_id string, given_name string",
+    )
+    pairs = spark.createDataFrame(
+        [("x", "x", 1), ("x", "x", 0), ("x", "y", 0), ("y", "y", 1)],
+        "g1 string, g2 string, same_entity int",
+    )
+    got = {
+        r.value: r
+        for r in tf_adjusted_weights(
+            pairs, mentions, "given_name", "g1", "g2"
+        ).collect()
+    }
+    m, u = 1.0 - 1e-6, 0.5
+    x, y = got["x"], got["y"]
+    assert (x.n_value, x.n_mentions, x.n_agree_pairs, x.n_agree_match) == (
+        3, 4, 2, 1,
+    )
+    assert (y.n_value, y.n_agree_pairs, y.n_agree_match) == (1, 1, 1)
+    assert (x.u_value, y.u_value) == (0.75, 0.25)
+    assert x.base_weight == y.base_weight == round(math.log2(m / u), 6)
+    assert x.tf_weight == round(math.log2(m / 0.75), 6)
+    assert y.tf_weight == round(math.log2(m / 0.25), 6)
+    assert x.tf_adjustment == round(math.log2(u / 0.75), 6) < 0
+    assert y.tf_adjustment == 1.0  # log2(0.5/0.25)
+
+
+def test_ceaf_alignment_hand_computed(spark):
+    """The weld cluster W={e1,e1,e1,e2,e2} can match only ONE entity
+    (greedy takes e1, overlap 3, round 1); e2 then falls to its
+    second-best cluster C2 in round 2.  Every size and phi re-derived
+    by hand."""
+    from pubmed_and_method_spark.operators.er_metrics import ceaf_alignment
+
+    rows = [
+        ("W", "e1"), ("W", "e1"), ("W", "e1"), ("W", "e2"), ("W", "e2"),
+        ("C2", "e2"),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, entity_id string")
+    got = {
+        r.cluster: r for r in ceaf_alignment(df, rounds=4).collect()
+    }
+    w, c2 = got["W"], got["C2"]
+    assert (w.entity_id, w.phi_m, w.n_cluster, w.n_entity) == ("e1", 3, 5, 3)
+    assert (w.phi_e, w.round_matched) == (0.75, 1)  # 2*3/(5+3)
+    assert (c2.entity_id, c2.phi_m, c2.n_cluster, c2.n_entity) == (
+        "e2", 1, 1, 3,
+    )
+    assert (c2.phi_e, c2.round_matched) == (0.5, 2)  # 2*1/(1+3)
+    assert len(got) == 2  # 1:1 — no entity or cluster used twice
+
+
+def test_monge_elkan_hand_computed(spark):
+    """Transposition invariance (the point of the operator), exact
+    inner-JW agreement on a typo pair, directional asymmetry when
+    token counts differ, and omission of empty-token pairs."""
+    from pubmed_and_method_spark.functions.strings import jaro_winkler
+    from pubmed_and_method_spark.operators.token_similarity import (
+        monge_elkan_scores,
+    )
+
+    rows = [
+        ("a1", "b1", ["maria", "santos"], ["santos", "maria"]),
+        ("a2", "b2", ["maria"], ["mario"]),
+        ("a3", "b3", ["maria", "santos"], ["maria"]),
+        ("a4", "b4", [], ["maria"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "mention_id1 string, mention_id2 string, "
+        "toks1 array<string>, toks2 array<string>",
+    )
+    got = {
+        r.mention_id1: r
+        for r in monge_elkan_scores(df, "toks1", "toks2").collect()
+    }
+    # swapped given/surname: every token finds its exact twin
+    assert (
+        got["a1"].me_fwd, got["a1"].me_bwd, got["a1"].monge_elkan
+    ) == (1.0, 1.0, 1.0)
+    # single-token typo pair: symmetric, equals the inner JW
+    jw = round(jaro_winkler("maria", "mario"), 6)
+    assert jw == 0.92
+    assert (got["a2"].me_fwd, got["a2"].monge_elkan) == (jw, jw)
+    # asymmetry: fwd averages over 2 tokens, bwd over 1
+    sm = round(jaro_winkler("santos", "maria"), 6)
+    assert got["a3"].me_fwd == round((1.0 + sm) / 2, 6)
+    assert got["a3"].me_bwd == 1.0
+    # empty side omitted, not fabricated as zero
+    assert "a4" not in got
+
+
 def test_entity_epochs_hand_computed(spark):
     """Gap-based epoch splitting: cluster A's timeline [0, 100, 100,
     5000] at gap 1000 cuts exactly once (4900 > 1000); equal
