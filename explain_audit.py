@@ -136,6 +136,16 @@ AUDIT = [
     # partial agg), dup positions rejoin by LeftSemi hash join, span
     # merge is a per-doc Window — never a doc-to-doc join
     ("q78_duplicate_spans", [r"HashAggregate", r"LeftSemi", r"Window"], [r"CartesianProduct"]),
+    # TF-adjusted weights: three linear HashAggregates; the 1-row base
+    # and total broadcast onto the per-value rows (BNLJ of 1-row
+    # relations is the free pattern, a cartesian over data is not)
+    ("q79_tf_adjusted_weights", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # Monge-Elkan: the only Python is the Arrow-batched JW
+    # (ArrowEvalPython); bests/means are pair-keyed HashAggregates
+    ("q80_monge_elkan_names", [r"ArrowEvalPython", r"HashAggregate"], [r"CartesianProduct"]),
+    # greedy CEAF: checkpointed matching rounds collapse to scans; the
+    # size joins must be hash joins, never cartesian
+    ("q81_ceaf_alignment", [r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
