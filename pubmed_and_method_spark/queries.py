@@ -5366,6 +5366,79 @@ def q79(spark, sf):
     )
 
 
+@q(
+    "q82_jsonl_ingest",
+    """
+    SELECT doc_id, lang, source,
+           CAST(len(text) AS INTEGER) AS n_chars,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), ' +'))
+                END AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q82(spark, sf):
+    """S1/S2 in the JSONL shape: documents exported as newline-
+    delimited JSON with a NESTED meta object, read back with a
+    declared nested StructType + flatten-on-ingest transforms
+    (sources/text_source.read_jsonl) — the realistic transcript-dump
+    ingest the reference's flat-TSV loader (and_datasets.sql:7)
+    cannot express.  Schema inference OFF; nested fields pruned to
+    the consumed subtree.  The oracle reads the PARQUET truth, so a
+    hash match proves the JSON round trip is lossless."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from pubmed_and_method_spark.sources.text_source import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.struct("lang", "source").alias("meta"),
+        "text",
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_jsonl_{tag}"
+    # unconditional overwrite (q40's staleness rule)
+    write_jsonl(d, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    loaded = read_jsonl(
+        spark,
+        path,
+        schema,
+        transforms={
+            "text": lambda c: F.coalesce(c, F.lit("")),
+        },
+    )
+    toks = F.split(F.trim("text"), " +")
+    return loaded.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.when(
+            (F.size(toks) == 1) & (F.element_at(toks, 1) == ""), 0
+        ).otherwise(F.size(toks)).cast("int").alias("n_ws_tokens"),
+    )
+
+
 def _ceaf_match_sql(rounds: int) -> str:
     """q81 oracle suffix: the SAME ``rounds`` local-dominance greedy
     matching rounds ceaf_alignment runs over the contingency cells,

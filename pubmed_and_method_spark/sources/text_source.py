@@ -84,3 +84,45 @@ def write_delimited(
     df.write.mode("overwrite").csv(
         path, sep=delimiter, header=header, escape='"'
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    transforms: dict[str, Callable[[Column], Column]] | None = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Bulk-load newline-delimited JSON with a DECLARED schema —
+    the realistic transcript-dump ingest shape (conversation logs
+    arrive as JSONL with NESTED objects: tool calls, metadata), where
+    the reference knows only flat TSV (and_datasets.sql:7).
+
+    Same discipline as ``read_delimited``: schema inference is OFF
+    (an extra full scan at 100 TB and silently wrong types on dirty
+    rows — Spark would sample-read every file just to guess), nested
+    fields are declared as StructType so Catalyst prunes the JSON
+    parse to the consumed subtree, and S2 transforms fuse into the
+    scan projection.  PERMISSIVE mode tolerates dirty lines; with
+    ``keep_corrupt`` they land in ``_corrupt_record``.
+    """
+    if keep_corrupt:
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+    reader = spark.read.schema(schema).option("mode", "PERMISSIVE")
+    if keep_corrupt:
+        reader = reader.option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    df = reader.json(path)
+    for col, fn in (transforms or {}).items():
+        df = df.withColumn(col, fn(F.col(col)))
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Export as newline-delimited JSON (one object per line; nested
+    struct columns serialize as nested objects)."""
+    df.write.mode("overwrite").json(path)

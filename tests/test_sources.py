@@ -58,6 +58,47 @@ def test_corrupt_record_capture(spark, tmp_path):
     assert len(corrupt) == 1 and "not_a_number" in corrupt[0]["_corrupt_record"]
 
 
+def test_jsonl_nested_roundtrip_and_corrupt(spark, tmp_path):
+    """read_jsonl: declared NESTED schema (no inference), flatten-on-
+    ingest transform, and PERMISSIVE corrupt-line capture."""
+    from pubmed_and_method_spark.sources.text_source import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "meta": {"lang": "en", "src": "web"}, "text": "a b"}\n'
+        '{"id": 2, "meta": {"lang": "fr", "src": "pdf"}, "text": ""}\n'
+        "this line is not json\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("src", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    loaded = read_jsonl(
+        spark,
+        str(p),
+        schema,
+        transforms={"text": lambda c: F.coalesce(c, F.lit(""))},
+        keep_corrupt=True,
+    )
+    rows = {r["id"]: r for r in loaded.collect()}
+    assert rows[1]["meta"]["lang"] == "en" and rows[1]["text"] == "a b"
+    assert rows[2]["meta"]["src"] == "pdf" and rows[2]["text"] == ""
+    corrupt = [r for r in rows.values() if r["_corrupt_record"]]
+    assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt_record"]
+    assert dict(loaded.dtypes)["id"] == "bigint"  # declared, not inferred
+
+
 def test_seeded_shuffle_deterministic_and_seed_sensitive(spark):
     df = spark.range(500).select(F.col("id"))
     a = [r["id"] for r in seeded_shuffle(df, ["id"], seed=1).collect()]
