@@ -510,11 +510,23 @@ def build_labeled_pairs(
     return pairs
 
 
-def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+def build_pair_features(
+    pairs: DataFrame, signatures: DataFrame, monge_elkan: bool = False
+) -> DataFrame:
     """The flagship pair-assembly double-join (J3):
     pair table joined against the mention-feature table twice —
     database/pubmed_inner_outer_feature.sql:672-781 — then the
-    vectorized feature stack (X1-X17 analogs)."""
+    vectorized feature stack (X1-X17 analogs).
+
+    ``monge_elkan=True`` additionally computes the transposition-
+    robust token-set name similarity (q80 operator) as a
+    ``monge_elkan`` column — opt-in because unlike every projection
+    feature above it costs two pair-keyed shuffles, and the default
+    corpus plants no given/surname swaps for it to recover; corpora
+    with name-order noise add it to the model via
+    ``FEATURE_COLS + ["monge_elkan"]``.  Pairs the operator omits
+    (either side tokenless) default to 0.0 — here it IS a feature
+    vector slot, so a neutral fill beats dropping the pair."""
     feat_cols = [
         "mention_id",
         "given_name",
@@ -668,6 +680,27 @@ def build_pair_features(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
         ).drop("tfidf1", "tfidf2")
     else:
         df = df.withColumn("content_tfidf_cos", F.lit(0.0))
+    if monge_elkan:
+        from pubmed_and_method_spark.operators.token_similarity import (
+            monge_elkan_scores,
+        )
+
+        me_in = df.select(
+            "mention_id1",
+            "mention_id2",
+            F.filter(
+                F.array("given_name1", "surname1"), lambda x: x != ""
+            ).alias("__nt1"),
+            F.filter(
+                F.array("given_name2", "surname2"), lambda x: x != ""
+            ).alias("__nt2"),
+        )
+        me = monge_elkan_scores(me_in, "__nt1", "__nt2").select(
+            "mention_id1", "mention_id2", "monge_elkan"
+        )
+        df = df.join(me, ["mention_id1", "mention_id2"], "left").withColumn(
+            "monge_elkan", F.coalesce("monge_elkan", F.lit(0.0))
+        )
     return df
 
 

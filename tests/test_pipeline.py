@@ -73,6 +73,34 @@ def test_pair_golden_counts(signatures, labeled):
     assert labeled.filter(F.col("same_entity").isNull()).count() == 0
 
 
+def test_pair_features_monge_elkan_opt_in(signatures, labeled):
+    """The q80 similarity as an opt-in pair feature: absent by
+    default (it costs two extra shuffles), present and well-formed
+    when requested — in [0,1], 1.0 exactly when both sides carry the
+    identical (given, surname) token pair, never null (tokenless
+    pairs fill 0.0)."""
+    base = build_pair_features(labeled, signatures)
+    assert "monge_elkan" not in base.columns
+
+    df = build_pair_features(labeled, signatures, monge_elkan=True)
+    assert "monge_elkan" in df.columns
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("monge_elkan").isNull().cast("int")).alias("nulls"),
+        F.min("monge_elkan").alias("lo"),
+        F.max("monge_elkan").alias("hi"),
+    ).collect()[0]
+    assert stats.n == labeled.count() and stats.nulls == 0
+    assert 0.0 <= stats.lo and stats.hi <= 1.0
+    same = df.filter(
+        (F.col("given_name1") == F.col("given_name2"))
+        & (F.col("surname1") == F.col("surname2"))
+        & (F.col("given_name1") != "")
+    )
+    assert same.count() > 0
+    assert same.filter(F.col("monge_elkan") != 1.0).count() == 0
+
+
 def test_split_block_disjointness(labeled):
     split = grouped_split(labeled, "block_key", train_pct=70, salt=42)
     both = (
