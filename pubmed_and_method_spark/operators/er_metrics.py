@@ -852,3 +852,81 @@ def ceaf_alignment(
             "round_matched",
         )
     )
+
+
+def cluster_churn(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "mention_id",
+    a_col: str = "cluster",
+    b_col: str = "cluster",
+) -> DataFrame:
+    """Per-cluster CHURN between two clusterings of the same mentions
+    — the production-ER stability report nothing in the reference
+    exists to produce (its blocks are built once and never compared
+    across releases): when the blocking key, model, threshold, or an
+    incremental update changes the partition, which clusters survived
+    intact, which SPLIT apart, and which were MERGED into something
+    bigger?
+
+    One row per A-cluster: mention count, how many B-clusters its
+    mentions landed in (``n_parts_b``), the best-overlap B-cluster
+    (deterministic argmax by (overlap, b) struct max) with its
+    overlap and exact-ratio containment both ways, and a status:
+
+      ``stable``  all of A is one B-cluster and that B-cluster is
+                  exactly A (bijective cell);
+      ``split``   A's mentions span >1 B-cluster;
+      ``merged``  A maps into one B-cluster that also absorbed other
+                  mentions;
+
+    (a split whose largest part also gained members still reports
+    ``split`` — span is checked first; ``frac_of_b`` exposes the
+    absorption.)  Everything derives from the (A, B) contingency
+    cells — one groupBy of the joined assignment table, then groupBys
+    of the CELLS, O(cells) at 10^12 mentions like the other
+    contingency operators; integer counts + round-6 exact ratios.
+    """
+    cells = (
+        a.select(F.col(id_col).alias("__id"), F.col(a_col).alias("ca"))
+        .join(
+            b.select(F.col(id_col).alias("__id"), F.col(b_col).alias("cb")),
+            "__id",
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    per_a = cells.groupBy("ca").agg(
+        F.sum("n_ab").cast("long").alias("n_mentions"),
+        F.count(F.lit(1)).cast("long").alias("n_parts_b"),
+        F.max(
+            F.struct(F.col("n_ab").alias("n"), F.col("cb").alias("b"))
+        ).alias("__best"),
+    )
+    size_b = cells.groupBy("cb").agg(
+        F.sum("n_ab").cast("long").alias("n_b")
+    )
+    out = per_a.select(
+        F.col("ca").alias("cluster_a"),
+        "n_mentions",
+        "n_parts_b",
+        F.col("__best.b").alias("best_b"),
+        F.col("__best.n").cast("long").alias("best_overlap"),
+    ).join(size_b.withColumnRenamed("cb", "best_b"), "best_b")
+    status = (
+        F.when(F.col("n_parts_b") > 1, F.lit("split"))
+        .when(F.col("n_b") > F.col("best_overlap"), F.lit("merged"))
+        .otherwise(F.lit("stable"))
+    )
+    return out.select(
+        "cluster_a",
+        "n_mentions",
+        "n_parts_b",
+        "best_b",
+        "best_overlap",
+        F.round(F.col("best_overlap") / F.col("n_mentions"), 6).alias(
+            "frac_of_a"
+        ),
+        F.round(F.col("best_overlap") / F.col("n_b"), 6).alias("frac_of_b"),
+        status.alias("status"),
+    )

@@ -5439,6 +5439,74 @@ def q82(spark, sf):
     )
 
 
+@q(
+    "q83_cluster_churn",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    members AS ({{phon_members}}),
+    cells AS (
+        SELECT block_key AS ca, pk AS cb, count(*) AS n_ab
+        FROM members GROUP BY 1, 2),
+    per_a AS (
+        SELECT ca,
+               CAST(sum(n_ab) AS BIGINT) AS n_mentions,
+               CAST(count(*) AS BIGINT) AS n_parts_b,
+               max(struct_pack(n := n_ab, b := cb)) AS best
+        FROM cells GROUP BY ca),
+    size_b AS (
+        SELECT cb, CAST(sum(n_ab) AS BIGINT) AS n_b
+        FROM cells GROUP BY cb)
+    SELECT per_a.ca AS cluster_a,
+           per_a.n_mentions,
+           per_a.n_parts_b,
+           per_a.best.b AS best_b,
+           CAST(per_a.best.n AS BIGINT) AS best_overlap,
+           round(per_a.best.n * 1.0 / per_a.n_mentions, 6) AS frac_of_a,
+           round(per_a.best.n * 1.0 / size_b.n_b, 6) AS frac_of_b,
+           CASE WHEN per_a.n_parts_b > 1 THEN 'split'
+                WHEN size_b.n_b > per_a.best.n THEN 'merged'
+                ELSE 'stable' END AS status
+    FROM per_a JOIN size_b ON size_b.cb = per_a.best.b
+    """,
+)
+def q83(spark, sf):
+    """Cluster CHURN report (operators/er_metrics.cluster_churn)
+    between the exact-name blocking partition and the phonetic
+    partition on the HARD (typo-planted) corpus — the production-ER
+    stability view when a blocking key changes: typo-severed exact
+    blocks show up as 'merged' into their phonetic superblock, the
+    survivors as 'stable', with best-overlap containment both ways.
+    One contingency groupBy + groupBys of the CELLS, O(cells) at
+    10^12 mentions; integer counts, exact round-6 ratios, argmax by
+    (overlap, id) struct max — DuckDB re-derives every cell, best,
+    and status."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.er_metrics import cluster_churn
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False).filter(
+        F.col("block_key") != "__unblocked__"
+    )
+    a = sig.select("mention_id", F.col("block_key").alias("cluster"))
+    b = sig.select(
+        "mention_id",
+        F.concat(
+            phonetic_key("surname"),
+            F.lit("_"),
+            F.substring("given_name", 1, 1),
+        ).alias("cluster"),
+    )
+    return cluster_churn(a, b)
+
+
+ORACLES["q83_cluster_churn"] = ORACLES["q83_cluster_churn"].format(
+    phon_members=_phon_member_sql()
+)
+
+
 def _ceaf_match_sql(rounds: int) -> str:
     """q81 oracle suffix: the SAME ``rounds`` local-dominance greedy
     matching rounds ceaf_alignment runs over the contingency cells,

@@ -425,6 +425,39 @@ def test_tf_adjusted_weights_hand_computed(spark):
     assert y.tf_adjustment == 1.0  # log2(0.5/0.25)
 
 
+def test_cluster_churn_hand_computed(spark):
+    """All three statuses from one fixture: A1 splits across B1/B2,
+    A2 is absorbed (merged) into B1, A3 maps bijectively (stable) —
+    every count, containment ratio, and status re-derived by hand."""
+    from pubmed_and_method_spark.operators.er_metrics import cluster_churn
+
+    a = spark.createDataFrame(
+        [("m1", "A1"), ("m2", "A1"), ("m3", "A1"), ("m4", "A2"),
+         ("m5", "A3"), ("m6", "A3")],
+        "mention_id string, cluster string",
+    )
+    b = spark.createDataFrame(
+        [("m1", "B1"), ("m2", "B1"), ("m4", "B1"), ("m3", "B2"),
+         ("m5", "B3"), ("m6", "B3")],
+        "mention_id string, cluster string",
+    )
+    got = {r.cluster_a: r for r in cluster_churn(a, b).collect()}
+    a1, a2, a3 = got["A1"], got["A2"], got["A3"]
+    assert (a1.n_mentions, a1.n_parts_b, a1.best_b, a1.best_overlap) == (
+        3, 2, "B1", 2,
+    )
+    assert (a1.frac_of_a, a1.frac_of_b, a1.status) == (
+        0.666667, 0.666667, "split",
+    )
+    assert (a2.n_parts_b, a2.best_b, a2.frac_of_a, a2.frac_of_b) == (
+        1, "B1", 1.0, 0.333333,
+    )
+    assert a2.status == "merged"
+    assert (a3.n_parts_b, a3.frac_of_a, a3.frac_of_b, a3.status) == (
+        1, 1.0, 1.0, "stable",
+    )
+
+
 def test_ceaf_alignment_hand_computed(spark):
     """The weld cluster W={e1,e1,e1,e2,e2} can match only ONE entity
     (greedy takes e1, overlap 3, round 1); e2 then falls to its
