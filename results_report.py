@@ -567,6 +567,118 @@ def assemble() -> int:
     return 0
 
 
+def lenses_section(spark) -> list[str]:
+    """All four extrinsic evaluation lenses applied to the SAME
+    partition (exact-name blocking vs planted truth) on the clean and
+    the typo-planted hard corpus at 2000 entities: pairwise P/R/F1
+    (the reference's only metric), B-cubed F1 + V-measure (q63),
+    chance-corrected ARI (q76), and greedy CEAF-m accuracy (q81).
+    One table so the lenses can be read against each other — pairwise
+    F1 looks fine on the hard corpus while ARI and CEAF-m expose the
+    typo-severed blocks."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        ceaf_alignment,
+        cluster_agreement_metrics,
+        pair_counting_metrics,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    n_entities = 2000
+    lines = [
+        "## Evaluation lenses: one partition, four metric families",
+        "",
+        f"Exact-name blocking partition vs planted truth, {n_entities}"
+        " entities; same blocks the pipeline's pass 1 produces.  Pair"
+        " metrics from q76's exact pair counts, B³/V from q63, ARI"
+        " chance-corrected, CEAF-m = Σ matched overlap / mentions from"
+        " q81's greedy alignment (rounds=16).",
+        "",
+        "| corpus | mentions | pair P | pair R | pair F1 | B³ F1 |"
+        " V | ARI | CEAF-m |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for label, hardness in (("clean", 0.0), ("hard 0.7", 0.7)):
+        t, g = transcripts_df(
+            spark,
+            seed=42,
+            hardness=hardness,
+            n_entities=n_entities,
+            n_blocks=max(24, n_entities * 3 // 10),
+        )
+        from pyspark.sql import functions as F
+
+        assign = (
+            build_signatures(t, tfidf=False)
+            .filter(F.col("block_key") != "__unblocked__")
+            .select("conv_id", F.col("block_key").alias("cluster"))
+            .join(g.select("conv_id", "entity_id"), "conv_id")
+            .cache()
+        )
+        pc = pair_counting_metrics(assign).collect()[0]
+        ag = cluster_agreement_metrics(assign).collect()[0]
+        al = ceaf_alignment(assign, rounds=16).collect()
+        ceaf_m = sum(r.phi_m for r in al) / pc.n_items
+        p, r = pc.pair_precision, pc.pair_recall
+        f1 = round(2 * p * r / (p + r), 4) if (p + r) else 0.0
+        lines.append(
+            f"| {label} | {pc.n_items} | {round(p, 4)} | {round(r, 4)}"
+            f" | {f1} | {round(ag.bcubed_f1, 4)} |"
+            f" {round(ag.v_measure, 4)} | {round(pc.adjusted_rand, 4)} |"
+            f" {round(ceaf_m, 4)} |"
+        )
+        assign.unpersist()
+    lines += [
+        "",
+        "Reading: blocking is the RECALL-side stage — pair recall 1.0"
+        " on the clean corpus (no true pair severed), dropping to"
+        " ~0.78 under planted typos — while its precision is"
+        " deliberately poor (blocks share normalized keys across"
+        " entities by construction; precision is the matcher's job)."
+        "  The lenses then disagree in exactly the way that makes the"
+        " extra families worth having: V-measure flatters the"
+        " partition (~0.84 — completeness-driven), while ARI (~0.19)"
+        " and CEAF-m (~0.2-0.25, each multi-entity block can match"
+        " only ONE entity) expose how far from a resolution this"
+        " still is.  A metric suite that only reported pairwise F1 or"
+        " only V would misread the same partition two different ways"
+        " — the reference reports only the former.",
+    ]
+    return lines
+
+
+def only_lenses() -> int:
+    """Regenerate ONLY the evaluation-lenses section (`--only-lenses`):
+    splices before the Fellegi-Sunter section (or the ANN grid)."""
+    from pubmed_and_method_spark.session import get_spark
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "RESULTS.md"
+    )
+    with open(path) as f:
+        cur = f.read()
+    anchor = "## Fellegi-Sunter parameters"
+    head, sep, tail = cur.partition(anchor)
+    if not sep:
+        anchor = "## ANN recall grid"
+        head, sep, tail = cur.partition(anchor)
+    if not sep:
+        print("no splice anchor found; run the full report", file=sys.stderr)
+        return 1
+    l_head, l_sep, _ = head.partition(
+        "## Evaluation lenses: one partition, four metric families"
+    )
+    if l_sep:
+        head = l_head
+    spark = get_spark(app_name="results_report_lenses", cores="16")
+    lines = lenses_section(spark)
+    out = head + "\n".join(lines) + "\n\n" + sep + tail
+    with open(path, "w") as f:
+        f.write(out)
+    print("\n".join(lines))
+    return 0
+
+
 def main() -> int:
     # sweep temp feature dirs orphaned by SIGKILL'd prior runs (the
     # finally-rmtree can't run when the process is killed mid-fit).
@@ -583,6 +695,8 @@ def main() -> int:
         return only_fs()
     if "--only-clust" in sys.argv:
         return only_clust()
+    if "--only-lenses" in sys.argv:
+        return only_lenses()
     if "--assemble" in sys.argv:
         return assemble()
     if "--section" in sys.argv:
