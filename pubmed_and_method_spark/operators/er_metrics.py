@@ -930,3 +930,63 @@ def cluster_churn(
         F.round(F.col("best_overlap") / F.col("n_b"), 6).alias("frac_of_b"),
         status.alias("status"),
     )
+
+
+def review_queue(
+    decisions: DataFrame,
+    k: int,
+    lower: float,
+    upper: float,
+    key_col: str,
+    score_col: str = "llr",
+    decision_col: str = "decision",
+    id1_col: str = "mention_id1",
+    id2_col: str = "mention_id2",
+) -> DataFrame:
+    """The clerical-review QUEUE for the Fellegi-Sunter 'possible'
+    band: per blocking key, the k most AMBIGUOUS pairs, most-uncertain
+    first — the work order a human review team (or an active-learning
+    labeler) actually consumes.  q75 sizes the band; this operator
+    allocates the review budget inside it.
+
+    Ambiguity = depth into the band, ``least(score - lower,
+    upper - score)``: pairs near either threshold are nearly decided,
+    pairs mid-band carry the least evidence either way and benefit
+    most from a label (the standard uncertainty-sampling priority).
+    Ordering is total — (depth DESC, id1, id2) — so the queue is a
+    pure function of its input across engines and runs.
+
+    Scale: one window partitioned by the BLOCKING KEY (never a global
+    single-partition sort), so the rank shuffle is the same hash
+    exchange the pair table already lives in, and the per-key cap k
+    stops one ambiguous mega-block from hogging the whole review
+    budget — the q53 histogram names those blocks, this cap contains
+    them.
+    """
+    from pyspark.sql import Window
+
+    band = decisions.filter(F.col(decision_col) == "possible")
+    depth = F.round(
+        F.least(
+            F.col(score_col) - F.lit(lower),
+            F.lit(upper) - F.col(score_col),
+        ),
+        6,
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("band_depth").desc(), id1_col, id2_col)
+    )
+    return (
+        band.withColumn("band_depth", depth)
+        .withColumn("review_rank", F.row_number().over(w))
+        .filter(F.col("review_rank") <= k)
+        .select(
+            key_col,
+            "review_rank",
+            id1_col,
+            id2_col,
+            score_col,
+            "band_depth",
+        )
+    )

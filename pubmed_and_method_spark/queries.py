@@ -5507,6 +5507,57 @@ ORACLES["q83_cluster_churn"] = ORACLES["q83_cluster_churn"].format(
 )
 
 
+@q("q84_review_queue")
+def q84(spark, sf):
+    """The clerical-review queue (operators/er_metrics.review_queue)
+    over the q67 'possible' band: per blocking key, the 5 most
+    AMBIGUOUS pairs by band depth least(score-lower, upper-score),
+    most-uncertain first — uncertainty-sampling order with a per-key
+    cap so one ambiguous mega-block can't hog the review budget
+    (q75 sizes the band, this allocates it).  One window partitioned
+    by the blocking key, never a global sort.  DuckDB wraps the
+    entire q67 oracle and re-derives every depth and rank."""
+    from pubmed_and_method_spark.operators.er_metrics import review_queue
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42)
+    bk = build_signatures(t, tfidf=False).select(
+        F.col("mention_id").alias("mention_id1"),
+        "block_key",
+    )
+    return review_queue(
+        scored.join(bk, "mention_id1"),
+        k=5,
+        lower=0.0,
+        upper=4.0,
+        key_col="block_key",
+    )
+
+
+ORACLES["q84_review_queue"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    {_NAMES_CTE_SQL},
+    band AS (
+        SELECT nk.block_key, q67.mention_id1, q67.mention_id2, q67.llr,
+               round(least(q67.llr - 0.0, 4.0 - q67.llr), 6) AS band_depth
+        FROM q67
+        JOIN nk ON nk.conv_id || '#assistant' = q67.mention_id1
+        WHERE q67.decision = 'possible'),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY block_key
+                   ORDER BY band_depth DESC, mention_id1, mention_id2
+               ) AS review_rank
+        FROM band)
+    SELECT block_key, CAST(review_rank AS INTEGER) AS review_rank,
+           mention_id1, mention_id2, llr, band_depth
+    FROM ranked WHERE review_rank <= 5
+"""
+
+
 def _ceaf_match_sql(rounds: int) -> str:
     """q81 oracle suffix: the SAME ``rounds`` local-dominance greedy
     matching rounds ceaf_alignment runs over the contingency cells,

@@ -425,6 +425,38 @@ def test_tf_adjusted_weights_hand_computed(spark):
     assert y.tf_adjustment == 1.0  # log2(0.5/0.25)
 
 
+def test_review_queue_hand_computed(spark):
+    """Uncertainty order (band depth DESC), the per-key cap, and
+    exclusion of already-decided pairs — every depth and rank
+    re-derived by hand."""
+    from pubmed_and_method_spark.operators.er_metrics import review_queue
+
+    rows = [
+        ("K1", "a", "b", 2.0, "possible"),   # depth 2.0 -> rank 1
+        ("K1", "a", "c", 3.9, "possible"),   # depth 0.1 -> rank 3 (cut)
+        ("K1", "b", "c", 0.5, "possible"),   # depth 0.5 -> rank 2
+        ("K1", "a", "d", 5.0, "link"),       # decided: excluded
+        ("K2", "x", "y", 1.0, "possible"),   # depth 1.0 -> rank 1
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "block_key string, mention_id1 string, mention_id2 string, "
+        "llr double, decision string",
+    )
+    got = sorted(
+        (r.block_key, r.review_rank, r.mention_id1, r.mention_id2,
+         r.band_depth)
+        for r in review_queue(
+            df, k=2, lower=0.0, upper=4.0, key_col="block_key"
+        ).collect()
+    )
+    assert got == [
+        ("K1", 1, "a", "b", 2.0),
+        ("K1", 2, "b", "c", 0.5),
+        ("K2", 1, "x", "y", 1.0),
+    ]
+
+
 def test_cluster_churn_hand_computed(spark):
     """All three statuses from one fixture: A1 splits across B1/B2,
     A2 is absorbed (merged) into B1, A3 maps bijectively (stable) —
