@@ -146,6 +146,15 @@ AUDIT = [
     # greedy CEAF: checkpointed matching rounds collapse to scans; the
     # size joins must be hash joins, never cartesian
     ("q81_ceaf_alignment", [r"codegen id : "], [r"CartesianProduct"]),
+    # JSONL ingest: declared schema must reach the json scan (no
+    # inference pass), projections stay codegen
+    ("q82_jsonl_ingest", [r"ReadSchema: struct\<doc_id:bigint", r"codegen id : "], [r"CartesianProduct"]),
+    # churn: contingency + per-side groupBys are HashAggregates; the
+    # best-b size join is a hash join
+    ("q83_cluster_churn", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # review queue: ONE window partitioned by the blocking key (never
+    # a global single-partition sort)
+    ("q84_review_queue", [r"Window", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
