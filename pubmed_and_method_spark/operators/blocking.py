@@ -351,3 +351,70 @@ def sorted_neighborhood_pairs(
         f"{id_col}2",
         (F.col("__rank2") - F.col("__rank1")).cast("int").alias("sort_dist"),
     )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    verify: bool = True,
+) -> DataFrame:
+    """Candidate pairs whose ``s_col`` values are within Levenshtein
+    distance 1, found by the SymSpell deletion-neighborhood trick —
+    the typo-blocking pass with a PROVABLE recall guarantee, distinct
+    from phonetic keys (heuristic sound classes) and SNB (rank
+    windows): if lev(a, b) <= 1 then {a} ∪ del1(a) and {b} ∪ del1(b)
+    intersect (substitution at i: both i-deletions equal; insertion:
+    deleting the inserted char of b yields a; equality: trivial), so
+    joining on the deletion variants misses NOTHING at distance 1.
+
+    The join over-generates (e.g. "ab"/"ba" share variant "a" at
+    distance 2), so ``verify`` re-checks exact ``levenshtein <= 1`` —
+    candidate count stays tiny because a shared variant already pins
+    the strings to near-identical shapes.
+
+    Scale: variants per string = O(len) — a bounded explode, no
+    quadratic step anywhere; the self-join keys on the variant string
+    (hash shuffle), and a hot variant ("smith"-family names) costs
+    |occurrences|² only WITHIN that variant bucket, the same profile
+    generate_pairs salts when it matters.  Everything is native
+    substring arithmetic — exactly reproducible in SQL, so the oracle
+    re-derives every variant, join row, and distance.
+    """
+    s = F.col(s_col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, 1, i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    variants = F.when(
+        F.length(s) > 0, F.array_union(F.array(s), dels)
+    ).otherwise(F.array(s))
+    ev = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(variants).alias("__v"),
+    )
+    a = ev.select(
+        F.col("__id").alias(f"{id_col}1"),
+        F.col("__s").alias(f"{s_col}1"),
+        "__v",
+    )
+    b = ev.select(
+        F.col("__id").alias(f"{id_col}2"),
+        F.col("__s").alias(f"{s_col}2"),
+        "__v",
+    )
+    pairs = (
+        a.join(b, "__v")
+        .filter(F.col(f"{id_col}1") < F.col(f"{id_col}2"))
+        .drop("__v")
+        .distinct()
+    )
+    if verify:
+        pairs = pairs.filter(
+            F.levenshtein(f"{s_col}1", f"{s_col}2") <= 1
+        )
+    return pairs

@@ -5558,6 +5558,91 @@ ORACLES["q84_review_queue"] = f"""
 """
 
 
+@q(
+    "q85_deletion_neighborhood",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    members AS (
+        SELECT conv_id || '#assistant' AS mid, conv_id, surname
+        FROM nk WHERE block_key <> '__unblocked__'),
+    ev AS (
+        SELECT mid, conv_id, surname,
+               unnest(list_distinct(list_prepend(surname,
+                   list_transform(generate_series(1, len(surname)),
+                       i -> substr(surname, 1, i - 1)
+                            || substr(surname, i + 1))))) AS v
+        FROM members),
+    cand AS (
+        SELECT DISTINCT a.mid AS mention_id1, b.mid AS mention_id2,
+               a.conv_id AS c1, b.conv_id AS c2,
+               a.surname AS surname1, b.surname AS surname2
+        FROM ev a JOIN ev b ON a.v = b.v AND a.mid < b.mid
+        WHERE levenshtein(a.surname, b.surname) <= 1)
+    SELECT cand.mention_id1, cand.mention_id2,
+           cand.surname1, cand.surname2,
+           CAST(levenshtein(cand.surname1, cand.surname2) AS INTEGER)
+               AS lev,
+           CAST(t1.entity_id = t2.entity_id AS INTEGER) AS same_entity
+    FROM cand
+    JOIN tr t1 ON t1.conv_id = cand.c1
+    JOIN tr t2 ON t2.conv_id = cand.c2
+    """,
+)
+def q85(spark, sf):
+    """Deletion-neighborhood (SymSpell) typo blocking
+    (operators/blocking.deletion_neighborhood_pairs) on the HARD
+    corpus: surnames within Levenshtein distance 1 found by joining
+    {s} ∪ 1-deletion variants — the typo-blocking pass with a
+    PROVABLE distance-1 recall guarantee, where phonetic keys (q61)
+    are heuristic and SNB (q68) needs the typo to sort nearby.
+    Bounded O(len) variant explode, variant-keyed hash join, exact
+    levenshtein verify; labels joined from planted truth.  DuckDB
+    re-derives every variant, candidate, distance, and label."""
+    from pubmed_and_method_spark.operators.blocking import (
+        deletion_neighborhood_pairs,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    members = build_signatures(t, tfidf=False).filter(
+        F.col("block_key") != "__unblocked__"
+    )
+    pairs = deletion_neighborhood_pairs(
+        members.select("mention_id", "surname"), "mention_id", "surname"
+    )
+    tr = g.select(
+        F.concat("conv_id", F.lit("#assistant")).alias("mention_id"),
+        "entity_id",
+    )
+    return (
+        pairs.join(
+            tr.select(
+                F.col("mention_id").alias("mention_id1"),
+                F.col("entity_id").alias("e1"),
+            ),
+            "mention_id1",
+        )
+        .join(
+            tr.select(
+                F.col("mention_id").alias("mention_id2"),
+                F.col("entity_id").alias("e2"),
+            ),
+            "mention_id2",
+        )
+        .select(
+            "mention_id1",
+            "mention_id2",
+            "surname1",
+            "surname2",
+            F.levenshtein("surname1", "surname2").cast("int").alias("lev"),
+            (F.col("e1") == F.col("e2")).cast("int").alias("same_entity"),
+        )
+    )
+
+
 def _ceaf_match_sql(rounds: int) -> str:
     """q81 oracle suffix: the SAME ``rounds`` local-dominance greedy
     matching rounds ceaf_alignment runs over the contingency cells,

@@ -425,6 +425,37 @@ def test_tf_adjusted_weights_hand_computed(spark):
     assert y.tf_adjustment == 1.0  # log2(0.5/0.25)
 
 
+def test_deletion_neighborhood_pairs(spark):
+    """Recall guarantee at distance 1 (substitution AND insertion
+    forms), the over-generation case ("ab"/"ba" share variant "a" at
+    distance 2) present without verify and removed with it, and the
+    empty-string degenerate."""
+    from pubmed_and_method_spark.operators.blocking import (
+        deletion_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "smith"), (2, "smyth"), (3, "smiths"), (4, "ab"),
+        (5, "ba"), (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "mention_id long, surname string")
+    verified = sorted(
+        (r.mention_id1, r.mention_id2)
+        for r in deletion_neighborhood_pairs(
+            df, "mention_id", "surname"
+        ).collect()
+    )
+    assert verified == [(1, 2), (1, 3)]  # sub + insertion; no d=2 pair
+    raw = sorted(
+        (r.mention_id1, r.mention_id2)
+        for r in deletion_neighborhood_pairs(
+            df, "mention_id", "surname", verify=False
+        ).collect()
+    )
+    assert (4, 5) in raw  # the join over-generates; verify prunes it
+    assert all(6 not in p for p in raw)  # empty string pairs nothing
+
+
 def test_review_queue_hand_computed(spark):
     """Uncertainty order (band depth DESC), the per-key cap, and
     exclusion of already-decided pairs — every depth and rank
