@@ -440,8 +440,16 @@ def duplicate_spans(
     replaced by one k-gram frequency shuffle.
 
     Plan (three shuffles, all on narrow rows):
-      1. per-doc ordered clean tokens -> (pos, md5(k-gram)) pairs via
-         one native ``transform`` + ``posexplode`` (no Python);
+      1. per-doc ordered clean tokens posexploded to rows, then
+         k-grams built by a (doc, pos) window with k-1 ``lead``s —
+         NOT by an array ``transform`` with ``slice`` in the lambda:
+         CollapseProject inlines the tokenization expression into
+         such a lambda and codegen re-evaluates it per gram index
+         (measured 4x on sf0.1), and the whole quadratic build would
+         run in the scan's partitioning BEFORE any exchange; the
+         window form tokenizes once per doc, builds each gram from
+         its own row, and runs AFTER the doc-key exchange (full
+         parallelism whatever the file layout);
       2. gram frequency groupBy (map-side partial agg; 16-byte-ish
          keys) -> grams with total count >= min_count;
       3. semi-join positions against duplicated grams, then per-doc
@@ -463,26 +471,25 @@ def duplicate_spans(
         F.col(id_col), clean_tokens(text_col).alias("__toks")
     )
     cnt = F.size("__toks")
-    # The when() guard is load-bearing, not belt-and-braces: sequence()
-    # without a step DESCENDS when start > stop (cnt < k would emit
-    # [0, -1, ...] and slice(start=0) throws under ANSI), and Catalyst's
-    # project/filter collapsing may evaluate this expression before the
-    # cnt >= k filter.  CaseWhen branches are lazy per-row, so short
-    # docs never touch the sequence.
-    grams = F.when(
-        cnt >= k,
-        F.transform(
-            F.sequence(F.lit(0), cnt - k),
-            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")),
-        ),
+    tok_rows = toks.where(cnt >= k).select(
+        F.col(id_col),
+        cnt.alias("__n"),
+        F.posexplode("__toks").alias("__p0", "__t"),
+    )
+    w_tok = Window.partitionBy(id_col).orderBy("__p0")
+    gram = F.md5(
+        F.concat_ws(
+            " ",
+            F.col("__t"),
+            *[F.lead("__t", j).over(w_tok) for j in range(1, k)],
+        )
     )
     pos_grams = (
-        toks.where(cnt >= k)
-        .select(F.col(id_col), grams.alias("__grams"))
-        .select(
-            F.col(id_col),
-            F.posexplode("__grams").alias("__p0", "gram"),
-        )
+        tok_rows.withColumn("gram", gram)
+        # the last k-1 positions have no full gram (their leads are
+        # null and concat_ws would silently SHORTEN the gram) — the
+        # filter drops them before anything consumes the hash
+        .filter(F.col("__p0") <= F.col("__n") - k)
         .select(
             F.col(id_col),
             (F.col("__p0") + 1).alias("pos"),
