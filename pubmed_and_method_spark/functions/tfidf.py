@@ -185,3 +185,102 @@ def map_cosine(m1: Column | str, m2: Column | str) -> Column:
         F.map_values(prod), F.lit(0.0), lambda acc, x: acc + x
     )
     return F.coalesce(dot, F.lit(0.0))
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson-Sparck Jones) over a
+    document table for a LITERAL term query — the standard
+    quality-retrieval scorer (Lucene's default) on top of the same
+    exploded (doc, token) statistics TF-IDF uses; the engine's text
+    capability goes beyond pairwise similarity to actual search.
+
+    idf uses the Lucene +1 form ln(1 + (N - df + .5)/(df + .5))
+    (always positive, defined at df = N); per-term contribution is
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Cross-engine float discipline: per-term contributions are PIVOTED
+    to one column per literal query term (max-of-CASE — exact, no
+    aggregation-order dependence), rounded to 6, then summed in the
+    literal term order as one fixed expression; an oracle re-derives
+    every number bit-for-bit.
+
+    Scale: tokens explode once but non-query terms are FILTERED
+    before any shuffle (the scan projection drops them), so the
+    per-term stats tables have |query| keys; N and avgdl are one
+    1-row broadcast; top-k is order+limit (TakeOrderedAndProject —
+    never a global sort materialization).
+    """
+    from pubmed_and_method_spark.functions.normalize import clean_tokens
+
+    terms = [t for t in query_terms]
+    toks = df.select(
+        F.col(id_col), clean_tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), "__toks", F.size("__toks").alias("__dl"))
+    # avgdl as exact-integer sum / count (not F.avg: float accumulation
+    # order differs across engines; the long sum is exact in both)
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum("__dl").cast("double") / F.count(F.lit(1))
+        ).alias("__avgdl"),
+    )
+    ex = (
+        toks.select(F.col(id_col), "__dl", F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(terms))
+    )
+    tf = ex.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(docfreq, "__t")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "__idf",
+            F.log(
+                1
+                + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__c",
+            F.round(
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1))
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    pivots = [
+        F.max(F.when(F.col("__t") == t, F.col("__c"))).alias(f"__c{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = scored.groupBy(id_col).agg(
+        *pivots, F.count(F.lit(1)).alias("n_terms_matched")
+    )
+    total = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    return (
+        per_doc.select(
+            F.col(id_col),
+            F.col("n_terms_matched").cast("int").alias("n_terms_matched"),
+            F.round(total, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )

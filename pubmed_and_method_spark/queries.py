@@ -5643,6 +5643,68 @@ def q85(spark, sf):
     )
 
 
+_BM25_TERMS = ["merge", "window", "stream"]
+
+
+@q(
+    "q86_bm25_topk",
+    f"""
+    WITH toksrc AS (
+        SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks
+        FROM documents),
+    dls AS (SELECT doc_id, len(toks) AS dl, toks FROM toksrc),
+    corpus AS (
+        SELECT count(*) AS n,
+               sum(dl) * 1.0 / count(*) AS avgdl
+        FROM dls),
+    ex AS (
+        SELECT doc_id, dl, unnest(toks) AS t FROM dls),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+        FROM ex
+        WHERE t IN ('merge', 'window', 'stream')
+        GROUP BY 1, 2),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id, tf.t,
+               round(ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl)),
+                     6) AS contrib
+        FROM tf JOIN dfreq USING (t) CROSS JOIN corpus c),
+    per_doc AS (
+        SELECT doc_id,
+               max(CASE WHEN t = 'merge' THEN contrib END) AS c0,
+               max(CASE WHEN t = 'window' THEN contrib END) AS c1,
+               max(CASE WHEN t = 'stream' THEN contrib END) AS c2,
+               CAST(count(*) AS INTEGER) AS n_terms_matched
+        FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_terms_matched,
+           round(coalesce(c0, 0.0) + coalesce(c1, 0.0)
+                 + coalesce(c2, 0.0), 6) AS bm25
+    FROM per_doc
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q86(spark, sf):
+    """Okapi BM25 top-k retrieval (functions/tfidf.bm25_topk) over the
+    documents table for the literal query 'merge window stream' —
+    Lucene's default relevance scorer on the same exploded (doc,
+    token) statistics the X11 TF-IDF upgrade uses, taking the
+    engine's text capability from pairwise similarity to SEARCH.
+    Non-query terms filtered before any shuffle (per-term stats have
+    |query| keys); N and avgdl one 1-row broadcast (avgdl an exact
+    integer-sum quotient, not a float avg); per-term contributions
+    pivoted to columns and summed in literal term order for
+    bit-reproducible scores; top-k is order+limit.  DuckDB re-derives
+    every tf, df, idf, contribution, and the final ranking."""
+    from pubmed_and_method_spark.functions.tfidf import bm25_topk
+
+    d = load_table(spark, sf, "documents")
+    return bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
+
+
 def _ceaf_match_sql(rounds: int) -> str:
     """q81 oracle suffix: the SAME ``rounds`` local-dominance greedy
     matching rounds ceaf_alignment runs over the contingency cells,

@@ -463,6 +463,42 @@ def test_duplicate_spans_split_and_degenerate(spark):
     ]
 
 
+def test_bm25_topk_hand_computed(spark):
+    """One BM25 score re-derived with python math (Lucene +1 idf,
+    k1=1.2, b=0.75, avgdl as exact quotient); docs without query
+    terms are absent; ranking deterministic."""
+    import math
+
+    from pubmed_and_method_spark.functions.tfidf import bm25_topk
+
+    rows = [
+        (1, "merge merge window"),
+        (2, "stream"),
+        (3, "alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in bm25_topk(
+            df, "doc_id", "text", ["merge", "window", "stream"], k=10
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+    n, avgdl = 3, 7 / 3
+    k1, b = 1.2, 0.75
+
+    def contrib(tf, dfreq, dl):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return round(
+            idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 6
+        )
+
+    expect_d1 = round(contrib(2, 1, 3) + contrib(1, 1, 3), 6)
+    assert got[1].n_terms_matched == 2
+    assert got[1].bm25 == expect_d1
+    assert got[2].bm25 == contrib(1, 1, 1)
+
+
 def test_ivf_topk_recall_gate(spark):
     """Quality gate for the trained-IVF ANN path: on the ER-shaped
     clustered corpus, ivf_topk at the default knobs (16 lists x 4
