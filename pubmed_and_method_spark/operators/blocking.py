@@ -359,19 +359,28 @@ def deletion_neighborhood_pairs(
     s_col: str,
     verify: bool = True,
 ) -> DataFrame:
-    """Candidate pairs whose ``s_col`` values are within Levenshtein
-    distance 1, found by the SymSpell deletion-neighborhood trick —
-    the typo-blocking pass with a PROVABLE recall guarantee, distinct
-    from phonetic keys (heuristic sound classes) and SNB (rank
-    windows): if lev(a, b) <= 1 then {a} ∪ del1(a) and {b} ∪ del1(b)
-    intersect (substitution at i: both i-deletions equal; insertion:
-    deleting the inserted char of b yields a; equality: trivial), so
-    joining on the deletion variants misses NOTHING at distance 1.
+    """Candidate pairs whose ``s_col`` values are within OSA
+    (Damerau restricted) distance 1 — equal, one edit apart, or one
+    ADJACENT TRANSPOSITION apart — found by the SymSpell
+    deletion-neighborhood trick; the typo-blocking pass with a
+    PROVABLE recall guarantee, distinct from phonetic keys (heuristic
+    sound classes) and SNB (rank windows): if osa(a, b) <= 1 then
+    {a} ∪ del1(a) and {b} ∪ del1(b) intersect (substitution at i:
+    both i-deletions equal; insertion: deleting the inserted char of
+    b yields a; transposition at i,i+1: deleting EITHER swapped char
+    from both sides agrees; equality: trivial), so joining on the
+    deletion variants misses NOTHING at OSA distance 1.  The
+    transposition case matters in practice: char-swap typos are the
+    classic byline noise (and what the hard corpus plants), they are
+    plain-Levenshtein distance 2, and a swap can change the Soundex
+    class ("smith" -> "sbith") so the phonetic pass misses it.
 
-    The join over-generates (e.g. "ab"/"ba" share variant "a" at
-    distance 2), so ``verify`` re-checks exact ``levenshtein <= 1`` —
-    candidate count stays tiny because a shared variant already pins
-    the strings to near-identical shapes.
+    The join over-generates (e.g. "abc"/"bca" share variant "bc" at
+    OSA distance 2), so ``verify`` re-checks the exact predicate —
+    ``levenshtein <= 1`` OR adjacent-transposition (equal length,
+    exactly two diff positions, adjacent, crossed-equal) — candidate
+    count stays tiny because a shared variant already pins the
+    strings to near-identical shapes.
 
     Scale: variants per string = O(len) — a bounded explode, no
     quadratic step anywhere; the self-join keys on the variant string
@@ -414,7 +423,20 @@ def deletion_neighborhood_pairs(
         .distinct()
     )
     if verify:
+        c1, c2 = F.col(f"{s_col}1"), F.col(f"{s_col}2")
+        diffs = F.filter(
+            F.sequence(F.lit(1), F.length(c1)),
+            lambda i: c1.substr(i, F.lit(1)) != c2.substr(i, F.lit(1)),
+        )
+        d0, d1 = F.get(diffs, 0), F.get(diffs, 1)  # null-safe indexing
+        transposed = (
+            (F.length(c1) == F.length(c2))
+            & (F.size(diffs) == 2)
+            & (d1 == d0 + 1)
+            & (c1.substr(d0, F.lit(1)) == c2.substr(d1, F.lit(1)))
+            & (c1.substr(d1, F.lit(1)) == c2.substr(d0, F.lit(1)))
+        )
         pairs = pairs.filter(
-            F.levenshtein(f"{s_col}1", f"{s_col}2") <= 1
+            (F.levenshtein(f"{s_col}1", f"{s_col}2") <= 1) | transposed
         )
     return pairs

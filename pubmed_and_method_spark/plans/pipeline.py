@@ -246,6 +246,7 @@ def build_candidate_pairs(
     strict_split: bool = False,
     adaptive_target: int | None = None,
     phonetic: bool = False,
+    del1: bool = False,
     snb: bool = False,
     snb_window: int = 6,
 ) -> DataFrame:
@@ -383,6 +384,46 @@ def build_candidate_pairs(
         extra_tagged.append(phon_tagged)
         pairs = pairs.unionByName(phon_tagged.select(*out_cols))
 
+    if del1:
+        # Pass 1.75 (q85): SymSpell deletion-neighborhood on the
+        # surname — PROVABLE distance-1 recall where the phonetic key
+        # is heuristic (e.g. a typo that changes the Soundex class:
+        # "smith" -> "sbith" keys S530 -> S130 and pass 1.5 misses
+        # it).  Same first-initial constraint as the exact/phonetic
+        # keys — a surname typo doesn't change the initial.
+        from pubmed_and_method_spark.operators.blocking import (
+            deletion_neighborhood_pairs,
+        )
+
+        dmem = signatures.filter(
+            (F.col("surname") != "") & (F.col("given_name") != "")
+        ).select(
+            "mention_id",
+            "surname",
+            F.substring("given_name", 1, 1).alias("__ini"),
+        )
+        draw = deletion_neighborhood_pairs(
+            dmem.select("mention_id", "surname"), "mention_id", "surname"
+        )
+        ini = dmem.select("mention_id", "__ini")
+        draw = (
+            draw.join(
+                ini.withColumnRenamed("mention_id", "mention_id1")
+                .withColumnRenamed("__ini", "__i1"),
+                "mention_id1",
+            )
+            .join(
+                ini.withColumnRenamed("mention_id", "mention_id2")
+                .withColumnRenamed("__ini", "__i2"),
+                "mention_id2",
+            )
+            .filter(F.col("__i1") == F.col("__i2"))
+            .select("mention_id1", "mention_id2")
+        )
+        del_tagged = _tag_extra(draw, F.lit("__del1__"))
+        extra_tagged.append(del_tagged)
+        pairs = pairs.unionByName(del_tagged.select(*out_cols))
+
     if snb:
         # Pass 3 (q68/q73): sorted-neighborhood window over the
         # (surname, given_name) total order — catches pairs whose key
@@ -468,6 +509,7 @@ def build_labeled_pairs(
     strict_split: bool = False,
     adaptive_target: int | None = None,
     phonetic: bool = False,
+    del1: bool = False,
     snb: bool = False,
     snb_window: int = 6,
 ) -> DataFrame:
@@ -485,6 +527,7 @@ def build_labeled_pairs(
         strict_split=strict_split,
         adaptive_target=adaptive_target,
         phonetic=phonetic,
+        del1=del1,
         snb=snb,
         snb_window=snb_window,
     )

@@ -5576,29 +5576,42 @@ ORACLES["q84_review_queue"] = f"""
     cand AS (
         SELECT DISTINCT a.mid AS mention_id1, b.mid AS mention_id2,
                a.conv_id AS c1, b.conv_id AS c2,
-               a.surname AS surname1, b.surname AS surname2
-        FROM ev a JOIN ev b ON a.v = b.v AND a.mid < b.mid
-        WHERE levenshtein(a.surname, b.surname) <= 1)
-    SELECT cand.mention_id1, cand.mention_id2,
-           cand.surname1, cand.surname2,
-           CAST(levenshtein(cand.surname1, cand.surname2) AS INTEGER)
+               a.surname AS surname1, b.surname AS surname2,
+               list_filter(generate_series(1, len(a.surname)),
+                   i -> substr(a.surname, i, 1)
+                        <> substr(b.surname, i, 1)) AS dd
+        FROM ev a JOIN ev b ON a.v = b.v AND a.mid < b.mid),
+    vcand AS (
+        SELECT mention_id1, mention_id2, c1, c2, surname1, surname2
+        FROM cand
+        WHERE levenshtein(surname1, surname2) <= 1
+           OR (len(surname1) = len(surname2) AND len(dd) = 2
+               AND dd[2] = dd[1] + 1
+               AND substr(surname1, dd[1], 1) = substr(surname2, dd[2], 1)
+               AND substr(surname1, dd[2], 1) = substr(surname2, dd[1], 1)))
+    SELECT vcand.mention_id1, vcand.mention_id2,
+           vcand.surname1, vcand.surname2,
+           CAST(levenshtein(vcand.surname1, vcand.surname2) AS INTEGER)
                AS lev,
            CAST(t1.entity_id = t2.entity_id AS INTEGER) AS same_entity
-    FROM cand
-    JOIN tr t1 ON t1.conv_id = cand.c1
-    JOIN tr t2 ON t2.conv_id = cand.c2
+    FROM vcand
+    JOIN tr t1 ON t1.conv_id = vcand.c1
+    JOIN tr t2 ON t2.conv_id = vcand.c2
     """,
 )
 def q85(spark, sf):
     """Deletion-neighborhood (SymSpell) typo blocking
     (operators/blocking.deletion_neighborhood_pairs) on the HARD
-    corpus: surnames within Levenshtein distance 1 found by joining
-    {s} ∪ 1-deletion variants — the typo-blocking pass with a
-    PROVABLE distance-1 recall guarantee, where phonetic keys (q61)
-    are heuristic and SNB (q68) needs the typo to sort nearby.
-    Bounded O(len) variant explode, variant-keyed hash join, exact
-    levenshtein verify; labels joined from planted truth.  DuckDB
-    re-derives every variant, candidate, distance, and label."""
+    corpus: surnames within OSA distance 1 (one edit OR one adjacent
+    transposition — the char-swap byline typo the hard corpus
+    actually plants, plain-lev 2) found by joining {s} ∪ 1-deletion
+    variants — the typo-blocking pass with a PROVABLE OSA-1 recall
+    guarantee, where phonetic keys (q61) are heuristic (a swap can
+    change the Soundex class) and SNB (q68) needs the typo to sort
+    nearby.  Bounded O(len) variant explode, variant-keyed hash
+    join, exact lev-or-transposition verify; labels joined from
+    planted truth.  DuckDB re-derives every variant, candidate,
+    distance, and label."""
     from pubmed_and_method_spark.operators.blocking import (
         deletion_neighborhood_pairs,
     )

@@ -426,17 +426,17 @@ def test_tf_adjusted_weights_hand_computed(spark):
 
 
 def test_deletion_neighborhood_pairs(spark):
-    """Recall guarantee at distance 1 (substitution AND insertion
-    forms), the over-generation case ("ab"/"ba" share variant "a" at
-    distance 2) present without verify and removed with it, and the
-    empty-string degenerate."""
+    """OSA-1 recall: substitution, insertion, AND adjacent
+    transposition ("ab"/"ba") all verified; the over-generation case
+    ("abc"/"bca" share variant "bc" at OSA distance 2) present
+    without verify and removed with it; empty-string degenerate."""
     from pubmed_and_method_spark.operators.blocking import (
         deletion_neighborhood_pairs,
     )
 
     rows = [
         (1, "smith"), (2, "smyth"), (3, "smiths"), (4, "ab"),
-        (5, "ba"), (6, ""),
+        (5, "ba"), (6, ""), (7, "abc"), (8, "bca"),
     ]
     df = spark.createDataFrame(rows, "mention_id long, surname string")
     verified = sorted(
@@ -445,14 +445,17 @@ def test_deletion_neighborhood_pairs(spark):
             df, "mention_id", "surname"
         ).collect()
     )
-    assert verified == [(1, 2), (1, 3)]  # sub + insertion; no d=2 pair
+    # sub (1,2), insertion (1,3), adjacent transposition (4,5), plus
+    # the genuine insertions (4,7) ab->abc and (5,8) ba->bca;
+    # NOT the rotation (7,8) at OSA distance 2
+    assert verified == [(1, 2), (1, 3), (4, 5), (4, 7), (5, 8)]
     raw = sorted(
         (r.mention_id1, r.mention_id2)
         for r in deletion_neighborhood_pairs(
             df, "mention_id", "surname", verify=False
         ).collect()
     )
-    assert (4, 5) in raw  # the join over-generates; verify prunes it
+    assert (7, 8) in raw  # the join over-generates; verify prunes it
     assert all(6 not in p for p in raw)  # empty string pairs nothing
 
 

@@ -405,6 +405,88 @@ def test_snb_pass_superset_and_recovery(spark):
     sig.unpersist()
 
 
+def test_del1_pass_superset_and_recovery(spark):
+    """del1=True: strict superset of the exact pass, recovered pairs
+    carry the '__del1__' tag with member-derived split groups, every
+    recovered pair's surnames are within OSA distance 1 (one edit or
+    one adjacent transposition) with equal first initials, and
+    true-pair recall strictly improves on the typo-planted hard
+    corpus (whose planted noise is exactly the char-swap typo)."""
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_candidate_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False).cache()
+    base = build_candidate_pairs(sig)
+    with_del = build_candidate_pairs(sig, del1=True)
+
+    base_set = {
+        (r.mention_id1, r.mention_id2)
+        for r in base.select("mention_id1", "mention_id2").collect()
+    }
+    del_rows = with_del.collect()
+    del_set = {(r.mention_id1, r.mention_id2) for r in del_rows}
+    assert base_set < del_set
+
+    tagged = [r for r in del_rows if r.block_key == "__del1__"]
+    assert tagged, "del1 pass recovered nothing on the hard corpus"
+    assert {(r.mention_id1, r.mention_id2) for r in tagged} == (
+        del_set - base_set
+    )
+    assert all(r.split_group != "__del1__" for r in tagged)
+
+    names = {
+        r.mention_id: (r.surname, r.given_name[:1])
+        for r in sig.select("mention_id", "surname", "given_name").collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+
+        m, n = len(a), len(b)
+        d = np.arange(n + 1)
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    def osa1(a, b):
+        if lev(a, b) <= 1:
+            return True
+        if len(a) != len(b):
+            return False
+        dd = [i for i in range(len(a)) if a[i] != b[i]]
+        return (
+            len(dd) == 2
+            and dd[1] == dd[0] + 1
+            and a[dd[0]] == b[dd[1]]
+            and a[dd[1]] == b[dd[0]]
+        )
+
+    for r in tagged:
+        s1, i1 = names[r.mention_id1]
+        s2, i2 = names[r.mention_id2]
+        assert i1 == i2 and osa1(s1, s2)
+
+    truth = {r.conv_id: r.entity_id for r in g.collect()}
+
+    def matched_true(pairs):
+        return sum(
+            1
+            for (m1, m2) in pairs
+            if truth[m1.split("#")[0]] == truth[m2.split("#")[0]]
+        )
+
+    assert matched_true(del_set) > matched_true(base_set)
+    sig.unpersist()
+
+
 def test_pipeline_star_clusterer(spark, tmp_path):
     """run_pipeline(clusterer='star') produces a valid clustering with
     F1 at the gate on the easy corpus (where star and closure should
