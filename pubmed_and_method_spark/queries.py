@@ -4720,11 +4720,32 @@ ORACLES["q72_pprl_bloom_dice"] = ORACLES["q72_pprl_bloom_dice"].format(
         SELECT least(a.mid, b.mid) AS m1, greatest(a.mid, b.mid) AS m2
         FROM ranked a JOIN ranked b
           ON b.rnk >= a.rnk + 1 AND b.rnk <= a.rnk + 5),
+    ev73 AS (
+        SELECT mid, surname,
+               unnest(list_distinct(list_prepend(surname,
+                   list_transform(generate_series(1, len(surname)),
+                       i -> substr(surname, 1, i - 1)
+                            || substr(surname, i + 1))))) AS v
+        FROM members),
+    del_cand AS (
+        SELECT DISTINCT a.mid AS m1, b.mid AS m2,
+               a.surname AS s1, b.surname AS s2,
+               list_filter(generate_series(1, len(a.surname)),
+                   i -> substr(a.surname, i, 1)
+                        <> substr(b.surname, i, 1)) AS dd
+        FROM ev73 a JOIN ev73 b ON a.v = b.v AND a.mid < b.mid),
+    del_p AS (
+        SELECT m1, m2 FROM del_cand
+        WHERE levenshtein(s1, s2) <= 1
+           OR (len(s1) = len(s2) AND len(dd) = 2 AND dd[2] = dd[1] + 1
+               AND substr(s1, dd[1], 1) = substr(s2, dd[2], 1)
+               AND substr(s1, dd[2], 1) = substr(s2, dd[1], 1))),
     union_p AS (
         SELECT DISTINCT m1, m2 FROM (
             SELECT * FROM exact_p
             UNION ALL SELECT * FROM phon_p
-            UNION ALL SELECT * FROM snb_p)),
+            UNION ALL SELECT * FROM snb_p
+            UNION ALL SELECT * FROM del_p)),
     base AS MATERIALIZED (
         SELECT (SELECT count(*) FROM members) AS n_mentions,
                (SELECT sum(m * (m - 1) // 2) FROM (
@@ -4738,6 +4759,7 @@ ORACLES["q72_pprl_bloom_dice"] = ORACLES["q72_pprl_bloom_dice"].format(
             SELECT 'exact' AS scheme, m1, m2 FROM exact_p
             UNION ALL SELECT 'phonetic', m1, m2 FROM phon_p
             UNION ALL SELECT 'snb', m1, m2 FROM snb_p
+            UNION ALL SELECT 'del1', m1, m2 FROM del_p
             UNION ALL SELECT 'union', m1, m2 FROM union_p) p
         JOIN tr t1 ON t1.conv_id = split_part(p.m1, '#', 1)
         JOIN tr t2 ON t2.conv_id = split_part(p.m2, '#', 1))
@@ -4758,15 +4780,17 @@ def q73(spark, sf):
     reduction ratio for each blocking pass on the hard corpus — exact
     key (the reference's only mechanism,
     model_building_using_rich_features.sql:438-444), phonetic
-    (q61/pass 1.5), sorted-neighborhood (q68/pass 3), and their
-    union.  The table an operator reads to decide which passes pay
-    their comparison cost.  Every pass's pair set comes from the
-    production operators (generate_pairs / sorted_neighborhood_pairs);
-    completeness/reduction are exact integer ratios.  DuckDB
-    re-derives all four pair sets, the shared true-pair denominator,
-    and every ratio."""
+    (q61/pass 1.5), sorted-neighborhood (q68/pass 3),
+    deletion-neighborhood OSA-1 (q85/pass 1.75), and their union.
+    The table an operator reads to decide which passes pay their
+    comparison cost.  Every pass's pair set comes from the production
+    operators (generate_pairs / sorted_neighborhood_pairs /
+    deletion_neighborhood_pairs); completeness/reduction are exact
+    integer ratios.  DuckDB re-derives all five pair sets, the shared
+    true-pair denominator, and every ratio."""
     from pubmed_and_method_spark.functions.names import phonetic_key
     from pubmed_and_method_spark.operators.blocking import (
+        deletion_neighborhood_pairs,
         generate_pairs,
         sorted_neighborhood_pairs,
     )
@@ -4797,7 +4821,12 @@ def q73(spark, sf):
         F.least("mention_id1", "mention_id2").alias("mention_id1"),
         F.greatest("mention_id1", "mention_id2").alias("mention_id2"),
     )
-    union_p = exact_p.unionAll(phon_p).unionAll(snb_p).distinct()
+    del_p = deletion_neighborhood_pairs(
+        named.select("mention_id", "surname"), "mention_id", "surname"
+    ).select("mention_id1", "mention_id2")
+    union_p = (
+        exact_p.unionAll(phon_p).unionAll(snb_p).unionAll(del_p).distinct()
+    )
 
     truth = g.select("conv_id", "entity_id")
     named_truth = named.select("conv_id").join(truth, "conv_id")
@@ -4865,6 +4894,7 @@ def q73(spark, sf):
         row("exact", exact_p)
         .unionAll(row("phonetic", phon_p))
         .unionAll(row("snb", snb_p))
+        .unionAll(row("del1", del_p))
         .unionAll(row("union", union_p))
     )
 
