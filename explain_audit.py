@@ -155,6 +155,12 @@ AUDIT = [
     # review queue: ONE window partitioned by the blocking key (never
     # a global single-partition sort)
     ("q84_review_queue", [r"Window", r"codegen id : "], [r"CartesianProduct"]),
+    # deletion-neighborhood: variant explode (Generate) + a hash join
+    # on the variant key, never a cartesian over members
+    ("q85_deletion_neighborhood", [r"Generate", r"codegen id : "], [r"CartesianProduct"]),
+    # BM25: per-term stats HashAggregates + 1-row corpus broadcast;
+    # top-k must be TakeOrderedAndProject, not a global sort
+    ("q86_bm25_topk", [r"HashAggregate", r"TakeOrderedAndProject"], [r"CartesianProduct"]),
 ]
 
 
