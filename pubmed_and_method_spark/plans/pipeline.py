@@ -258,7 +258,13 @@ def build_candidate_pairs(
     over (surname, first initial) — recovers pairs a surname typo
     severed from their exact block (the reference blocks only on the
     exact key, so byline typos silently cost it recall; q61 measures
-    the recovery).  Pass 2 (``lsh=True``):
+    the recovery).  Pass 1.75 (``del1=True``): SymSpell
+    deletion-neighborhood pairs at OSA distance 1 on the surname with
+    equal first initials — PROVABLE recall for one-edit and
+    adjacent-transposition typos where the phonetic key is heuristic
+    (q85/q73: the strongest single recovery pass on the hard corpus,
+    pair completeness 0.987; the four-pass union reaches 1.0).
+    Recovered pairs are tagged ``'__del1__'``.  Pass 2 (``lsh=True``):
     MinHash-LSH banding over token-shingle sketches — recovers pairs
     whose mentions fall outside exact blocks (e.g. no parsable
     self-introduction), the north-star's second blocking pass.  LSH
