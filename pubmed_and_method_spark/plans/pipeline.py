@@ -770,8 +770,12 @@ def run_pipeline(
     """Full AND pipeline on the synthetic corpus; returns metrics.
 
     ``clusterer``: 'cc' (default — transitive closure via
-    large-star/small-star) or 'star' (bounded-diameter star
-    clustering, operators/star_clustering.py).  RESULTS.md
+    large-star/small-star), 'star' (bounded-diameter star
+    clustering, operators/star_clustering.py), or 'pivot'
+    (KwikCluster-family parallel pivot,
+    operators/pivot_clustering.py — diameter <= 2 like star but
+    hash-"random" pivots instead of degree-greedy centers, the
+    correlation-clustering 3-approximation family).  RESULTS.md
     "Clustering strategy" quantifies the tradeoff: at tight cuts star
     contains chain welds (B3 F1 0.653 vs 0.488 on the 2000-entity
     hard corpus); with near-certain edges closure recovers more.
@@ -904,6 +908,20 @@ def run_pipeline(
             ).select(
                 F.col("node").alias("id"),
                 F.col("center").alias("component"),
+            )
+    elif clusterer == "pivot":
+        from pubmed_and_method_spark.operators.pivot_clustering import (
+            pivot_clusters,
+        )
+
+        def _cluster():
+            return pivot_clusters(
+                matched.select("mention_id1", "mention_id2"),
+                id_cols=("mention_id1", "mention_id2"),
+                rounds=32,
+            ).select(
+                F.col("node").alias("id"),
+                F.col("pivot").alias("component"),
             )
     elif clusterer == "cc":
         def _cluster():

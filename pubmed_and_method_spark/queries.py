@@ -5951,6 +5951,169 @@ def q80(spark, sf):
     return monge_elkan_scores(pairs, "toks1", "toks2")
 
 
+def _pivot_sql(rounds: int) -> str:
+    """Generate the q87 oracle suffix: the SAME ``rounds`` parallel
+    pivot rounds pivot_clusters runs, unrolled as chained CTEs (two
+    per round: local-min pivot election, then in-round min-priority
+    attachment).  MATERIALIZED for the q70 reason: the round chain
+    references each p{k} several times and DuckDB inlines plain CTEs
+    exponentially."""
+    parts = [
+        """padj AS MATERIALIZED (
+        SELECT m1 AS a, m2 AS b FROM sedges
+        UNION ALL SELECT m2, m1 FROM sedges),
+    p0 AS MATERIALIZED (
+        SELECT a AS node,
+               CAST(('0x' || substr(md5(a || '#7'), 1, 15)) AS BIGINT) AS h,
+               0 AS status, CAST(NULL AS VARCHAR) AS pivot_node
+        FROM (SELECT DISTINCT a FROM padj))"""
+    ]
+    for k in range(1, rounds + 1):
+        p = f"p{k - 1}"
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+        SELECT u.node, u.h FROM {p} u
+        WHERE u.status = 0 AND NOT EXISTS (
+            SELECT 1 FROM padj e JOIN {p} v ON v.node = e.b
+            WHERE e.a = u.node AND v.status = 0
+              AND (v.h < u.h OR (v.h = u.h AND v.node < u.node))))"""
+        )
+        parts.append(
+            f"""t{k} AS MATERIALIZED (
+        SELECT e.a AS node,
+               struct_extract(min(struct_pack(h := c.h, node := c.node)),
+                              'node') AS to_pivot
+        FROM padj e
+        JOIN v{k} c ON c.node = e.b
+        JOIN {p} u ON u.node = e.a
+        WHERE u.status = 0 AND e.a NOT IN (SELECT node FROM v{k})
+        GROUP BY e.a)"""
+        )
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+        SELECT q.node, q.h,
+               CASE WHEN q.status <> 0 THEN q.status
+                    WHEN q.node IN (SELECT node FROM v{k}) THEN 1
+                    WHEN q.node IN (SELECT node FROM t{k}) THEN 2
+                    ELSE 0 END AS status,
+               CASE WHEN q.status <> 0 THEN q.pivot_node
+                    WHEN q.node IN (SELECT node FROM v{k}) THEN q.node
+                    ELSE (SELECT t.to_pivot FROM t{k} t
+                          WHERE t.node = q.node) END AS pivot_node
+        FROM {p} q)"""
+        )
+    tail = f"""SELECT node AS mention_id, pivot_node,
+           CASE WHEN status = 1 THEN 1 ELSE 0 END AS is_pivot
+    FROM p{rounds}"""
+    return ",\n    ".join(parts) + "\n    " + tail
+
+
+_PIVOT_ROUNDS = 8
+
+
+@q(
+    "q87_pivot_clusters",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    sc AS (
+        SELECT a.conv_id || '#assistant' AS m1,
+               b.conv_id || '#assistant' AS m2,
+               round((round(jaro_winkler_similarity(
+                          a.given_name || ' ' || a.surname,
+                          b.given_name || ' ' || b.surname), 6)
+                      + round({{lj_toks}}, 6)
+                      + round({{lj_tools}}, 6)) / 3, 6) AS s
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id),
+    sedges AS MATERIALIZED (SELECT m1, m2 FROM sc WHERE s >= {_STAR_THR}),
+    {{pivot}}
+    """,
+)
+def q87(spark, sf):
+    """Pivot correlation clustering of the match graph
+    (operators/pivot_clustering.pivot_clusters): the KwikCluster-
+    family alternative to both transitive closure (the reference's
+    namespace weld, database/and_datasets.sql:56-68) and the
+    degree-greedy star cover (q70) — pivots drawn from a portable
+    hash "permutation", satellites attached IN-ROUND to the
+    minimum-priority adjacent new pivot, parallel-rounds semantics
+    per Chierichetti-Dalvi-Kumar KDD'14.  Same edge set and score
+    blend as q70, so the two clusterings are directly comparable.
+    The DuckDB oracle unrolls the SAME rounds as chained CTEs and
+    re-derives every pivot election and attachment (q66/q70
+    iterative-oracle pattern)."""
+    from pubmed_and_method_spark.operators.pivot_clustering import (
+        pivot_clusters,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    edges = feats.select(
+        "mention_id1",
+        "mention_id2",
+        F.round(
+            (
+                F.round("name_jw", 6)
+                + F.round("token_jacc", 6)
+                + F.round("tool_jacc", 6)
+            )
+            / 3,
+            6,
+        ).alias("score"),
+    ).filter(F.col("score") >= _STAR_THR)
+    return pivot_clusters(
+        edges.select("mention_id1", "mention_id2"),
+        id_cols=("mention_id1", "mention_id2"),
+        rounds=_PIVOT_ROUNDS,
+    ).select(
+        F.col("node").alias("mention_id"),
+        F.col("pivot").alias("pivot_node"),
+        "is_pivot",
+    )
+
+
+ORACLES["q87_pivot_clusters"] = ORACLES["q87_pivot_clusters"].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    pivot=_pivot_sql(_PIVOT_ROUNDS),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -199,3 +199,97 @@ def test_star_clusters_path_and_weights(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         star_clusters(df, weight_col="w", rounds=1)
+
+
+def _py_pivot_reference(edges, rounds=16, salt=7):
+    """Pure-Python twin of operators/pivot_clustering.pivot_clusters:
+    same portable (md5-hash, id) priority, same local-min election,
+    same in-round min-priority attachment."""
+    import hashlib
+
+    def prio(n):
+        return (
+            int(hashlib.md5(f"{n}#{salt}".encode()).hexdigest()[:15], 16),
+            n,
+        )
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    status = {n: 0 for n in adj}
+    piv = {}
+    for _ in range(rounds):
+        unk = {n for n in adj if status[n] == 0}
+        if not unk:
+            break
+        newp = {
+            u
+            for u in unk
+            if all(prio(u) < prio(v) for v in adj[u] if v in unk)
+        }
+        for p in newp:
+            status[p], piv[p] = 1, p
+        for u in unk - newp:
+            cands = [p for p in adj[u] if p in newp]
+            if cands:
+                status[u], piv[u] = 2, min(cands, key=prio)
+    assert all(status[n] != 0 for n in adj), "reference unconverged"
+    return {n: (piv[n], 1 if status[n] == 1 else 0) for n in adj}
+
+
+def test_pivot_clusters_reference_parity(spark):
+    """pivot_clusters equals the sequential twin of its own parallel
+    rounds on seeded random multigraphs, and satisfies the structural
+    invariants: pivots form an independent set, every satellite is
+    edge-adjacent to its pivot, every edge-touching node is assigned;
+    under-provisioned rounds raise."""
+    import random
+
+    import pytest
+
+    from pubmed_and_method_spark.operators.pivot_clustering import (
+        pivot_clusters,
+    )
+
+    rng = random.Random(5)
+    for _ in range(3):
+        n = rng.randint(8, 30)
+        m = rng.randint(n, n * 3)
+        edges = [
+            (f"m{rng.randint(0, n)}", f"m{rng.randint(0, n)}")
+            for _ in range(m)
+        ]
+        df = spark.createDataFrame(edges, "id1 string, id2 string")
+        got = {
+            r.node: (r.pivot, r.is_pivot)
+            for r in pivot_clusters(df).collect()
+        }
+        assert got == _py_pivot_reference(edges)
+        adjset = {(a, b) for a, b in edges if a != b}
+        adjset |= {(b, a) for a, b in adjset}
+        pivots = {k for k, (_, isp) in got.items() if isp == 1}
+        assert not any(
+            (a, b) in adjset for a in pivots for b in pivots if a != b
+        )
+        assert all(
+            (k, p) in adjset for k, (p, isp) in got.items() if isp == 0
+        )
+
+    # a path chained in ASCENDING hash-priority order needs
+    # ceil(k/2) rounds (only the head is a local min each round),
+    # so rounds=1 must raise regardless of which names hash where
+    import hashlib
+
+    nodes = sorted(
+        (f"p{i}" for i in range(8)),
+        key=lambda n: int(
+            hashlib.md5(f"{n}#7".encode()).hexdigest()[:15], 16
+        ),
+    )
+    path = list(zip(nodes, nodes[1:]))
+    df = spark.createDataFrame(path, "id1 string, id2 string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pivot_clusters(df, rounds=1)
