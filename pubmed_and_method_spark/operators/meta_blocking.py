@@ -99,6 +99,69 @@ def pair_block_weights(
     )
 
 
+def block_filtering(
+    members: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+    keep_num: int = 4,
+    keep_den: int = 5,
+) -> DataFrame:
+    """Block filtering (Papadakis et al., PVLDB 2016): each record
+    keeps only its ``keep_num/keep_den`` SMALLEST blocks (default
+    4/5), because a record's small blocks are its most selective
+    evidence — the big ones re-pair it with everything.  The
+    complementary lever to block purging: purging removes globally
+    degenerate blocks, filtering trims each record's own membership
+    list, shrinking pair volume roughly quadratically in the dropped
+    memberships while true pairs (which share SELECTIVE keys) survive.
+
+    The keep rule is evaluated in INTEGER arithmetic —
+    ``keep_den * (rank-1) < keep_num * nb``, i.e. rank <= ceil(r*nb)
+    without the float ceil (0.8*15 is already not exact in binary) —
+    so cross-engine value parity is exact.  Rank orders by
+    (block_size, key): fully deterministic under ties.
+
+    One block-size aggregation + one hash join (the size table is
+    corpus-scale at schema-agnostic key density — never broadcast)
+    + one per-record window (records own few memberships; the window
+    partitions by id, so no skew beyond a record's own key count).
+    Appends ``kept`` rather than filtering, so callers can audit what
+    was dropped (the WNP convention).
+
+    Output: (id, key, block_size, nb, rnk, kept) — one row per
+    distinct membership.
+    """
+    from pyspark.sql import Window
+
+    m = members.select(id_col, key_col).distinct()
+    bs = m.groupBy(key_col).agg(F.count("*").alias("block_size"))
+    ranked = (
+        m.join(bs, key_col)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("block_size", key_col)
+            ),
+        )
+        .withColumn(
+            "nb", F.count("*").over(Window.partitionBy(id_col))
+        )
+    )
+    return ranked.select(
+        id_col,
+        key_col,
+        "block_size",
+        "nb",
+        "rnk",
+        (
+            F.lit(keep_den) * (F.col("rnk") - 1)
+            < F.lit(keep_num) * F.col("nb")
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 def weighted_node_pruning(
     weights: DataFrame,
     id_col: str = "mention_id",

@@ -6114,6 +6114,100 @@ ORACLES["q87_pivot_clusters"] = ORACLES["q87_pivot_clusters"].format(
 )
 
 
+@q(
+    "q88_block_filtering",
+    f"""
+    WITH {{names_hard}},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    named AS (SELECT * FROM wf WHERE block_key <> '__unblocked__'),
+    memb AS (
+        SELECT DISTINCT mid, key FROM (
+            SELECT conv_id || '#assistant' AS mid,
+                   'sn_' || surname AS key FROM named
+            UNION ALL
+            SELECT conv_id || '#assistant', 'gv_' || given_name FROM named
+            UNION ALL
+            SELECT conv_id || '#assistant',
+                   'ph_' || {{phon}} FROM named
+            UNION ALL
+            SELECT w.conv_id || '#assistant', 'tl_' || d.tool
+            FROM (SELECT DISTINCT conv_id, tool FROM t WHERE tool <> '') d
+            JOIN named w ON w.conv_id = d.conv_id)),
+    bs AS (SELECT key, count(*) AS block_size FROM memb GROUP BY key),
+    rk AS (
+        SELECT m.mid, m.key, b.block_size,
+               row_number() OVER (PARTITION BY m.mid
+                                  ORDER BY b.block_size, m.key) AS rnk,
+               count(*) OVER (PARTITION BY m.mid) AS nb
+        FROM memb m JOIN bs b ON b.key = m.key)
+    SELECT mid AS mention_id, key AS block_key, block_size, nb, rnk,
+           CAST(5 * (rnk - 1) < 4 * nb AS INTEGER) AS kept
+    FROM rk
+    """,
+)
+def q88(spark, sf):
+    """Block filtering (operators/meta_blocking.block_filtering):
+    each record keeps only its 4/5 smallest blocks of the same
+    schema-agnostic redundancy-positive collection q69 restructures
+    (surname / given / phonetic / per-tool keys on the hard corpus)
+    — the PVLDB'16 block-cleaning lever complementary to q69's
+    purge-and-prune: filtering trims each record's own membership
+    list BEFORE any pair materializes, so the quadratic cost of a
+    record's biggest blocks never exists.  The keep rule is
+    integer-exact (keep_den*(rank-1) < keep_num*nb), the rank order
+    (block_size, key) deterministic — DuckDB re-derives every block
+    size, rank, and keep/drop decision.  The true-pair survival this
+    trades is pytest-quantified (test_block_filtering_quality)."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.meta_blocking import (
+        block_filtering,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    named = sig.filter(F.col("block_key") != "__unblocked__")
+    mid = F.col("mention_id")
+    members = (
+        named.select(mid, F.concat(F.lit("sn_"), "surname").alias("block_key"))
+        .unionAll(
+            named.select(
+                mid, F.concat(F.lit("gv_"), "given_name").alias("block_key")
+            )
+        )
+        .unionAll(
+            named.select(
+                mid,
+                F.concat(F.lit("ph_"), phonetic_key("surname")).alias(
+                    "block_key"
+                ),
+            )
+        )
+        .unionAll(
+            named.select(mid, F.explode("tool_profile").alias("tool")).select(
+                mid, F.concat(F.lit("tl_"), "tool").alias("block_key")
+            )
+        )
+    )
+    return block_filtering(members)
+
+
+ORACLES["q88_block_filtering"] = ORACLES["q88_block_filtering"].format(
+    names_hard=_NAMES_CTE_HARD_SQL,
+    phon=_q69_phon_sql(),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

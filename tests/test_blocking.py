@@ -986,3 +986,101 @@ def test_common_neighbor_features_hand_computed(spark):
     assert capped == {
         ("x1", "x2"): 0, ("x1", "x4"): 0, ("x2", "x4"): 0, ("x1", "x5"): 0,
     }
+
+
+def test_block_filtering_hand_computed(spark):
+    """Per-record smallest-blocks keep rule on a hand-sized
+    collection: ranks order by (block_size, key), the integer keep
+    rule equals rank <= ceil(0.8*nb), and ties break by key."""
+    from pubmed_and_method_spark.operators.meta_blocking import (
+        block_filtering,
+    )
+
+    memb = [
+        # sizes: k1=2, k2=2, k3=3, k4=4, k5=5
+        ("k1", "A"), ("k1", "B"),
+        ("k2", "A"), ("k2", "C"),
+        ("k3", "A"), ("k3", "B"), ("k3", "C"),
+        ("k4", "A"), ("k4", "B"), ("k4", "C"), ("k4", "D"),
+        ("k5", "A"), ("k5", "B"), ("k5", "C"), ("k5", "D"), ("k5", "E"),
+    ]
+    df = spark.createDataFrame(memb, "block_key string, mention_id string")
+    got = {
+        (r.mention_id, r.block_key): (r.block_size, r.nb, r.rnk, r.kept)
+        for r in block_filtering(df).collect()
+    }
+    # A has nb=5 -> keep ceil(0.8*5)=4: drops only its biggest (k5)
+    assert got[("A", "k1")] == (2, 5, 1, 1)
+    assert got[("A", "k2")] == (2, 5, 2, 1)   # tie with k1 -> key order
+    assert got[("A", "k3")] == (3, 5, 3, 1)
+    assert got[("A", "k4")] == (4, 5, 4, 1)
+    assert got[("A", "k5")] == (5, 5, 5, 0)
+    # E has nb=1 -> always keeps its single block
+    assert got[("E", "k5")] == (5, 1, 1, 1)
+    # D has nb=2 -> ceil(1.6)=2: keeps both
+    assert got[("D", "k4")][3] == 1 and got[("D", "k5")][3] == 1
+    # B/C have nb=4 -> ceil(3.2)=4: keep all four
+    assert all(v[3] == 1 for k, v in got.items() if k[0] in ("B", "C"))
+
+
+def test_block_filtering_quality(spark):
+    """On the hard corpus's schema-agnostic collection, dropping each
+    record's biggest fifth of blocks cuts candidate-pair volume by
+    >25% while keeping >=99% of the true pairs the full collection
+    covers — the PVLDB'16 trade the operator exists to make."""
+    from itertools import combinations
+
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.meta_blocking import (
+        block_filtering,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    named = sig.filter(F.col("block_key") != "__unblocked__")
+    mid = F.col("mention_id")
+    members = (
+        named.select(mid, F.concat(F.lit("sn_"), "surname").alias("block_key"))
+        .unionAll(
+            named.select(
+                mid, F.concat(F.lit("gv_"), "given_name").alias("block_key")
+            )
+        )
+        .unionAll(
+            named.select(
+                mid,
+                F.concat(F.lit("ph_"), phonetic_key("surname")).alias(
+                    "block_key"
+                ),
+            )
+        )
+        .unionAll(
+            named.select(mid, F.explode("tool_profile").alias("tool")).select(
+                mid, F.concat(F.lit("tl_"), "tool").alias("block_key")
+            )
+        )
+    )
+    filt = block_filtering(members).collect()
+    truth = {
+        r.conv_id: r.entity_id
+        for r in g.select("conv_id", "entity_id").collect()
+    }
+
+    def pair_sets(rows):
+        blocks = {}
+        for r in rows:
+            blocks.setdefault(r.block_key, set()).add(r.mention_id)
+        cands, true = set(), set()
+        for ms in blocks.values():
+            for a, b in combinations(sorted(ms), 2):
+                cands.add((a, b))
+                if truth[a.split("#")[0]] == truth[b.split("#")[0]]:
+                    true.add((a, b))
+        return cands, true
+
+    all_c, all_t = pair_sets(filt)
+    kept_c, kept_t = pair_sets([r for r in filt if r.kept == 1])
+    assert len(kept_c) < 0.75 * len(all_c), (len(kept_c), len(all_c))
+    assert len(kept_t) >= 0.99 * len(all_t), (len(kept_t), len(all_t))
