@@ -259,6 +259,53 @@ def topk_recall(
     }
 
 
+def mutual_top1(
+    sims: DataFrame,
+    q_col: str = "query_id",
+    c_col: str = "cand_id",
+    score_col: str = "cos",
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs: (a, b) survives iff b is a's
+    best-scoring neighbor AND a is b's — the reciprocal-top-1 rule
+    (the MNN anchor criterion of embedding-alignment literature,
+    e.g. Haghverdi et al. 2018, and the highest-precision variant of
+    nearest-neighbor dedup).  Where a one-directional top-1 links
+    every record to SOMETHING (hubs collect spurious in-edges), the
+    reciprocal requirement kills hub edges without any score
+    threshold to tune.
+
+    ``sims`` is any directed similarity table — exact bounded
+    all-pairs (q22-style), LSH-bucket candidates (lsh_topk's
+    candidate stage), or IVF candidates — so the precision rule
+    composes with whichever candidate generator fits the scale.
+    Top-1 per query is ONE window ordered by (score desc, cand id)
+    (deterministic under exact float ties: both engines evaluate the
+    same IEEE sums in the same order); mutuality is a self-join of
+    the 1-row-per-node best table on the reversed key pair — at most
+    |nodes| rows ever shuffle.
+
+    Output: (id1, id2) with id1 < id2, column names taken from
+    ``q_col``/``c_col`` with 1/2 suffixes.
+    """
+    w = W.partitionBy(q_col).orderBy(F.desc(score_col), c_col)
+    best = (
+        sims.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(q_col, c_col)
+    )
+    rev = best.select(
+        F.col(c_col).alias(q_col), F.col(q_col).alias(c_col)
+    )
+    return (
+        best.join(rev, [q_col, c_col])
+        .filter(F.col(q_col) < F.col(c_col))
+        .select(
+            F.col(q_col).alias(f"{q_col}1"),
+            F.col(c_col).alias(f"{c_col}2"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -6208,6 +6208,54 @@ ORACLES["q88_block_filtering"] = ORACLES["q88_block_filtering"].format(
 )
 
 
+@q(
+    "q89_mutual_nn_pairs",
+    """
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_dot_product(q.embedding, c.embedding)
+                 / (sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 512 AND c.vec_id < 512 AND c.vec_id != q.vec_id),
+    best AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS r
+            FROM sims) t
+        WHERE r = 1)
+    SELECT a.query_id AS query_id1, a.cand_id AS cand_id2
+    FROM best a
+    JOIN best b ON b.query_id = a.cand_id AND b.cand_id = a.query_id
+    WHERE a.query_id < a.cand_id
+    """,
+)
+def q89(spark, sf):
+    """Mutual nearest-neighbor pairs
+    (operators/similarity.mutual_top1): reciprocal-top-1 cosine over
+    a bounded embedding subset — the threshold-free high-precision
+    pair rule (MNN anchors).  Exact sims here are the q22-style
+    bounded baseline; at scale the same operator consumes LSH/IVF
+    candidate sims (it is sims-table-agnostic).  Output is a pure ID
+    set, so cross-engine float parity reduces to rank parity (the
+    q22 precedent); DuckDB re-derives every top-1 election and the
+    reciprocity join."""
+    from pubmed_and_method_spark.operators.similarity import (
+        brute_force_topk,
+        mutual_top1,
+    )
+
+    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 512)
+    # k=1 pre-selects each node's best by the SAME (cos desc, id)
+    # order mutual_top1 uses, so the reciprocity join sees exactly
+    # the per-node argmax table — no second full-sims window
+    sims = brute_force_topk(e, e, id_col="vec_id", k=1).select(
+        "query_id", "cand_id", "cos"
+    )
+    return mutual_top1(sims)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

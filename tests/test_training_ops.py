@@ -886,3 +886,37 @@ def test_semantic_dedup_planted(spark):
     # cannot straddle an integer-L2 assignment boundary)
     assert out[100].cid == out[0].cid
     assert out[105].cid == out[5].cid
+
+
+def test_mutual_top1_hub_kill(spark):
+    """Reciprocal-top-1 on a hand-built sims table: the isolated pair
+    (a,b) is mutual; hub h is everyone's best neighbor but reciprocates
+    only one — exactly one hub edge survives, every other hub in-edge
+    dies without any threshold."""
+    from pubmed_and_method_spark.operators.similarity import mutual_top1
+
+    sims = [
+        # a and b point at each other hardest
+        ("a", "b", 0.9), ("b", "a", 0.9),
+        ("a", "h", 0.5), ("b", "h", 0.5),
+        # x, y, z all point at the hub h
+        ("x", "h", 0.8), ("y", "h", 0.7), ("z", "h", 0.6),
+        ("x", "y", 0.2), ("y", "x", 0.2), ("z", "x", 0.1),
+        # h's own best is x (reciprocated), then y (not)
+        ("h", "x", 0.8), ("h", "y", 0.3),
+    ]
+    df = spark.createDataFrame(sims, "query_id string, cand_id string, cos double")
+    got = {
+        (r.query_id1, r.cand_id2) for r in mutual_top1(df).collect()
+    }
+    assert got == {("a", "b"), ("h", "x")}
+
+    # deterministic tie-break: equal scores fall to the smaller cand id
+    ties = [
+        ("p", "q", 0.5), ("p", "r", 0.5),
+        ("q", "p", 0.5), ("r", "p", 0.5),
+    ]
+    df2 = spark.createDataFrame(ties, "query_id string, cand_id string, cos double")
+    assert {
+        (r.query_id1, r.cand_id2) for r in mutual_top1(df2).collect()
+    } == {("p", "q")}
