@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "q73_blocking_ladder",
     "q74_common_neighbor_evidence",
     "q78_duplicate_spans",
+    "q87_pivot_clusters",
+    "q88_block_filtering",
+    "q89_mutual_nn_pairs",
 ]
 
 

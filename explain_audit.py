@@ -161,6 +161,19 @@ AUDIT = [
     # BM25: per-term stats HashAggregates + 1-row corpus broadcast;
     # top-k must be TakeOrderedAndProject, not a global sort
     ("q86_bm25_topk", [r"HashAggregate", r"TakeOrderedAndProject"], [r"CartesianProduct"]),
+    # pivot clustering: like q70, the OUTPUT plan reflects the final
+    # status projection over the pinned (checkpointed) round state —
+    # audit that it stays codegen joins, never cartesian
+    ("q87_pivot_clusters", [r"codegen id : "], [r"CartesianProduct"]),
+    # block filtering: block-size HashAggregate + a hash join back to
+    # memberships + ONE per-record window; never cartesian (no
+    # broadcast HINT on the size table — at sf0.01 the planner
+    # auto-broadcasts it under the threshold, at corpus scale the
+    # same plan falls back to a shuffle join)
+    ("q88_block_filtering", [r"HashAggregate", r"Window"], [r"CartesianProduct"]),
+    # mutual NN: documented bounded brute-force sims (the q22 rule) —
+    # the reciprocity self-join must be a hash join on the key pair
+    ("q89_mutual_nn_pairs", [r"Window"], []),
 ]
 
 
