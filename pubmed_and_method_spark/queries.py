@@ -6256,6 +6256,156 @@ def q89(spark, sf):
     return mutual_top1(sims)
 
 
+def _canopy_sql(rounds: int) -> str:
+    """Generate the q90 oracle suffix: the SAME ``rounds`` canopy peel
+    rounds canopy_assign runs on the tight graph, unrolled as chained
+    MATERIALIZED CTEs, then the loose-membership join."""
+    parts = [
+        f"""ladj AS MATERIALIZED (
+        SELECT m1 AS a, m2 AS b FROM sc WHERE s >= {_CANOPY_LOOSE}
+        UNION ALL SELECT m2, m1 FROM sc WHERE s >= {_CANOPY_LOOSE}),
+    tadj AS MATERIALIZED (
+        SELECT m1 AS a, m2 AS b FROM sc WHERE s >= {_CANOPY_TIGHT}
+        UNION ALL SELECT m2, m1 FROM sc WHERE s >= {_CANOPY_TIGHT}),
+    c0 AS MATERIALIZED (
+        SELECT a AS node,
+               CAST(('0x' || substr(md5(a || '#7'), 1, 15)) AS BIGINT) AS h,
+               0 AS status
+        FROM (SELECT DISTINCT a FROM ladj))"""
+    ]
+    for k in range(1, rounds + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT u.node FROM {p} u
+        WHERE u.status = 0 AND NOT EXISTS (
+            SELECT 1 FROM tadj e JOIN {p} v ON v.node = e.b
+            WHERE e.a = u.node AND v.status = 0
+              AND (v.h < u.h OR (v.h = u.h AND v.node < u.node))))"""
+        )
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+        SELECT q.node, q.h,
+               CASE WHEN q.status <> 0 THEN q.status
+                    WHEN q.node IN (SELECT node FROM w{k}) THEN 1
+                    WHEN EXISTS (SELECT 1 FROM tadj e JOIN w{k} c
+                                 ON c.node = e.b
+                                 WHERE e.a = q.node) THEN 2
+                    ELSE 0 END AS status
+        FROM {p} q)"""
+        )
+    tail = f"""ctr AS MATERIALIZED (SELECT node FROM c{rounds} WHERE status = 1)
+    SELECT node AS mention_id, node AS canopy, 1 AS is_center FROM ctr
+    UNION ALL
+    SELECT DISTINCT l.a AS mention_id, l.b AS canopy, 0 AS is_center
+    FROM ladj l JOIN ctr ON ctr.node = l.b"""
+    return ",\n    ".join(parts) + ",\n    " + tail
+
+
+_CANOPY_LOOSE = 0.5
+_CANOPY_TIGHT = 0.62
+_CANOPY_ROUNDS = 8
+
+
+@q(
+    "q90_canopy_assign",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> ''))
+                        , CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    sc AS MATERIALIZED (
+        SELECT a.conv_id || '#assistant' AS m1,
+               b.conv_id || '#assistant' AS m2,
+               round((round(jaro_winkler_similarity(
+                          a.given_name || ' ' || a.surname,
+                          b.given_name || ' ' || b.surname), 6)
+                      + round({{lj_toks}}, 6)
+                      + round({{lj_tools}}, 6)) / 3, 6) AS s
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id),
+    {{canopy}}
+    """,
+)
+def q90(spark, sf):
+    """Canopy clustering (operators/canopy.canopy_assign, McCallum et
+    al. KDD'00): OVERLAPPING cheap-metric pre-groups over the same
+    blended name/token/tool score graph as q70/q87 — centers elected
+    by the derandomized peel on the TIGHT (>= {_CANOPY_TIGHT}) graph,
+    membership = everything within LOOSE (>= {_CANOPY_LOOSE}) of a
+    center.  The non-exclusive complement of the engine's hard
+    blocking keys: a borderline mention belongs to EVERY canopy it is
+    loosely similar to, so the expensive pair stage never loses a
+    pair to an arbitrary tie-break.  The DuckDB oracle unrolls the
+    SAME peel rounds and re-derives every center election,
+    deactivation, and loose membership."""
+    from pubmed_and_method_spark.operators.canopy import canopy_assign
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    sims = feats.select(
+        "mention_id1",
+        "mention_id2",
+        F.round(
+            (
+                F.round("name_jw", 6)
+                + F.round("token_jacc", 6)
+                + F.round("tool_jacc", 6)
+            )
+            / 3,
+            6,
+        ).alias("score"),
+    )
+    return canopy_assign(
+        sims,
+        q_col="mention_id1",
+        c_col="mention_id2",
+        score_col="score",
+        loose=_CANOPY_LOOSE,
+        tight=_CANOPY_TIGHT,
+        rounds=_CANOPY_ROUNDS,
+    ).select(F.col("node").alias("mention_id"), "canopy", "is_center")
+
+
+ORACLES["q90_canopy_assign"] = ORACLES["q90_canopy_assign"].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    canopy=_canopy_sql(_CANOPY_ROUNDS),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

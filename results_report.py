@@ -193,6 +193,9 @@ def clustering_section(spark) -> list[str]:
     from pubmed_and_method_spark.operators.er_metrics import (
         cluster_agreement_metrics,
     )
+    from pubmed_and_method_spark.operators.pivot_clustering import (
+        pivot_clusters,
+    )
     from pubmed_and_method_spark.operators.star_clustering import (
         star_clusters,
     )
@@ -244,6 +247,11 @@ def clustering_section(spark) -> list[str]:
                 weight_col="score",
                 rounds=16,
             ).select(F.col("node").alias("mention_id"), F.col("center").alias("cluster")),
+            "pivot": pivot_clusters(
+                edges.select("mention_id1", "mention_id2"),
+                id_cols=("mention_id1", "mention_id2"),
+                rounds=32,
+            ).select(F.col("node").alias("mention_id"), F.col("pivot").alias("cluster")),
         }
         for method, asg in variants.items():
             full = labeled.join(asg, "mention_id", "left").withColumn(
@@ -269,13 +277,15 @@ def clustering_section(spark) -> list[str]:
 
     n_ent = labeled.select("entity_id").distinct().count()
     lines = [
-        "## Clustering strategy: transitive closure vs star",
+        "## Clustering strategy: transitive closure vs star vs pivot",
         "",
         "Same scored match graph (hard corpus, hardness=0.7,",
         f"{n_ent} entities; score = round-6 name_jw + token_jacc +",
-        "tool_jacc in [0,3]), clustered two ways at three thresholds:",
-        "CC (the reference's weld — q25 operator) vs star clustering",
-        "(q70, diameter <= 2).  B-cubed / V-measure per q63's",
+        "tool_jacc in [0,3]), clustered three ways at three",
+        "thresholds: CC (the reference's weld — q25 operator) vs",
+        "star clustering (q70, diameter <= 2, degree-greedy",
+        "centers) vs pivot correlation clustering (q87, diameter",
+        "<= 2, hash-random pivots).  B-cubed / V-measure per q63's",
         "operator; unblocked/edge-less mentions are singletons.",
         "",
         "| thr | method | clusters | max size | B3 P | B3 R | B3 F1 | V |",
@@ -291,7 +301,7 @@ def clustering_section(spark) -> list[str]:
     hi_cc, hi_st = by[(1.6, "CC")], by[(1.6, "star")]
     lines += [
         "",
-        "Reading: at the PERMISSIVE cut the two nearly coincide — the false",
+        "Reading: at the PERMISSIVE cut the three nearly coincide — the false",
         "edges are so dense that welded components are also single",
         "hubs' neighborhoods, so the diameter bound buys little.",
         "The separation appears as the cut tightens and false edges",
@@ -303,8 +313,15 @@ def clustering_section(spark) -> list[str]:
         f"{hi_cc['b3_f1']:.3f}).  Star is the right default exactly",
         "where a pipeline operates — a cut tight enough that errors",
         "are chain-shaped, not blob-shaped; closure remains correct",
-        "when edges are near-certain.  Both are first-class operators",
-        "because the choice is a threshold-regime decision.",
+        "when edges are near-certain.  Pivot sits on star's side of",
+        "the weld divide (same diameter bound) but its hash-random",
+        f"pivots trade recall for it (B3 R {by[(1.6, 'pivot')]['b3_r']:.3f}",
+        f"vs star {hi_st['b3_r']:.3f} at thr=1.6): a pivot need not",
+        "be adjacent to all of its entity's match subgraph, so",
+        "sparse entities fragment — the price of the",
+        "correlation-clustering guarantee being about EDGES, not",
+        "hubs.  All three are first-class operators because the",
+        "choice is a threshold-regime decision.",
     ]
     return lines
 
@@ -484,7 +501,7 @@ def only_clust() -> int:
         return 1
     c_head, c_sep, _ = head.partition(
         "## Clustering strategy: transitive closure vs star"
-    )
+    )  # legacy title
     if c_sep:
         head = c_head
     spark = get_spark(app_name="results_report_clust", cores="16")

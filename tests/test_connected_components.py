@@ -293,3 +293,60 @@ def test_pivot_clusters_reference_parity(spark):
     df = spark.createDataFrame(path, "id1 string, id2 string")
     with pytest.raises(RuntimeError, match="did not converge"):
         pivot_clusters(df, rounds=1)
+
+
+def test_canopy_assign_overlap_and_removal(spark):
+    """Canopy semantics on a 3-node hand case: the tight-isolated
+    node always becomes a center; of the tight pair, only the lower
+    priority does (the other is removed); the bridging node lands in
+    BOTH canopies (overlap — the property hard blocking can't
+    express).  Plus the guard rails: tight<loose validation and the
+    fixed-rounds convergence raise."""
+    import hashlib
+
+    import pytest
+
+    from pubmed_and_method_spark.operators.canopy import canopy_assign
+
+    def prio(n):
+        return (
+            int(hashlib.md5(f"{n}#7".encode()).hexdigest()[:15], 16),
+            n,
+        )
+
+    sims = [
+        ("c1", "x", 0.9),   # tight edge
+        ("c2", "x", 0.55),  # loose-only edge
+        ("c1", "c2", 0.3),  # below loose: invisible
+    ]
+    df = spark.createDataFrame(
+        sims, "query_id string, cand_id string, cos double"
+    )
+    got = {
+        (r.node, r.canopy): r.is_center
+        for r in canopy_assign(df, loose=0.5, tight=0.8).collect()
+    }
+    wins, loses = sorted(("c1", "x"), key=prio)
+    expected = {
+        ("c2", "c2"): 1,          # tight-isolated -> center
+        (wins, wins): 1,          # tight local min -> center
+        (loses, wins): 0,         # removed, loose member of the winner
+        ("x", "c2"): 0,           # x bridges into c2's canopy too
+    }
+    assert got == expected
+    # the overlap property: x always holds TWO memberships — either
+    # (member of winner's canopy + member of c2's) or, if x itself
+    # won the tight pair, (center of its own + member of c2's)
+    assert len([k for k in got if k[0] == "x"]) == 2
+
+    with pytest.raises(ValueError, match="tight"):
+        canopy_assign(df, loose=0.8, tight=0.5)
+
+    # ascending-priority tight path: only the head resolves per round
+    nodes = sorted((f"p{i}" for i in range(8)), key=prio)
+    path = [(a, b, 0.9) for a, b in zip(nodes, nodes[1:])]
+    df2 = spark.createDataFrame(
+        path, "query_id string, cand_id string, cos double"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        canopy_assign(df2, loose=0.5, tight=0.8, rounds=1)
