@@ -6406,6 +6406,164 @@ ORACLES["q90_canopy_assign"] = ORACLES["q90_canopy_assign"].format(
 )
 
 
+_SOFT_TFIDF_THR = 0.9
+
+
+@q(
+    "q91_soft_tfidf_names",
+    f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id || '#assistant' AS mid, block_key,
+               list_filter([given_name, surname], x -> x <> '') AS toks
+        FROM wf WHERE block_key <> '__unblocked__'),
+    corp AS MATERIALIZED (
+        SELECT mid, toks FROM members WHERE len(toks) > 0),
+    tr2 AS MATERIALIZED (
+        SELECT mid, pos, toks[pos] AS tok FROM (
+            SELECT mid, unnest(generate_series(1, len(toks))) AS pos,
+                   toks
+            FROM corp)),
+    nn AS (SELECT count(*) AS n FROM corp),
+    dfq AS (SELECT tok, count(DISTINCT mid) AS df FROM tr2 GROUP BY tok),
+    idf AS MATERIALIZED (
+        SELECT tok, round(ln((nn.n + 1.0) / (df + 1.0)), 6) AS idf
+        FROM dfq, nn),
+    wtt AS MATERIALIZED (
+        SELECT t.mid, t.pos, t.tok, i.idf FROM tr2 t JOIN idf i USING (tok)),
+    nrm AS MATERIALIZED (
+        SELECT mid,
+               sqrt(list_reduce(list(idf * idf ORDER BY pos),
+                                (a, b) -> a + b)) AS nrm
+        FROM wtt GROUP BY mid),
+    vps AS MATERIALIZED (
+        SELECT w.mid, w.pos, w.tok, round(w.idf / n.nrm, 6) AS v
+        FROM wtt w JOIN nrm n USING (mid)),
+    vtk AS MATERIALIZED (SELECT DISTINCT mid, tok, v FROM vps),
+    p AS MATERIALIZED (
+        SELECT a.mid AS id1, b.mid AS id2,
+               a.toks AS t1s, b.toks AS t2s
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key AND a.mid < b.mid
+        WHERE len(a.toks) > 0 AND len(b.toks) > 0),
+    bf AS (
+        SELECT id1, id2, i,
+               max(struct_pack(
+                   jw := round(jaro_winkler_similarity(t1s[i], u.s), 6),
+                   tok := u.s)) AS best
+        FROM (SELECT id1, id2,
+                     unnest(generate_series(1, len(t1s))) AS i, t1s, t2s
+              FROM p) e, unnest(t2s) AS u(s)
+        GROUP BY 1, 2, 3),
+    cf AS (
+        SELECT b.id1, b.id2, b.i,
+               CASE WHEN struct_extract(b.best, 'jw') >= {_SOFT_TFIDF_THR}
+                    THEN v1.v * v2.v * struct_extract(b.best, 'jw')
+                    ELSE 0.0 END AS c
+        FROM bf b
+        JOIN vps v1 ON v1.mid = b.id1 AND v1.pos = b.i
+        JOIN vtk v2 ON v2.mid = b.id2
+                   AND v2.tok = struct_extract(b.best, 'tok')),
+    sf AS (
+        SELECT id1, id2,
+               list_reduce(list(c ORDER BY i), (a, b) -> a + b) AS fwd
+        FROM cf GROUP BY 1, 2),
+    bb AS (
+        SELECT id1, id2, i,
+               max(struct_pack(
+                   jw := round(jaro_winkler_similarity(t2s[i], u.s), 6),
+                   tok := u.s)) AS best
+        FROM (SELECT id1, id2,
+                     unnest(generate_series(1, len(t2s))) AS i, t1s, t2s
+              FROM p) e, unnest(t1s) AS u(s)
+        GROUP BY 1, 2, 3),
+    cb AS (
+        SELECT b.id1, b.id2, b.i,
+               CASE WHEN struct_extract(b.best, 'jw') >= {_SOFT_TFIDF_THR}
+                    THEN v1.v * v2.v * struct_extract(b.best, 'jw')
+                    ELSE 0.0 END AS c
+        FROM bb b
+        JOIN vps v1 ON v1.mid = b.id2 AND v1.pos = b.i
+        JOIN vtk v2 ON v2.mid = b.id1
+                   AND v2.tok = struct_extract(b.best, 'tok')),
+    sb AS (
+        SELECT id1, id2,
+               list_reduce(list(c ORDER BY i), (a, b) -> a + b) AS bwd
+        FROM cb GROUP BY 1, 2)
+    SELECT id1 AS mention_id1, id2 AS mention_id2,
+           round(fwd, 6) AS st_fwd,
+           round(bwd, 6) AS st_bwd,
+           round((fwd + bwd) / 2, 6) AS soft_tfidf
+    FROM sf JOIN sb USING (id1, id2)
+    """,
+)
+def q91(spark, sf):
+    """Soft-TF-IDF name similarity
+    (operators/token_similarity.soft_tfidf_scores, Cohen et al.
+    IIWeb'03): JW-matched tokens (CLOSE at 0.9) weighted by both
+    sides' corpus TF-IDF — rare-surname agreement outweighs common
+    given-name agreement even through a typo, the scheme their study
+    found strongest and the weight-aware sibling of q80's
+    Monge-Elkan.  All floats under the q80 fold discipline (round-6
+    idf/JW, strict index-order left folds), so DuckDB re-derives
+    every df, idf, norm, weight, best-partner election, CLOSE
+    decision, and fold sum bit-for-bit."""
+    from pubmed_and_method_spark.operators.token_similarity import (
+        soft_tfidf_scores,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    toks = F.filter(
+        F.array("given_name", "surname"), lambda x: x != ""
+    )
+    names = sig.filter(F.col("block_key") != "__unblocked__").select(
+        "mention_id", toks.alias("name_toks")
+    )
+    pairs = (
+        build_labeled_pairs(sig, g)
+        .select("mention_id1", "mention_id2")
+        .join(
+            names.select(
+                F.col("mention_id").alias("mention_id1"),
+                F.col("name_toks").alias("toks1"),
+            ),
+            "mention_id1",
+        )
+        .join(
+            names.select(
+                F.col("mention_id").alias("mention_id2"),
+                F.col("name_toks").alias("toks2"),
+            ),
+            "mention_id2",
+        )
+    )
+    return soft_tfidf_scores(
+        pairs,
+        corpus=names,
+        toks1_col="toks1",
+        toks2_col="toks2",
+        corpus_toks_col="name_toks",
+        threshold=_SOFT_TFIDF_THR,
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -1084,3 +1084,80 @@ def test_block_filtering_quality(spark):
     kept_c, kept_t = pair_sets([r for r in filt if r.kept == 1])
     assert len(kept_c) < 0.75 * len(all_c), (len(kept_c), len(all_c))
     assert len(kept_t) >= 0.99 * len(all_t), (len(kept_t), len(all_t))
+
+
+def test_soft_tfidf_hand_computed(spark):
+    """Soft-TF-IDF on a 4-mention corpus re-derived with python math
+    step for step (round-6 idf -> fold norm -> round-6 V -> round-6
+    JW best -> CLOSE cut -> index-order fold): the typo'd rare
+    surname pair scores far above the exact-common-token pair, and a
+    below-threshold best contributes exactly zero."""
+    import math
+
+    from pubmed_and_method_spark.functions.strings import jaro_winkler
+    from pubmed_and_method_spark.operators.token_similarity import (
+        soft_tfidf_scores,
+    )
+
+    corpus = [
+        ("m1", ["maria", "santos"]),
+        ("m2", ["maria", "santoz"]),
+        ("m3", ["maria", "lopez"]),
+        ("m4", ["jose", "lopez"]),
+    ]
+    cdf = spark.createDataFrame(
+        corpus, "mention_id string, toks array<string>"
+    )
+    pairs = [
+        ("m1", "m2", ["maria", "santos"], ["maria", "santoz"]),
+        ("m1", "m3", ["maria", "santos"], ["maria", "lopez"]),
+    ]
+    pdf = spark.createDataFrame(
+        pairs,
+        "mention_id1 string, mention_id2 string, "
+        "toks1 array<string>, toks2 array<string>",
+    )
+    got = {
+        (r.mention_id1, r.mention_id2): (r.st_fwd, r.st_bwd, r.soft_tfidf)
+        for r in soft_tfidf_scores(
+            pdf, cdf, toks1_col="toks1", toks2_col="toks2"
+        ).collect()
+    }
+
+    # python twin with the same rounding/fold discipline
+    n = len(corpus)
+    df_ = {}
+    for _, ts in corpus:
+        for t in set(ts):
+            df_[t] = df_.get(t, 0) + 1
+    idf = {t: round(math.log((n + 1) / (d + 1)), 6) for t, d in df_.items()}
+    toks = dict(corpus)
+
+    def v(mid):
+        acc = 0.0
+        for t in toks[mid]:
+            acc += idf[t] * idf[t]
+        nr = math.sqrt(acc)
+        return {t: round(idf[t] / nr, 6) for t in toks[mid]}
+
+    def directed(a, b):
+        va, vb = v(a), v(b)
+        acc = 0.0
+        for t in toks[a]:
+            jw, ptok = max(
+                (round(jaro_winkler(t, s), 6), s) for s in toks[b]
+            )
+            acc += va[t] * vb[ptok] * jw if jw >= 0.9 else 0.0
+        return acc
+
+    for a, b in (("m1", "m2"), ("m1", "m3")):
+        fwd, bwd = directed(a, b), directed(b, a)
+        assert got[(a, b)] == (
+            round(fwd, 6),
+            round(bwd, 6),
+            round((fwd + bwd) / 2, 6),
+        )
+    # the typo'd RARE surname pair dominates the exact-common pair:
+    # (m1,m3) agree only on ubiquitous 'maria' (lopez vs santos is
+    # below CLOSE), (m1,m2) add the heavy santos~santoz JW match
+    assert got[("m1", "m2")][2] > 2 * got[("m1", "m3")][2]
