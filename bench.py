@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "q87_pivot_clusters",
     "q88_block_filtering",
     "q89_mutual_nn_pairs",
+    "q90_canopy_assign",
+    "q91_soft_tfidf_names",
 ]
 
 

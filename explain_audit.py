@@ -174,6 +174,13 @@ AUDIT = [
     # mutual NN: documented bounded brute-force sims (the q22 rule) —
     # the reciprocity self-join must be a hash join on the key pair
     ("q89_mutual_nn_pairs", [r"Window"], []),
+    # canopy: like q70/q87 the OUTPUT plan reflects the final loose-
+    # membership join over the pinned peel state — hash joins only
+    ("q90_canopy_assign", [r"codegen id : "], [r"CartesianProduct"]),
+    # soft-TF-IDF: weight derivation is two linear aggs + hash joins;
+    # the only BroadcastNestedLoopJoin allowed is the 1-row corpus-N
+    # build (the A7 scalar pattern)
+    ("q91_soft_tfidf_names", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
