@@ -1,0 +1,132 @@
+"""Exact set-similarity join by prefix filtering (PPJoin family —
+Chaudhuri et al. ICDE 2006; the MapReduce/Spark formulation of
+Vernica, Carey & Li, SIGMOD 2010).
+
+The engine's near-dup stack so far trades exactness for scale:
+MinHash-LSH (q19/q35) and SimHash (q20/q32) are probabilistic — a
+true pair can miss every band.  Prefix filtering is the EXACT
+counterpart: for Jaccard threshold t, two token sets with
+J(A,B) >= t MUST share at least one token among each set's
+(|S| - ceil(t*|S|) + 1) smallest tokens under any fixed global total
+order.  Ordering tokens by ASCENDING corpus frequency makes those
+prefixes the RAREST tokens, so the candidate index stays small: a
+token generates candidates only when it sits in the prefix of more
+than one record, and frequent tokens never do.  Every emitted pair is
+then verified with the exact Jaccard — provable 100% recall at the
+threshold, no bands to tune.
+
+Engine-exactness discipline: the threshold is a ``num/den`` fraction
+and every comparison is INTEGER arithmetic — the prefix length is
+``n - ceil(num*n/den) + 1`` computed as ``n - (num*n + den - 1) div
+den + 1``, and the verify is ``den * |A∩B| >= num * |A∪B|`` — so no
+float ceil or ratio sits near a decision boundary (the q34-margin
+hazard designed out, as in q60).  The global token order is the
+lexicographic (frequency, token) pair, which needs NO global
+rank/row_number (a single-partition window at corpus scale): each
+record sorts only its own tokens by the joined frequency.
+
+Shuffles: one token-frequency groupBy, one per-record sort (inside a
+groupBy over the exploded tokens), one prefix-token self-join, two
+hash joins back for verification token arrays.  At 10^12 rows the
+only quadratic risk is a token frequent enough to head many prefixes
+— by construction that requires the token to be globally RARE, a
+contradiction bounded by the prefix-size theorem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    num: int = 3,
+    den: int = 5,
+) -> DataFrame:
+    """All pairs with exact token Jaccard >= num/den.
+
+    ``docs``: one row per record with a token array (de-duplicated
+    internally).  Returns (id1, id2, n_inter, n_union, jacc) with
+    id1 < id2, ``jacc`` the round-6 ratio of the two exact integer
+    counts; the >= decision itself is integer (den*inter >= num*uni).
+    """
+    if not (0 < num <= den):
+        raise ValueError(f"threshold {num}/{den} must be in (0, 1]")
+    d = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(toks_col)).alias("__ts"),
+    ).filter(F.size("__ts") > 0)
+    ex = d.select("__id", F.explode("__ts").alias("__tok"))
+    freq = ex.groupBy("__tok").agg(F.count("*").alias("__f"))
+    # per-record (frequency, token)-sorted array; prefix length
+    # p = n - ceil(num*n/den) + 1, all integer
+    ordered = (
+        ex.join(freq, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__f", "__tok"))
+            ).alias("__arr")
+        )
+        .select(
+            "__id",
+            F.transform("__arr", lambda x: x["__tok"]).alias("__sorted"),
+            F.size("__arr").alias("__n"),
+        )
+        # `div` is Spark SQL integer division: the ceil is computed
+        # entirely in integers, mirroring the DuckDB `//` in the
+        # oracle — no double quotient anywhere near the cut
+        .withColumn(
+            "__p",
+            F.expr(f"__n - (({num} * __n + {den - 1}) div {den}) + 1")
+            .cast("int"),
+        )
+        .select(
+            "__id",
+            F.slice("__sorted", F.lit(1), F.col("__p")).alias("__prefix"),
+        )
+    )
+    pref = ordered.select("__id", F.explode("__prefix").alias("__tok"))
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), "__tok")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("__id1"), F.col("b.__id").alias("__id2")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            d.select(
+                F.col("__id").alias("__id1"), F.col("__ts").alias("__t1")
+            ),
+            "__id1",
+        )
+        .join(
+            d.select(
+                F.col("__id").alias("__id2"), F.col("__ts").alias("__t2")
+            ),
+            "__id2",
+        )
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__t1", "__t2"))
+        )
+        .withColumn(
+            "__union",
+            F.size("__t1") + F.size("__t2") - F.col("__inter"),
+        )
+        .filter(
+            F.lit(den) * F.col("__inter") >= F.lit(num) * F.col("__union")
+        )
+    )
+    return verified.select(
+        F.col("__id1").alias(f"{id_col}1"),
+        F.col("__id2").alias(f"{id_col}2"),
+        F.col("__inter").alias("n_inter"),
+        F.col("__union").alias("n_union"),
+        F.round(F.col("__inter") / F.col("__union"), 6).alias("jacc"),
+    )

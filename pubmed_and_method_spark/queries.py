@@ -6564,6 +6564,68 @@ def q91(spark, sf):
     )
 
 
+@q(
+    "q92_prefix_filter_jaccard",
+    f"""
+    WITH dd AS (
+        SELECT doc_id, ts FROM (
+            SELECT doc_id, list_distinct({_TOKENS_SQL.format(col='text')})
+                       AS ts
+            FROM documents)
+        WHERE len(ts) > 0),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM dd),
+    freq AS (SELECT tok, count(*) AS f FROM ex GROUP BY tok),
+    srt AS (
+        SELECT e.doc_id,
+               list(e.tok ORDER BY fr.f, e.tok) AS sorted,
+               count(*) AS n
+        FROM ex e JOIN freq fr USING (tok) GROUP BY e.doc_id),
+    pref AS (
+        SELECT doc_id,
+               unnest(sorted[1 : n - ((3 * n + 4) // 5) + 1]) AS tok
+        FROM srt),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    v AS (
+        SELECT c.id1, c.id2,
+               len(list_intersect(d1.ts, d2.ts)) AS n_inter,
+               len(d1.ts) + len(d2.ts)
+                   - len(list_intersect(d1.ts, d2.ts)) AS n_union
+        FROM cand c
+        JOIN dd d1 ON d1.doc_id = c.id1
+        JOIN dd d2 ON d2.doc_id = c.id2)
+    SELECT id1 AS doc_id1, id2 AS doc_id2, n_inter, n_union,
+           round(n_inter * 1.0 / n_union, 6) AS jacc
+    FROM v WHERE 5 * n_inter >= 3 * n_union
+    """,
+)
+def q92(spark, sf):
+    """Exact set-similarity join by prefix filtering
+    (operators/set_join.prefix_filter_jaccard_join — PPJoin family /
+    Vernica et al. SIGMOD'10): ALL document pairs with token Jaccard
+    >= 3/5, with provable 100% recall at the threshold — the exact
+    counterpart of the probabilistic MinHash (q19/q35) and SimHash
+    (q20/q32) paths, which can miss a true pair in every band.
+    Candidates come only from each record's rarest
+    (frequency, token)-ordered prefix; every decision (prefix length
+    ceil, the >= cut) is integer arithmetic, so DuckDB re-derives the
+    identical frequencies, prefixes, candidates, and exact
+    intersection/union counts."""
+    from pubmed_and_method_spark.operators.set_join import (
+        prefix_filter_jaccard_join,
+    )
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    return prefix_filter_jaccard_join(
+        toks, id_col="doc_id", toks_col="toks", num=3, den=5
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -920,3 +920,59 @@ def test_mutual_top1_hub_kill(spark):
     assert {
         (r.query_id1, r.cand_id2) for r in mutual_top1(df2).collect()
     } == {("p", "q")}
+
+
+def test_prefix_filter_jaccard_completeness(spark):
+    """Prefix filtering is EXACT: on seeded random token sets the
+    result equals the brute-force all-pairs Jaccard >= 3/5 set (the
+    guarantee LSH lacks), counts are exact integers, and the n=1 /
+    identical-set / threshold=1 edges behave."""
+    import random
+    from itertools import combinations
+
+    from pubmed_and_method_spark.operators.set_join import (
+        prefix_filter_jaccard_join,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        k = rng.randint(1, 8)
+        docs.append((i, sorted(rng.sample(vocab, k))))
+    # plant near-identical and identical sets
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + ["t29"]))
+
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    got = {
+        (r.doc_id1, r.doc_id2): (r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_join(df).collect()
+    }
+
+    sets = {i: set(ts) for i, ts in docs}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 3 * uni:
+            want[(a, b)] = (inter, uni)
+    assert got == want
+    assert (0, 100) in got  # identical planted pair survives
+
+    # threshold 1/1: prefix shrinks to the single rarest token and
+    # only identical sets remain
+    strict = {
+        (r.doc_id1, r.doc_id2)
+        for r in prefix_filter_jaccard_join(df, num=1, den=1).collect()
+    }
+    assert strict == {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if sets[a] == sets[b]
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_filter_jaccard_join(df, num=6, den=5)
