@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q89_mutual_nn_pairs",
     "q90_canopy_assign",
     "q91_soft_tfidf_names",
+    "q92_prefix_filter_jaccard",
 ]
 
 

@@ -181,6 +181,10 @@ AUDIT = [
     # the only BroadcastNestedLoopJoin allowed is the 1-row corpus-N
     # build (the A7 scalar pattern)
     ("q91_soft_tfidf_names", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # prefix-filter Jaccard join: frequency agg + per-record sort agg,
+    # candidates from a hash self-join on PREFIX tokens only, exact
+    # verify via two hash joins — never cartesian
+    ("q92_prefix_filter_jaccard", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
