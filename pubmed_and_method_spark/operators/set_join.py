@@ -26,11 +26,19 @@ rank/row_number (a single-partition window at corpus scale): each
 record sorts only its own tokens by the joined frequency.
 
 Shuffles: one token-frequency groupBy, one per-record sort (inside a
-groupBy over the exploded tokens), one prefix-token self-join, two
+groupBy over the exploded tokens), one prefix-token self-join (with
+the join-time LENGTH filter: den*min(|A|,|B|) >= num*max(|A|,|B|) is
+implied by J >= num/den, so it prunes without touching recall), two
 hash joins back for verification token arrays.  At 10^12 rows the
 only quadratic risk is a token frequent enough to head many prefixes
 — by construction that requires the token to be globally RARE, a
-contradiction bounded by the prefix-size theorem.
+contradiction on any natural vocabulary.  The honest caveat: a
+DEGENERATE vocabulary (the sf0.1 synthetic documents draw from ~29
+tokens) has no rare tokens to exploit, every prefix is dense, and
+the exact join is inherently ~all-pairs — measured 78s at sf0.1 vs
+seconds for the probabilistic paths (BENCH.md), which is the real
+trade this operator exists to price: exactness costs candidates
+exactly where MinHash quietly loses recall.
 """
 
 from __future__ import annotations
@@ -86,14 +94,28 @@ def prefix_filter_jaccard_join(
         )
         .select(
             "__id",
+            "__n",
             F.slice("__sorted", F.lit(1), F.col("__p")).alias("__prefix"),
         )
     )
-    pref = ordered.select("__id", F.explode("__prefix").alias("__tok"))
+    # carry |S| so the LENGTH FILTER applies at join time: J(A,B) >=
+    # num/den forces den*min(|A|,|B|) >= num*max(|A|,|B|) (|A∩B| <=
+    # min, |A∪B| >= max) — provable, so completeness is untouched,
+    # and mismatched-size candidates die before the distinct/verify
+    pref = ordered.select(
+        "__id", "__n", F.explode("__prefix").alias("__tok")
+    )
     cands = (
         pref.alias("a")
-        .join(pref.alias("b"), "__tok")
-        .filter(F.col("a.__id") < F.col("b.__id"))
+        .join(
+            pref.alias("b"),
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                F.lit(den) * F.least(F.col("a.__n"), F.col("b.__n"))
+                >= F.lit(num) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+            ),
+        )
         .select(
             F.col("a.__id").alias("__id1"), F.col("b.__id").alias("__id2")
         )

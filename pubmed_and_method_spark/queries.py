@@ -6582,7 +6582,7 @@ def q91(spark, sf):
         FROM ex e JOIN freq fr USING (tok) GROUP BY e.doc_id),
     pref AS (
         SELECT doc_id,
-               unnest(sorted[1 : n - ((3 * n + 4) // 5) + 1]) AS tok
+               unnest(sorted[1 : n - ((4 * n + 4) // 5) + 1]) AS tok
         FROM srt),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -6598,14 +6598,14 @@ def q91(spark, sf):
         JOIN dd d2 ON d2.doc_id = c.id2)
     SELECT id1 AS doc_id1, id2 AS doc_id2, n_inter, n_union,
            round(n_inter * 1.0 / n_union, 6) AS jacc
-    FROM v WHERE 5 * n_inter >= 3 * n_union
+    FROM v WHERE 5 * n_inter >= 4 * n_union
     """,
 )
 def q92(spark, sf):
     """Exact set-similarity join by prefix filtering
     (operators/set_join.prefix_filter_jaccard_join — PPJoin family /
     Vernica et al. SIGMOD'10): ALL document pairs with token Jaccard
-    >= 3/5, with provable 100% recall at the threshold — the exact
+    >= 4/5, with provable 100% recall at the threshold — the exact
     counterpart of the probabilistic MinHash (q19/q35) and SimHash
     (q20/q32) paths, which can miss a true pair in every band.
     Candidates come only from each record's rarest
@@ -6622,7 +6622,7 @@ def q92(spark, sf):
         "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
     )
     return prefix_filter_jaccard_join(
-        toks, id_col="doc_id", toks_col="toks", num=3, den=5
+        toks, id_col="doc_id", toks_col="toks", num=4, den=5
     )
 
 
