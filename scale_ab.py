@@ -53,7 +53,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 CONFIGS = (
     "base", "adaptive", "strict", "tfidf_none", "tfidf_64", "tfidf_16",
-    "sig_parquet", "sig_bucketed",
+    "sig_parquet", "sig_bucketed", "clu_cc", "clu_star", "clu_pivot",
 )
 
 
@@ -146,7 +146,9 @@ def worker(config: str) -> None:
     kwargs = dict(lsh=True)
     if config == "adaptive":
         kwargs["adaptive_target"] = 32
-    elif config in ("sig_parquet", "sig_bucketed"):
+    elif config in ("sig_parquet", "sig_bucketed") or config.startswith(
+        "clu_"
+    ):
         kwargs["adaptive_target"] = 32  # current pipeline default
     else:
         kwargs["num_buckets"] = 4
@@ -157,13 +159,57 @@ def worker(config: str) -> None:
     matched = feats.filter(
         (F.col("name_jw") > 0.95) & (F.col("token_jacc") > 0.2)
     )
-    out_cols = ["mention_id1", "mention_id2", "split_group"] + (
-        ["content_tfidf_cos"] if with_tfidf else []
-    )
-    matched.select(*out_cols).write.format("noop").mode("overwrite").save()
-    wall_pairs = time.time() - t_pairs
-    wall_total = time.time() - t0
-    sb1 = _shuffle_write_bytes(spark)
+    wall_cluster = n_edges = n_clusters = None
+    if config.startswith("clu_"):
+        # clusterer A/B: pin the 33M-turn match graph once, then time
+        # ONLY the clustering stage — the spine is shared machinery
+        edges = matched.select(
+            "mention_id1", "mention_id2",
+            F.col("name_jw").alias("w"),
+        ).localCheckpoint(eager=True)
+        n_edges = edges.count()
+        wall_pairs = time.time() - t_pairs
+        tc = time.time()
+        if config == "clu_cc":
+            from pubmed_and_method_spark.operators.connected_components import (  # noqa: E501
+                connected_components,
+            )
+
+            comp = connected_components(
+                edges, u_col="mention_id1", v_col="mention_id2"
+            ).select(F.col("component").alias("c"))
+        elif config == "clu_star":
+            from pubmed_and_method_spark.operators.star_clustering import (
+                star_clusters,
+            )
+
+            comp = star_clusters(
+                edges, id_cols=("mention_id1", "mention_id2"),
+                weight_col="w", rounds=32,
+            ).select(F.col("center").alias("c"))
+        else:
+            from pubmed_and_method_spark.operators.pivot_clustering import (
+                pivot_clusters,
+            )
+
+            comp = pivot_clusters(
+                edges.select("mention_id1", "mention_id2"),
+                id_cols=("mention_id1", "mention_id2"), rounds=32,
+            ).select(F.col("pivot").alias("c"))
+        n_clusters = comp.distinct().count()
+        wall_cluster = time.time() - tc
+        wall_total = time.time() - t0
+        sb1 = _shuffle_write_bytes(spark)
+    else:
+        out_cols = ["mention_id1", "mention_id2", "split_group"] + (
+            ["content_tfidf_cos"] if with_tfidf else []
+        )
+        matched.select(*out_cols).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall_pairs = time.time() - t_pairs
+        wall_total = time.time() - t0
+        sb1 = _shuffle_write_bytes(spark)
     out = {
         "config": config,
         "n_turns": n_turns,
@@ -174,6 +220,10 @@ def worker(config: str) -> None:
     }
     if sig_write_sec is not None:
         out["sig_write_sec"] = sig_write_sec
+    if wall_cluster is not None:
+        out["wall_cluster_sec"] = round(wall_cluster, 3)
+        out["n_edges"] = n_edges
+        out["n_clusters"] = n_clusters
     print(json.dumps(out))
 
 
