@@ -6626,6 +6626,89 @@ def q92(spark, sf):
     )
 
 
+@q(
+    "q93_cannot_link_repair",
+    """
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_slice(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+',' ','g'),' +',' ','g')), ' '),
+                   1, 3), ' ')) AS fingerprint
+        FROM documents),
+    comp AS (
+        SELECT doc_id, lang,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS component
+        FROM fp
+        QUALIFY count(*) OVER (PARTITION BY fingerprint) > 1),
+    viol AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM comp a JOIN comp b
+          ON a.component = b.component AND a.doc_id < b.doc_id
+        WHERE a.lang <> b.lang),
+    evict AS (
+        SELECT DISTINCT
+               CASE WHEN md5(CAST(id1 AS VARCHAR))
+                        > md5(CAST(id2 AS VARCHAR))
+                     OR (md5(CAST(id1 AS VARCHAR))
+                             = md5(CAST(id2 AS VARCHAR)) AND id1 > id2)
+                    THEN id1 ELSE id2 END AS doc_id
+        FROM viol),
+    kept AS (
+        SELECT c.doc_id, c.lang, c.component FROM comp c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM evict)),
+    remin AS (
+        SELECT component, min(doc_id) AS newc FROM kept GROUP BY component)
+    SELECT k.doc_id, k.lang, k.component, r.newc AS cluster, 0 AS evicted
+    FROM kept k JOIN remin r USING (component)
+    UNION ALL
+    SELECT c.doc_id, c.lang, c.component, c.doc_id AS cluster, 1 AS evicted
+    FROM comp c JOIN evict e USING (doc_id)
+    """,
+)
+def q93(spark, sf):
+    """Cannot-link constrained cluster repair
+    (operators/constrained_clustering.cannot_link_repair): hard
+    negative constraints applied to the q25 duplicate components —
+    docs welded by fingerprint closure but carrying CONFLICTING
+    declared languages must not share a cluster (the exclusive-
+    attribute rule; the reference's analog evidence is its orcid/
+    outer-id disagreement features, src/feature/*).  One-pass rule:
+    every violating pair evicts its greater-(md5,id)-priority
+    endpoint to a singleton, kept members re-key to min(kept id) —
+    so no violation can survive and cluster ids never collide.
+    Within-cluster CL pairing is bounded by dup-group size (the q53
+    mega-cluster alarm covers the pathological case).  DuckDB
+    re-derives the components (clique groups == min per fingerprint),
+    every violation, the hash eviction choice, and the re-keying."""
+    from pubmed_and_method_spark.operators.constrained_clustering import (
+        cannot_link_repair,
+    )
+
+    comps = QUERIES["q25_connected_components_dups"](spark, sf)
+    d = load_table(spark, sf, "documents").select("doc_id", "lang")
+    nodes = comps.join(d, "doc_id")
+    a, b = nodes.alias("a"), nodes.alias("b")
+    cl = (
+        a.join(
+            b,
+            (F.col("a.component") == F.col("b.component"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.lang") != F.col("b.lang"))
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+    )
+    return cannot_link_repair(
+        nodes,
+        cl,
+        id_col="doc_id",
+        cluster_col="component",
+        out_col="cluster",
+    ).select("doc_id", "lang", "component", "cluster", "evicted")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
