@@ -6709,6 +6709,106 @@ def q93(spark, sf):
     ).select("doc_id", "lang", "component", "cluster", "evicted")
 
 
+@q(
+    "q94_incremental_assignment",
+    f"""
+    WITH dd AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL.format(col='text')}) AS ts,
+               md5(array_to_string(list_slice(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+',' ','g'),' +',' ','g')), ' '),
+                   1, 3), ' ')) AS fingerprint
+        FROM documents),
+    old AS (
+        SELECT doc_id, ts,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS cluster
+        FROM dd WHERE doc_id % 5 <> 0),
+    newd AS (SELECT doc_id, ts FROM dd WHERE doc_id % 5 = 0),
+    cand AS (
+        SELECT n.doc_id AS nid, o.cluster, o.doc_id AS member,
+               len(list_intersect(n.ts, o.ts)) AS ninter,
+               len(n.ts) + len(o.ts)
+                   - len(list_intersect(n.ts, o.ts)) AS nunion
+        FROM newd n JOIN old o ON list_min(n.ts) = list_min(o.ts)
+        WHERE len(n.ts) > 0 AND len(o.ts) > 0),
+    best AS (
+        SELECT nid, min(struct_pack(
+                   negr := -(ninter * 1.0 / nunion), cluster := cluster,
+                   member := member, ninter := ninter,
+                   nunion := nunion)) AS b
+        FROM cand GROUP BY nid)
+    , fin AS (
+        SELECT n.doc_id, b.b,
+               (b.b IS NULL OR 5 * struct_extract(b.b, 'ninter')
+                                   < 4 * struct_extract(b.b, 'nunion'))
+                   AS miss
+        FROM newd n LEFT JOIN best b ON b.nid = n.doc_id)
+    SELECT doc_id,
+           CASE WHEN miss THEN doc_id
+                ELSE struct_extract(b, 'cluster') END AS cluster,
+           CASE WHEN miss THEN 1 ELSE 0 END AS is_new_cluster,
+           CASE WHEN miss THEN 0
+                ELSE struct_extract(b, 'ninter') END AS n_inter,
+           CASE WHEN miss THEN 0
+                ELSE struct_extract(b, 'nunion') END AS n_union
+    FROM fin
+    """,
+)
+def q94(spark, sf):
+    """Batch incremental cluster assignment
+    (operators/incremental_assign.assign_to_clusters): the 20%% of
+    docs with ``doc_id %% 5 == 0`` arrive as a NEW batch against the
+    catalog clustered from the other 80%% (fingerprint components, the
+    q25 clique structure) — each new doc blocks on its min token,
+    scores token Jaccard against members, joins the best cluster at
+    >= 4/5 (integer threshold; the q92 degenerate-vocab analysis is
+    why 4/5, not 1/2) or opens a singleton.  The catalog is never
+    re-clustered — the contract that makes the plan O(batch), not
+    O(corpus), at 10^12 turns.  DuckDB re-derives the split, the
+    catalog, every candidate's integer counts, the min-struct argmax
+    (IEEE-exact ratio ordering + (cluster, member) tie-break), and the
+    threshold decision."""
+    from pubmed_and_method_spark.functions.normalize import normalize_text
+    from pubmed_and_method_spark.operators.incremental_assign import (
+        assign_to_clusters,
+    )
+
+    d = load_table(spark, sf, "documents")
+    dd = d.select(
+        "doc_id",
+        F.array_distinct(clean_tokens("text")).alias("ts"),
+        F.md5(
+            F.array_join(
+                F.slice(F.split(normalize_text("text"), " "), 1, 3), " "
+            )
+        ).alias("fingerprint"),
+    )
+    old = dd.filter(F.col("doc_id") % 5 != 0)
+    clusters = old.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("cluster")
+    )
+    catalog = old.join(clusters, "fingerprint").select(
+        F.col("doc_id").alias("member_id"),
+        "cluster",
+        F.array_min("ts").alias("block"),
+        "ts",
+    )
+    new = dd.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.array_min("ts").alias("block"), "ts"
+    )
+    return assign_to_clusters(
+        new,
+        catalog,
+        id_col="doc_id",
+        member_col="member_id",
+        cluster_col="cluster",
+        toks_col="ts",
+        block_col="block",
+        num=4,
+        den=5,
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
