@@ -483,6 +483,122 @@ def fs_em(
     ).orderBy("feature")
 
 
+def fs_em_missing(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    n_iter: int = 5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """``fs_em`` with a third comparison state: MISSING (value ``-1``,
+    the X15 sentinel discipline) — the fastLink extension (Enamorado,
+    Fifield & Imai, APSR 2019) of the Splink-core estimator.
+
+    ``fs_em`` forces every comparison to agree/disagree, so a pair
+    where one side simply HAS no tools (or no content tokens) counts
+    as hard disagreement and drags u up / m down for everyone.  Under
+    missing-at-random the right treatment is that a missing comparison
+    carries NO evidence: it contributes factor 1 to both class
+    likelihoods in the E-step, and drops out of that feature's M-step
+    numerator AND denominator (per-feature denominators over the
+    NON-missing responsibility mass only; prevalence λ still averages
+    over all pairs).
+
+    Same scale shape as ``fs_em``: one groupBy over the k three-state
+    flags (≤ 3^k pattern rows; k=6 → ≤ 729), EM iterates driver-side
+    with the identical clamp-to-[eps,1-eps] + round-12 sync each step,
+    patterns summed in sorted order.
+
+    Returns one row per feature: (feature, m_prob, u_prob,
+    match_weight, disagree_weight, missing_share, lambda_match) —
+    ``missing_share`` is the fraction of pairs where the comparison
+    was missing (a data property, computed once, round-6).
+    """
+    import math
+
+    k = len(agreement_cols)
+    hist = (
+        pairs.groupBy(
+            *[F.col(c).cast("int").alias(c) for c in agreement_cols]
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    pats = sorted(
+        (tuple(int(r[c]) for c in agreement_cols), int(r["__n"]))
+        for r in hist
+    )
+    bad = {v for a, _ in pats for v in a} - {-1, 0, 1}
+    if bad:
+        raise ValueError(
+            f"agreement values must be -1/0/1, got extras {sorted(bad)}"
+        )
+
+    def sync(x: float) -> float:
+        return round(min(max(x, eps), 1.0 - eps), 12)
+
+    m = [sync(init_m)] * k
+    u = [sync(init_u)] * k
+    lam = sync(init_lambda)
+    n_tot = sum(n for _, n in pats)
+    miss_share = [
+        round(
+            sum(n for a, n in pats if a[j] == -1) / n_tot if n_tot else 0.0,
+            6,
+        )
+        for j in range(k)
+    ]
+    for _ in range(n_iter):
+        sw = 0.0
+        sma = [0.0] * k
+        sua = [0.0] * k
+        dm = [0.0] * k
+        du = [0.0] * k
+        for a, n in pats:
+            pm = lam
+            pu = 1.0 - lam
+            for j in range(k):
+                if a[j] == 1:
+                    pm *= m[j]
+                    pu *= u[j]
+                elif a[j] == 0:
+                    pm *= 1.0 - m[j]
+                    pu *= 1.0 - u[j]
+                # a[j] == -1: no evidence, factor 1 for both classes
+            w = pm / (pm + pu)
+            sw += w * n
+            for j in range(k):
+                if a[j] != -1:
+                    dm[j] += w * n
+                    du[j] += (1.0 - w) * n
+                    if a[j] == 1:
+                        sma[j] += w * n
+                        sua[j] += (1.0 - w) * n
+        lam = sync(sw / n_tot) if n_tot else sync(init_lambda)
+        m = [sync(sma[j] / dm[j]) if dm[j] > 0 else m[j] for j in range(k)]
+        u = [sync(sua[j] / du[j]) if du[j] > 0 else u[j] for j in range(k)]
+    rows = [
+        (
+            c,
+            round(m[j], 6),
+            round(u[j], 6),
+            round(math.log2(m[j] / u[j]), 6),
+            round(math.log2((1.0 - m[j]) / (1.0 - u[j])), 6),
+            miss_share[j],
+            round(lam, 6),
+        )
+        for j, c in enumerate(agreement_cols)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        rows,
+        "feature string, m_prob double, u_prob double,"
+        " match_weight double, disagree_weight double,"
+        " missing_share double, lambda_match double",
+    ).orderBy("feature")
+
+
 def fs_classify(
     pairs: DataFrame,
     weights: dict[str, tuple[float, float]],

@@ -6809,6 +6809,206 @@ def q94(spark, sf):
     )
 
 
+def _fs_em_missing_sql(n_iter: int = 5) -> str:
+    """Generate the q95 EM oracle: the ``_fs_em_sql`` unrolled-CTE
+    skeleton with the fastLink third state — a ``-1`` (missing)
+    comparison contributes factor 1 to BOTH class likelihoods and
+    drops out of that feature's M-step numerator and denominator."""
+    k = len(_FS_EM_FEATURES)
+    a = [f"a{j + 1}" for j in range(k)]
+    pat_cols = ", ".join(
+        f"{c} AS {a[j]}" for j, c in enumerate(_FS_EM_FEATURES)
+    )
+    p0 = ", ".join(
+        [f"CAST(0.9 AS DOUBLE) AS m{j + 1}" for j in range(k)]
+        + [f"CAST(0.1 AS DOUBLE) AS u{j + 1}" for j in range(k)]
+        + ["CAST(0.1 AS DOUBLE) AS lam"]
+    )
+    pm = " * ".join(
+        ["lam"]
+        + [
+            f"(CASE WHEN {a[j]} = 1 THEN m{j + 1}"
+            f" WHEN {a[j]} = 0 THEN 1.0 - m{j + 1} ELSE 1.0 END)"
+            for j in range(k)
+        ]
+    )
+    pu = " * ".join(
+        ["(1.0 - lam)"]
+        + [
+            f"(CASE WHEN {a[j]} = 1 THEN u{j + 1}"
+            f" WHEN {a[j]} = 0 THEN 1.0 - u{j + 1} ELSE 1.0 END)"
+            for j in range(k)
+        ]
+    )
+
+    def sync(x: str) -> str:
+        return f"round(greatest(least({x}, 1.0 - 1e-6), 1e-6), 12)"
+
+    ctes = []
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"w{i} AS (SELECT pat.*, {pm} AS pm, {pu} AS pu"
+            f" FROM pat CROSS JOIN p{i - 1})"
+        )
+        upd = [sync("sum(pm / (pm + pu) * n) / sum(n)") + " AS lam"]
+        for j in range(k):
+            upd.append(
+                sync(
+                    f"sum(CASE WHEN {a[j]} = 1 THEN pm / (pm + pu) * n"
+                    f" ELSE 0.0 END)"
+                    f" / sum(CASE WHEN {a[j]} <> -1 THEN"
+                    f" pm / (pm + pu) * n ELSE 0.0 END)"
+                )
+                + f" AS m{j + 1}"
+            )
+            upd.append(
+                sync(
+                    f"sum(CASE WHEN {a[j]} = 1 THEN"
+                    f" (1.0 - pm / (pm + pu)) * n ELSE 0.0 END)"
+                    f" / sum(CASE WHEN {a[j]} <> -1 THEN"
+                    f" (1.0 - pm / (pm + pu)) * n ELSE 0.0 END)"
+                )
+                + f" AS u{j + 1}"
+            )
+        ctes.append(f"p{i} AS (SELECT {', '.join(upd)} FROM w{i})")
+    finals = []
+    for j, c in enumerate(_FS_EM_FEATURES):
+        finals.append(
+            f"SELECT '{c}' AS feature,"
+            f" round(m{j + 1}, 6) AS m_prob,"
+            f" round(u{j + 1}, 6) AS u_prob,"
+            f" round(log2(m{j + 1} / u{j + 1}), 6) AS match_weight,"
+            f" round(log2((1.0 - m{j + 1}) / (1.0 - u{j + 1})), 6)"
+            f" AS disagree_weight,"
+            f" (SELECT round(sum(CASE WHEN {a[j]} = -1 THEN n ELSE 0 END)"
+            f" * 1.0 / sum(n), 6) FROM pat) AS missing_share,"
+            f" round(lam, 6) AS lambda_match FROM p{n_iter}"
+        )
+    return (
+        f"pat AS (SELECT {pat_cols}, count(*) AS n FROM fx"
+        f" GROUP BY {', '.join(str(j + 1) for j in range(k))}),\n"
+        f"    p0 AS (SELECT {p0}),\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    ORDER BY feature"
+    )
+
+
+@q(
+    "q95_fs_em_missing",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks,
+               epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+        FROM t GROUP BY conv_id),
+    fx AS (
+        SELECT CAST(round(jaro_winkler_similarity(
+                        a.given_name || ' ' || a.surname,
+                        b.given_name || ' ' || b.surname), 6) >= 0.9
+                    AS INTEGER) AS name_jw_hi,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name, b.given_name), 6) >= 0.9
+                    AS INTEGER) AS given_jw_hi,
+               CAST(round(CASE WHEN greatest(len(a.given_name),
+                                             len(b.given_name)) = 0
+                               THEN 1.0
+                               ELSE 1.0 - levenshtein(a.given_name,
+                                                      b.given_name) * 1.0
+                                    / greatest(len(a.given_name),
+                                               len(b.given_name)) END, 6)
+                        >= 0.8 AS INTEGER) AS lev_hi,
+               CASE WHEN len(f1.toks) = 0 OR len(f2.toks) = 0 THEN -1
+                    ELSE CAST(round({{lj_toks}}, 6) >= 0.5 AS INTEGER)
+                    END AS token_hi,
+               CASE WHEN len(f1.tools) = 0 OR len(f2.tools) = 0 THEN -1
+                    ELSE CAST(round({{lj_tools}}, 6) >= 0.5 AS INTEGER)
+                    END AS tool_hi,
+               CAST(least(f1.tmax, f2.tmax) - greatest(f1.tmin, f2.tmin) > 0
+                    AS INTEGER) AS time_overlap
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id),
+    {{em_ctes}}
+    """,
+)
+def q95(spark, sf):
+    """Missing-aware unsupervised Fellegi-Sunter
+    (operators/er_metrics.fs_em_missing): q66's EM with the fastLink
+    third comparison state (Enamorado-Fifield-Imai APSR'19) on the
+    HARD corpus (hardness=0.7 plants tool dropout alongside the name
+    noise).  A pair where either side has NO tools (or no content
+    tokens) is a MISSING comparison, not a disagreement — it carries
+    zero evidence in the E-step and drops out of that feature's
+    M-step mass, so tool_hi's m/u stop being dragged by absent data
+    (the same error the reference bakes in by zero-filling, e.g. its
+    0-sentinel affiliation features, src/feature/*).  One 3-state
+    groupBy histogram (<= 3^6 rows), EM driver-side, round-12 sync;
+    the DuckDB oracle unrolls the SAME five iterations with the
+    3-state likelihood and per-feature non-missing denominators, plus
+    the missing-share data constant."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_em_missing
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    tok_mi = F.when(
+        (F.size("token_hashes1") == 0) | (F.size("token_hashes2") == 0),
+        F.lit(-1),
+    ).otherwise((F.round("token_jacc", 6) >= 0.5).cast("int"))
+    tool_mi = F.when(
+        (F.size("tool_profile1") == 0) | (F.size("tool_profile2") == 0),
+        F.lit(-1),
+    ).otherwise((F.round("tool_jacc", 6) >= 0.5).cast("int"))
+    ag = feats.select(
+        (F.round("name_jw", 6) >= 0.9).alias("name_jw_hi"),
+        (F.round("given_jw", 6) >= 0.9).alias("given_jw_hi"),
+        (F.round("name_lev_ratio", 6) >= 0.8).alias("lev_hi"),
+        tok_mi.alias("token_hi"),
+        tool_mi.alias("tool_hi"),
+        (F.col("time_overlap") == 1).alias("time_overlap"),
+    )
+    return fs_em_missing(ag, _FS_EM_FEATURES, n_iter=5)
+
+
+ORACLES["q95_fs_em_missing"] = ORACLES["q95_fs_em_missing"].format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    em_ctes=_fs_em_missing_sql(5),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

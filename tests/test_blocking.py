@@ -736,6 +736,93 @@ def test_fs_em_recovers_separation(spark):
     assert got == again
 
 
+def test_fs_em_missing_single_step_hand_computed(spark):
+    """k=1, n_iter=1, three patterns (4 agree, 6 disagree, 5 missing):
+    E and M steps re-derived by hand — missing mass contributes factor
+    1 to both likelihoods, joins λ's average, and is EXCLUDED from the
+    feature's m/u numerators and denominators."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_em_missing
+
+    rows = [(1,)] * 4 + [(0,)] * 6 + [(-1,)] * 5
+    df = spark.createDataFrame(rows, "f int")
+    r = fs_em_missing(df, ["f"], n_iter=1).collect()[0]
+    w1 = 0.1 * 0.9 / (0.1 * 0.9 + 0.9 * 0.1)          # = 0.5
+    w0 = 0.1 * 0.1 / (0.1 * 0.1 + 0.9 * 0.9)
+    wm = 0.1 / (0.1 + 0.9)                             # factor-1 pattern
+    sw = w1 * 4 + w0 * 6 + wm * 5
+    dm = w1 * 4 + w0 * 6
+    du = (1 - w1) * 4 + (1 - w0) * 6
+    sync = lambda x: round(min(max(x, 1e-6), 1 - 1e-6), 12)  # noqa: E731
+    assert r.lambda_match == round(sync(sw / 15), 6)
+    assert r.m_prob == round(sync(w1 * 4 / dm), 6)
+    assert r.u_prob == round(sync((1 - w1) * 4 / du), 6)
+    assert r.missing_share == round(5 / 15, 6)
+
+
+def test_fs_em_missing_mass_inert_for_feature_params(spark):
+    """At n_iter=1 the responsibility of every non-missing pattern
+    depends only on the (shared) inits, so adding missing-only rows
+    must leave that feature's m/u untouched — the MAR guarantee the
+    zero-fill treatment (fs_em with missing->0) violates."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_em,
+        fs_em_missing,
+    )
+
+    base = [(1,)] * 4 + [(0,)] * 6
+    with_miss = base + [(-1,)] * 20
+    a = fs_em_missing(
+        spark.createDataFrame(base, "f int"), ["f"], n_iter=1
+    ).collect()[0]
+    b = fs_em_missing(
+        spark.createDataFrame(with_miss, "f int"), ["f"], n_iter=1
+    ).collect()[0]
+    assert (a.m_prob, a.u_prob) == (b.m_prob, b.u_prob)
+    # the zero-fill treatment DOES move the params on the same data
+    zf = fs_em(
+        spark.createDataFrame(
+            [(max(v, 0),) for (v,) in with_miss], "f int"
+        ),
+        ["f"],
+        n_iter=1,
+    ).collect()[0]
+    assert (zf.m_prob, zf.u_prob) != (b.m_prob, b.u_prob)
+
+
+def test_fs_em_missing_rejects_bad_values(spark):
+    import pytest as _pytest
+
+    from pubmed_and_method_spark.operators.er_metrics import fs_em_missing
+
+    df = spark.createDataFrame([(2,), (1,)], "f int")
+    with _pytest.raises(ValueError):
+        fs_em_missing(df, ["f"])
+
+
+def test_fs_em_missing_no_missing_equals_fs_em(spark):
+    """With zero missing values the 3-state estimator must reproduce
+    fs_em exactly (same trajectory, same outputs)."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_em,
+        fs_em_missing,
+    )
+
+    rows = [(1, 1)] * 30 + [(0, 0)] * 70 + [(1, 0)] * 5
+    df = spark.createDataFrame(rows, "fa int, fb int")
+    a = {r.feature: r for r in fs_em(df, ["fa", "fb"], n_iter=5).collect()}
+    b = {
+        r.feature: r
+        for r in fs_em_missing(df, ["fa", "fb"], n_iter=5).collect()
+    }
+    for f in ("fa", "fb"):
+        assert (a[f].m_prob, a[f].u_prob, a[f].lambda_match) == (
+            b[f].m_prob,
+            b[f].u_prob,
+            b[f].lambda_match,
+        )
+        assert b[f].missing_share == 0.0
+
+
 def test_fs_classify_hand_computed(spark):
     """Two-feature decision rule with hand weights: scores sum the
     per-feature agreement/disagreement weights and the three-way
