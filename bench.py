@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "q90_canopy_assign",
     "q91_soft_tfidf_names",
     "q92_prefix_filter_jaccard",
+    "q93_cannot_link_repair",
+    "q94_incremental_assignment",
 ]
 
 

@@ -185,6 +185,17 @@ AUDIT = [
     # candidates from a hash self-join on PREFIX tokens only, exact
     # verify via two hash joins — never cartesian
     ("q92_prefix_filter_jaccard", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # cannot-link repair: CL pairs and the evict set are hash
+    # joins/anti-joins on id keys over the pinned CC output; re-keying
+    # is one HashAggregate on the cluster key — never cartesian
+    ("q93_cannot_link_repair", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # incremental assignment: ONE hash join on the blocking key, one
+    # min-struct HashAggregate on the new-record id, one left join
+    # back — the catalog is never self-joined or re-clustered
+    ("q94_incremental_assignment", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # q95 is deliberately absent for the q66 reason: its OUTPUT plan is
+    # a LocalTableScan of the <=6 parameter rows; the histogram
+    # aggregate runs inside fs_em_missing and is the q64-audited shape
 ]
 
 
