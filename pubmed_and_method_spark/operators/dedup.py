@@ -533,3 +533,43 @@ def duplicate_spans(
         (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         "n_dup_grams",
     )
+
+
+def dedup_retention(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Retention policy over dedup clusters: keep ONE survivor per
+    cluster — the highest-``score_col`` member, ties to the smallest
+    id — and tag every other member with the survivor it duplicates.
+
+    The step every training-data dedup pipeline runs after clustering
+    (Dolma/FineWeb-style "keep the best representative"): clustering
+    says WHICH docs are the same; this decides WHICH COPY survives,
+    by quality rather than the arbitrary min-id convention of
+    ``exact_dedup``.  Keep ``score_col`` INTEGER (e.g. a token/punct
+    blend) for exact cross-engine argmax parity.
+
+    Output = (``id_col``, ``cluster_col``, ``score_col``, ``kept``
+    0/1, ``kept_doc``).  Scale shape: ONE partial-aggregable
+    min-struct shuffle on the cluster key + one hash join back on the
+    same key (co-partitioned — AQE reuses the exchange); no windows
+    over the corpus, no driver state.
+    """
+    win = df.groupBy(cluster_col).agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("negs"),
+                F.col(id_col).alias("id"),
+            )
+        )["id"].alias("kept_doc")
+    )
+    return df.join(win, cluster_col).select(
+        id_col,
+        cluster_col,
+        score_col,
+        (F.col(id_col) == F.col("kept_doc")).cast("int").alias("kept"),
+        "kept_doc",
+    )

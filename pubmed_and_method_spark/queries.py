@@ -7009,6 +7009,72 @@ ORACLES["q95_fs_em_missing"] = ORACLES["q95_fs_em_missing"].format(
 )
 
 
+@q(
+    "q96_dedup_retention",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+',' ','g'),' +',' ','g')), ' '),
+                   1, 3), ' ')) AS fingerprint,
+               10 * len(str_split(trim(text), ' '))
+                   - len(regexp_extract_all(text, '[.,;:!?]')) AS score
+        FROM documents),
+    comp AS (
+        SELECT doc_id, score, fingerprint,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS cluster
+        FROM fp),
+    win AS (
+        SELECT fingerprint,
+               struct_extract(min(struct_pack(negs := -score,
+                                              id := doc_id)),
+                              'id') AS kept_doc
+        FROM comp GROUP BY fingerprint)
+    SELECT c.doc_id, c.cluster, c.score,
+           CAST(c.doc_id = w.kept_doc AS INTEGER) AS kept, w.kept_doc
+    FROM comp c JOIN win w USING (fingerprint)
+    """,
+)
+def q96(spark, sf):
+    """Dedup retention policy (operators/dedup.dedup_retention): after
+    the q25 fingerprint clustering decides WHICH docs are copies, this
+    decides WHICH COPY the training set keeps — the highest-quality
+    member (integer blend 10*ws_tokens - punct, the q16 signals made
+    argmax-exact), ties to the smallest id; every evicted copy is
+    tagged with its survivor.  exact_dedup's min-id convention keeps
+    an arbitrary copy; retention keeps the best one — the standard
+    post-clustering step of large-scale corpus dedup pipelines.
+    Integer scores -> exact cross-engine argmax; DuckDB re-derives
+    every cluster, score, election, and keep flag."""
+    from pubmed_and_method_spark.functions.normalize import normalize_text
+    from pubmed_and_method_spark.operators.dedup import dedup_retention
+
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(normalize_text("text"), " "), 1, 3), " "
+            )
+        ).alias("fingerprint"),
+        (
+            F.lit(10) * F.size(F.split(F.trim("text"), " "))
+            - F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
+        ).alias("score"),
+    )
+    comp = scored.withColumn(
+        "cluster",
+        F.min("doc_id").over(W.partitionBy("fingerprint")),
+    )
+    return dedup_retention(
+        comp.select("doc_id", "cluster", "score"),
+        cluster_col="cluster",
+        id_col="doc_id",
+        score_col="score",
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

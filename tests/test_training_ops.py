@@ -976,3 +976,32 @@ def test_prefix_filter_jaccard_completeness(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         prefix_filter_jaccard_join(df, num=6, den=5)
+
+
+def test_dedup_retention_quality_survivor(spark):
+    """Exactly one survivor per cluster, highest score wins, ties to
+    the smallest id, every evictee tagged with its survivor."""
+    from pubmed_and_method_spark.operators.dedup import dedup_retention
+
+    rows = [
+        # cluster 1: 20 beats 10 on score
+        (10, 1, 5), (20, 1, 9),
+        # cluster 2: score tie -> smaller id 30 kept
+        (30, 2, 7), (40, 2, 7),
+        # singleton cluster
+        (50, 3, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster long, score long")
+    got = {r.doc_id: r for r in dedup_retention(
+        df, cluster_col="cluster", id_col="doc_id", score_col="score"
+    ).collect()}
+    assert len(got) == 5
+    assert [got[i].kept for i in (10, 20, 30, 40, 50)] == [0, 1, 1, 0, 1]
+    assert got[10].kept_doc == 20
+    assert got[40].kept_doc == 30
+    assert got[50].kept_doc == 50
+    # per-cluster invariant: exactly one kept row
+    from collections import Counter
+
+    per = Counter(r.cluster for r in got.values() if r.kept == 1)
+    assert all(v == 1 for v in per.values()) and len(per) == 3
