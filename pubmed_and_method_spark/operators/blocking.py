@@ -440,3 +440,99 @@ def deletion_neighborhood_pairs(
             (F.levenshtein(f"{s_col}1", f"{s_col}2") <= 1) | transposed
         )
     return pairs
+
+
+def greedy_blocking_scheme(
+    labeled: DataFrame,
+    scheme_col: str = "scheme",
+    id1_col: str = "mention_id1",
+    id2_col: str = "mention_id2",
+    label_col: str = "same_entity",
+    total_true: int | None = None,
+) -> DataFrame:
+    """Greedy blocking-scheme selection (the Michelson & Knoblock
+    AAAI'06 BSL idea applied to whole blocking PASSES): given the
+    labeled candidate-pair set of every available pass (the q73
+    ladder), pick passes one at a time by MARGINAL value — most new
+    true pairs first, fewest new candidates as the tie-break, then
+    name — until every pass is ranked.  The ladder (q73) prices each
+    pass in isolation; the learner prices them in composition, where
+    overlap makes isolated recall numbers add up to less than they
+    promise.
+
+    ``labeled``: (scheme, id1, id2, label) — duplicates within a
+    scheme are deduped here.  ``total_true``: the corpus true-pair
+    count for the recall denominator (cum_recall is null without it).
+
+    Scale shape: the labeled pair table is pinned once; each round is
+    ONE anti-join against the covered set + ONE groupBy on the scheme
+    tag (collecting only #schemes count rows — the 2-row class-count
+    precedent, never pair data), and the covered set grows by a
+    distinct union, re-pinned per round so no lineage compounds.
+    Rounds = #schemes (a handful), fixed and data-independent.
+
+    Output: one row per round — (pick_round, scheme,
+    marginal_candidates, marginal_true, cum_candidates, cum_true,
+    cum_recall round-6).  (``pick_round``, not ``round`` — a DuckDB
+    reserved function name, the q87 ``pivot`` lesson.)
+    """
+    spark = labeled.sparkSession
+    lab = (
+        labeled.select(scheme_col, id1_col, id2_col, label_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    schemes = sorted(
+        r[0] for r in lab.select(scheme_col).distinct().collect()
+    )
+    covered: DataFrame | None = None
+    remaining = list(schemes)
+    rows = []
+    rnd = cum_c = cum_t = 0
+    while remaining:
+        rnd += 1
+        rem = lab.filter(F.col(scheme_col).isin(remaining))
+        if covered is not None:
+            rem = rem.join(covered, [id1_col, id2_col], "left_anti")
+        marg = {s: (0, 0) for s in remaining}
+        for r in (
+            rem.groupBy(scheme_col)
+            .agg(
+                F.count(F.lit(1)).alias("mc"),
+                F.sum(F.col(label_col).cast("long")).alias("mt"),
+            )
+            .collect()
+        ):
+            marg[r[0]] = (int(r["mc"]), int(r["mt"]))
+        pick = sorted(
+            remaining, key=lambda s: (-marg[s][1], marg[s][0], s)
+        )[0]
+        mc, mt = marg[pick]
+        cum_c += mc
+        cum_t += mt
+        rows.append(
+            (
+                rnd,
+                pick,
+                mc,
+                mt,
+                cum_c,
+                cum_t,
+                round(cum_t / total_true, 6) if total_true else None,
+            )
+        )
+        newcov = lab.filter(F.col(scheme_col) == pick).select(
+            id1_col, id2_col
+        )
+        covered = (
+            newcov
+            if covered is None
+            else covered.unionByName(newcov).distinct()
+        ).localCheckpoint(eager=True)
+        remaining.remove(pick)
+    return spark.createDataFrame(
+        rows,
+        "pick_round int, scheme string, marginal_candidates long,"
+        " marginal_true long, cum_candidates long, cum_true long,"
+        " cum_recall double",
+    )

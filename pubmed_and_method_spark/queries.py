@@ -7075,6 +7075,194 @@ def q96(spark, sf):
     )
 
 
+def _bsl_sql(n_schemes: int = 4) -> str:
+    """Generate the q97 oracle suffix: the greedy scheme-selection
+    loop UNROLLED — per round a marginal table (anti-joined against
+    the covered set), the (mt DESC, mc ASC, scheme) argmin pick, and
+    the covered-set union — on top of the q73 oracle's pair-set CTEs
+    (exact_p / phon_p / snb_p / del_p, members, tr)."""
+    parts = [
+        """allp AS MATERIALIZED (
+        SELECT 'exact' AS scheme, m1, m2 FROM exact_p
+        UNION ALL SELECT 'phonetic', m1, m2 FROM phon_p
+        UNION ALL SELECT 'snb', m1, m2 FROM snb_p
+        UNION ALL SELECT 'del1', m1, m2 FROM del_p),
+    lab AS MATERIALIZED (
+        SELECT DISTINCT p.scheme, p.m1, p.m2,
+               CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y
+        FROM allp p
+        JOIN tr t1 ON t1.conv_id = split_part(p.m1, '#', 1)
+        JOIN tr t2 ON t2.conv_id = split_part(p.m2, '#', 1)),
+    slist AS (SELECT unnest(['del1', 'exact', 'phonetic', 'snb'])
+                  AS scheme),
+    tot AS MATERIALIZED (
+        SELECT sum(m * (m - 1) // 2) AS n_true FROM (
+            SELECT count(*) AS m FROM members x
+            JOIN tr ON tr.conv_id = split_part(x.mid, '#', 1)
+            GROUP BY tr.entity_id)),
+    cov0 AS (SELECT CAST(NULL AS VARCHAR) AS m1,
+                    CAST(NULL AS VARCHAR) AS m2,
+                    CAST(NULL AS INTEGER) AS y WHERE false),
+    picked0 AS (SELECT CAST(NULL AS VARCHAR) AS scheme WHERE false)"""
+    ]
+    for r in range(1, n_schemes + 1):
+        parts.append(
+            f"""marg{r} AS MATERIALIZED (
+        SELECT s.scheme, coalesce(c.mc, 0) AS mc, coalesce(c.mt, 0) AS mt
+        FROM slist s
+        LEFT JOIN (
+            SELECT l.scheme, count(*) AS mc, sum(y) AS mt FROM lab l
+            WHERE NOT EXISTS (SELECT 1 FROM cov{r - 1} c
+                              WHERE c.m1 = l.m1 AND c.m2 = l.m2)
+            GROUP BY l.scheme) c ON c.scheme = s.scheme
+        WHERE s.scheme NOT IN (SELECT scheme FROM picked{r - 1}))"""
+        )
+        parts.append(
+            f"""pick{r} AS MATERIALIZED (
+        SELECT scheme, mc, mt FROM marg{r}
+        ORDER BY mt DESC, mc ASC, scheme LIMIT 1)"""
+        )
+        parts.append(
+            f"""picked{r} AS (
+        SELECT scheme FROM picked{r - 1}
+        UNION ALL SELECT scheme FROM pick{r})"""
+        )
+        parts.append(
+            f"""cov{r} AS MATERIALIZED (
+        SELECT DISTINCT m1, m2, y FROM (
+            SELECT m1, m2, y FROM cov{r - 1}
+            UNION ALL
+            SELECT l.m1, l.m2, l.y FROM lab l
+            WHERE l.scheme IN (SELECT scheme FROM pick{r})) u)"""
+        )
+    finals = [
+        f"""SELECT {r} AS pick_round, scheme, mc AS marginal_candidates,
+               mt AS marginal_true,
+               (SELECT count(*) FROM cov{r}) AS cum_candidates,
+               (SELECT coalesce(sum(y), 0) FROM cov{r}) AS cum_true,
+               (SELECT round(coalesce(sum(y), 0) * 1.0
+                             / (SELECT n_true FROM tot), 6)
+                FROM cov{r}) AS cum_recall
+        FROM pick{r}"""
+        for r in range(1, n_schemes + 1)
+    ]
+    return (
+        ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    ORDER BY pick_round"
+    )
+
+
+@q("q97_blocking_scheme_learner")
+def q97(spark, sf):
+    """Greedy blocking-scheme learner
+    (operators/blocking.greedy_blocking_scheme — the Michelson &
+    Knoblock AAAI'06 BSL idea over whole blocking passes): ranks the
+    q73 ladder's four passes by MARGINAL value on the hard corpus —
+    most NEW true pairs per round, fewest new candidates as the
+    tie-break — the composition-aware ordering that q73's isolated
+    pc/rr table cannot give (passes overlap, so isolated recalls
+    double-count).  Per round one anti-join + one scheme-tag groupBy
+    (collecting only 4 count rows); the covered set re-pins per
+    round.  DuckDB re-derives all four pair sets (the q73 oracle
+    CTEs), every marginal count, every argmin pick, and the covered
+    unions, with the SAME rounds unrolled (q66/q70 iterative-oracle
+    pattern)."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.blocking import (
+        deletion_neighborhood_pairs,
+        generate_pairs,
+        greedy_blocking_scheme,
+        sorted_neighborhood_pairs,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    named = sig.filter(F.col("block_key") != "__unblocked__").select(
+        "mention_id", "conv_id", "surname", "given_name", "block_key"
+    )
+    exact_p = generate_pairs(
+        named.select("block_key", "mention_id")
+    ).select("mention_id1", "mention_id2")
+    phon_p = generate_pairs(
+        named.select(
+            F.concat(F.lit("ph_"), phonetic_key("surname")).alias(
+                "block_key"
+            ),
+            "mention_id",
+        )
+    ).select("mention_id1", "mention_id2")
+    snb_p = sorted_neighborhood_pairs(
+        named, ["surname", "given_name"], id_col="mention_id", window=6
+    ).select(
+        F.least("mention_id1", "mention_id2").alias("mention_id1"),
+        F.greatest("mention_id1", "mention_id2").alias("mention_id2"),
+    )
+    del_p = deletion_neighborhood_pairs(
+        named.select("mention_id", "surname"), "mention_id", "surname"
+    ).select("mention_id1", "mention_id2")
+    tagged = (
+        exact_p.withColumn("scheme", F.lit("exact"))
+        .unionByName(phon_p.withColumn("scheme", F.lit("phonetic")))
+        .unionByName(snb_p.withColumn("scheme", F.lit("snb")))
+        .unionByName(del_p.withColumn("scheme", F.lit("del1")))
+    )
+    truth = g.select("conv_id", "entity_id")
+    labeled = (
+        tagged.withColumn(
+            "conv1", F.substring_index("mention_id1", "#", 1)
+        )
+        .withColumn("conv2", F.substring_index("mention_id2", "#", 1))
+        .join(
+            F.broadcast(
+                truth.select(
+                    F.col("conv_id").alias("conv1"),
+                    F.col("entity_id").alias("e1"),
+                )
+            ),
+            "conv1",
+        )
+        .join(
+            F.broadcast(
+                truth.select(
+                    F.col("conv_id").alias("conv2"),
+                    F.col("entity_id").alias("e2"),
+                )
+            ),
+            "conv2",
+        )
+        .select(
+            "scheme",
+            "mention_id1",
+            "mention_id2",
+            (F.col("e1") == F.col("e2")).cast("int").alias("same_entity"),
+        )
+    )
+    total_true = (
+        named.select("conv_id")
+        .join(truth, "conv_id")
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("m * (m - 1) div 2")), F.lit(0)
+            ).alias("tp")
+        )
+        .first()["tp"]
+    )
+    return greedy_blocking_scheme(labeled, total_true=int(total_true))
+
+
+ORACLES["q97_blocking_scheme_learner"] = (
+    ORACLES["q73_blocking_ladder"].split("base AS MATERIALIZED")[0]
+    + _bsl_sql(4)
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -1248,3 +1248,41 @@ def test_soft_tfidf_hand_computed(spark):
     # (m1,m3) agree only on ubiquitous 'maria' (lopez vs santos is
     # below CLOSE), (m1,m2) add the heavy santos~santoz JW match
     assert got[("m1", "m2")][2] > 2 * got[("m1", "m3")][2]
+
+
+def test_greedy_blocking_scheme_hand_computed(spark):
+    """Marginal accounting on a fixture where isolated recall lies:
+    scheme A covers true pairs {p1,p2} at cost 3, B covers {p1,p2,p3}
+    at cost 5, C covers {p2} at cost 1 (subsumed).  Greedy must pick
+    B first (3 true), then A adds NOTHING true (marginal 1 candidate,
+    0 true) vs C (0 new candidates... C's pair is covered) -> after B,
+    both A and C have marginal_true 0; fewest new candidates wins."""
+    from pubmed_and_method_spark.operators.blocking import (
+        greedy_blocking_scheme,
+    )
+
+    rows = [
+        # scheme, id1, id2, y
+        ("A", "p1a", "p1b", 1), ("A", "p2a", "p2b", 1), ("A", "n1a", "n1b", 0),
+        ("B", "p1a", "p1b", 1), ("B", "p2a", "p2b", 1), ("B", "p3a", "p3b", 1),
+        ("B", "n2a", "n2b", 0), ("B", "n3a", "n3b", 0),
+        ("C", "p2a", "p2b", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "scheme string, mention_id1 string, mention_id2 string,"
+        " same_entity int"
+    )
+    got = greedy_blocking_scheme(df, total_true=4).collect()
+    assert [r.scheme for r in got] == ["B", "C", "A"]
+    r1, r2, r3 = got
+    assert (r1.marginal_candidates, r1.marginal_true) == (5, 3)
+    # C after B: its only pair is covered -> 0/0; A would add 1 new
+    # non-true candidate -> C wins the (mt, mc) tie at 0 true
+    assert (r2.marginal_candidates, r2.marginal_true) == (0, 0)
+    assert (r3.marginal_candidates, r3.marginal_true) == (1, 0)
+    assert (r3.cum_candidates, r3.cum_true) == (6, 3)
+    assert r3.cum_recall == round(3 / 4, 6)
+    # duplicates within a scheme are deduped before counting
+    dup = df.unionByName(df)
+    again = greedy_blocking_scheme(dup, total_true=4).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
