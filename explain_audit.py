@@ -196,6 +196,13 @@ AUDIT = [
     # q95 is deliberately absent for the q66 reason: its OUTPUT plan is
     # a LocalTableScan of the <=6 parameter rows; the histogram
     # aggregate runs inside fs_em_missing and is the q64-audited shape
+    # retention: one min-struct aggregate on the cluster key (struct
+    # min is not hash-aggregable -> SortAggregate with partial/final
+    # split) + a hash join back — never cartesian
+    ("q96_dedup_retention", [r"SortAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # q97 is absent for the same q66/q95 reason: the learner's OUTPUT
+    # is a LocalTableScan of #schemes rows; each round's anti-join +
+    # scheme groupBy is the q73-audited shape
 ]
 
 
