@@ -195,3 +195,64 @@ def test_duplicate_spans_matches_bruteforce(spark, docs):
             n += 1
         expect.append((i, start, prev + k - 1, prev + k - start, n))
     assert got == sorted(expect)
+
+
+cl_fixtures = st.tuples(
+    # clusters: up to 10 nodes in up to 3 clusters
+    st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from([100, 200, 300])),
+        min_size=1, max_size=10, unique_by=lambda t: t[0],
+    ),
+    # cannot-link pairs over the same node space (any order/dups)
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0, max_size=8,
+    ),
+)
+
+
+@given(cl_fixtures)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cannot_link_repair_matches_bruteforce(spark, fixture):
+    """q93's one-pass repair equals the literal Python rule on random
+    clusterings + constraint sets: evict the greater-(md5,id) endpoint
+    of every violating pair, re-key survivors to min(kept id), and no
+    violation may survive."""
+    import hashlib
+
+    from pubmed_and_method_spark.operators.constrained_clustering import (
+        cannot_link_repair,
+    )
+
+    rows, cl = fixture
+    clusters = spark.createDataFrame(rows, "id long, cluster long")
+    cl_df = (
+        spark.createDataFrame(cl, "id1 long, id2 long")
+        if cl
+        else spark.createDataFrame([], "id1 long, id2 long")
+    )
+    got = {
+        r.id: (r.repaired_cluster, r.evicted)
+        for r in cannot_link_repair(clusters, cl_df).collect()
+    }
+
+    # brute-force model
+    cmap = dict(rows)
+    h = lambda i: hashlib.md5(str(i).encode()).hexdigest()  # noqa: E731
+    evict = set()
+    for a, b in cl:
+        if a != b and a in cmap and b in cmap and cmap[a] == cmap[b]:
+            evict.add(a if (h(a), a) > (h(b), b) else b)
+    want = {}
+    for i, c in rows:
+        if i in evict:
+            want[i] = (i, 1)
+        else:
+            kept_ids = [j for j, cj in rows if cj == c and j not in evict]
+            want[i] = (min(kept_ids), 0)
+    assert got == want
+    # invariant: no CL pair co-clustered post-repair
+    for a, b in cl:
+        if a != b and a in got and b in got:
+            assert got[a][0] != got[b][0]
