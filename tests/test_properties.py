@@ -256,3 +256,69 @@ def test_cannot_link_repair_matches_bruteforce(spark, fixture):
     for a, b in cl:
         if a != b and a in got and b in got:
             assert got[a][0] != got[b][0]
+
+
+assign_fixtures = st.tuples(
+    # new records: (id, toks) — ids 100+; token alphabet of 5
+    st.lists(
+        st.tuples(
+            st.integers(100, 109),
+            st.lists(st.sampled_from("abcde"), min_size=0, max_size=4,
+                     unique=True),
+        ),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+    # catalog members: (member_id, cluster, toks)
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.sampled_from([1, 2]),
+            st.lists(st.sampled_from("abcde"), min_size=1, max_size=4,
+                     unique=True),
+        ),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+
+
+@given(assign_fixtures)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_assignment_matches_bruteforce(spark, fixture):
+    """q94's blocked argmax assignment equals the literal Python rule
+    (block on min token, jaccard argmax with (ratio desc, cluster,
+    member) order, integer 1/2 threshold, singleton fallback)."""
+    from pubmed_and_method_spark.operators.incremental_assign import (
+        assign_to_clusters,
+    )
+
+    new_rows, cat_rows = fixture
+    new = spark.createDataFrame(
+        [(i, min(t) if t else None, t) for i, t in new_rows],
+        "id long, block string, toks array<string>",
+    )
+    cat = spark.createDataFrame(
+        [(m, c, min(t), t) for m, c, t in cat_rows],
+        "member_id long, cluster long, block string, toks array<string>",
+    )
+    got = {
+        r.id: (r.cluster, r.is_new_cluster, r.n_inter, r.n_union)
+        for r in assign_to_clusters(new, cat, num=1, den=2).collect()
+    }
+    want = {}
+    for i, t in new_rows:
+        cands = []
+        if t:
+            for m, c, ct in cat_rows:
+                if min(ct) == min(t):
+                    inter = len(set(t) & set(ct))
+                    union = len(set(t) | set(ct))
+                    cands.append((-(inter / union), c, m, inter, union))
+        if cands:
+            cands.sort()
+            _, c, _, inter, union = cands[0]
+            if 2 * inter >= union:
+                want[i] = (c, 0, inter, union)
+                continue
+        want[i] = (i, 1, 0, 0)
+    assert got == want
