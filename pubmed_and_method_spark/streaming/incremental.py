@@ -247,3 +247,123 @@ def current_signatures(spark: SparkSession, output_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn", "batch_id")
     )
+
+
+#: empty-catalog schema for the assignment frontier's first batch
+_CATALOG_SCHEMA = (
+    "member_id string, cluster string, block string,"
+    " toks array<bigint>, block_bucket int"
+)
+
+
+def run_incremental_assignments(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    catalog_dir: str,
+    out_dir: str,
+    num: int = 1,
+    den: int = 2,
+    available_now: bool = True,
+) -> None:
+    """Streaming incremental entity ASSIGNMENT frontier: each
+    micro-batch of new conversations is folded into an existing
+    clustering by the q94 rule — block on ``block_key``, token-hash
+    Jaccard argmax against the catalog, join the best cluster at
+    ``num/den`` or open a singleton — and the batch then JOINS the
+    catalog, so later batches can match both the seed corpus and
+    earlier arrivals.  Completes the incremental story: signatures
+    (run_incremental_signatures) -> candidate pairs
+    (run_incremental_pairs) -> cluster folds (update_components) ->
+    direct entity assignment (here), all O(batch), the corpus never
+    re-resolved.
+
+    ``catalog_dir`` may be pre-seeded with the batch clustering of an
+    old corpus (rows per ``_CATALOG_SCHEMA``, partitioned by
+    ``block_bucket``); absent/empty means every first-batch mention
+    opens a cluster.  Unblocked mentions ('__unblocked__') are
+    emitted as singletons and never enter the catalog (a null block
+    matches nothing).
+
+    Scale notes (same discipline as run_incremental_pairs): the
+    catalog store is partitioned by ``block_bucket``; per batch the
+    bucket list is collected (bounded by the micro-batch) and pushed
+    as an IN filter, so the catalog scan is partition-pruned; the new
+    side is micro-batch-sized (broadcastable); assignments and
+    catalog folds are appended, never rewritten.
+    """
+    from pubmed_and_method_spark.operators.incremental_assign import (
+        assign_to_clusters,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sig = build_signatures(batch_df, tfidf=False).localCheckpoint(
+            eager=True
+        )
+        new = sig.select(
+            F.col("mention_id").alias("id"),
+            F.when(
+                F.col("block_key") != _UNBLOCKED, F.col("block_key")
+            ).alias("block"),
+            F.col("token_hashes").alias("toks"),
+        )
+        buckets = [
+            r[0]
+            for r in new.filter(F.col("block").isNotNull())
+            .select(_block_bucket("block"))
+            .distinct()
+            .collect()
+        ]
+        if buckets and os.path.isdir(catalog_dir) and os.listdir(catalog_dir):
+            catalog = (
+                spark.read.schema(_CATALOG_SCHEMA)
+                .parquet(catalog_dir)
+                .filter(F.col("block_bucket").isin(buckets))
+            )
+        else:
+            catalog = spark.createDataFrame([], _CATALOG_SCHEMA)
+        assigned = assign_to_clusters(
+            new,
+            catalog.select("member_id", "cluster", "block", "toks"),
+            id_col="id",
+            member_col="member_id",
+            cluster_col="cluster",
+            toks_col="toks",
+            block_col="block",
+            num=num,
+            den=den,
+        ).localCheckpoint(eager=True)
+        assigned.withColumnRenamed("id", "mention_id").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(out_dir)
+        # fold the batch into the catalog AFTER assignment (the store
+        # must hold strictly-older mentions when the argmax runs);
+        # unblocked mentions stay out — a null block matches nothing
+        new.filter(F.col("block").isNotNull()).join(
+            assigned.select("id", "cluster"), "id"
+        ).select(
+            F.col("id").alias("member_id"),
+            "cluster",
+            "block",
+            "toks",
+            _block_bucket("block"),
+        ).write.mode("append").partitionBy("block_bucket").parquet(
+            catalog_dir
+        )
+        sig.unpersist()
+        assigned.unpersist()
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()

@@ -276,3 +276,121 @@ def test_incremental_pairs_match_batch(spark, corpus, tmp_path_factory):
         d for d in os.listdir(sig_dir) if d.startswith("block_bucket=")
     ]
     assert bucket_dirs, "signature store is not partitioned by block_bucket"
+
+
+def test_incremental_assignments_match_sequential(
+    spark, corpus, tmp_path_factory
+):
+    """Streaming assignment frontier == the batch q94 operator applied
+    sequentially: seed a catalog from half the corpus, stream the rest
+    in three landings, then re-derive every batch's assignments with
+    the batch assign_to_clusters against the catalog state implied by
+    the OBSERVED batch_ids (order-robust — the model consumes the
+    batch composition the stream actually produced).  Also pins
+    exactly-once emission and the catalog's block_bucket layout."""
+    from pubmed_and_method_spark.operators.incremental_assign import (
+        assign_to_clusters,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.streaming.incremental import (
+        _UNBLOCKED,
+        _block_bucket,
+        run_incremental_assignments,
+    )
+
+    t, _ = corpus
+    base = tmp_path_factory.mktemp("assignstream")
+    inp, ckpt = str(base / "in"), str(base / "ckpt")
+    cat_dir, out_dir = str(base / "catalog"), str(base / "out")
+    os.makedirs(inp)
+
+    convs = sorted(
+        r.conv_id for r in t.select("conv_id").distinct().collect()
+    )
+    old = set(convs[: len(convs) // 2])
+    rest = convs[len(convs) // 2:]
+
+    def sig_of(conv_set):
+        return build_signatures(
+            t.filter(F.col("conv_id").isin(conv_set)), tfidf=False
+        )
+
+    # seed catalog: block-key clusters over the old half (cluster =
+    # min mention per block), partitioned like the store expects
+    so = sig_of(old).filter(F.col("block_key") != _UNBLOCKED)
+    seed = so.join(
+        so.groupBy("block_key").agg(F.min("mention_id").alias("cluster")),
+        "block_key",
+    ).select(
+        F.col("mention_id").alias("member_id"),
+        "cluster",
+        F.col("block_key").alias("block"),
+        F.col("token_hashes").alias("toks"),
+        _block_bucket("block_key"),
+    )
+    seed.write.partitionBy("block_bucket").parquet(cat_dir)
+    seed_rows = seed.collect()
+
+    for i in range(3):
+        third = set(rest[i::3])
+        t.filter(F.col("conv_id").isin(third)).write.parquet(
+            os.path.join(inp, f"batch{i}")
+        )
+        run_incremental_assignments(
+            spark, inp + "/*", ckpt, cat_dir, out_dir
+        )
+
+    streamed = spark.read.parquet(out_dir)
+    n_new_mentions = sig_of(set(rest)).count()
+    assert streamed.count() == n_new_mentions  # exactly once
+    assert streamed.select("mention_id").distinct().count() == n_new_mentions
+
+    # sequential re-derivation against the observed batch composition
+    cat = spark.createDataFrame(
+        [(r.member_id, r.cluster, r.block, r.toks) for r in seed_rows],
+        "member_id string, cluster string, block string, toks array<bigint>",
+    )
+    for b in sorted(
+        r.batch_id
+        for r in streamed.select("batch_id").distinct().collect()
+    ):
+        got_rows = {
+            r.mention_id: (
+                r.cluster, r.is_new_cluster, r.n_inter, r.n_union
+            )
+            for r in streamed.filter(F.col("batch_id") == b).collect()
+        }
+        batch_convs = {m.rsplit("#", 1)[0] for m in got_rows}
+        newb = sig_of(batch_convs).select(
+            F.col("mention_id").alias("id"),
+            F.when(
+                F.col("block_key") != _UNBLOCKED, F.col("block_key")
+            ).alias("block"),
+            F.col("token_hashes").alias("toks"),
+        )
+        want = {
+            r.id: (r.cluster, r.is_new_cluster, r.n_inter, r.n_union)
+            for r in assign_to_clusters(
+                newb, cat, id_col="id", member_col="member_id",
+                cluster_col="cluster", toks_col="toks", block_col="block",
+            ).collect()
+        }
+        assert got_rows == want, f"batch {b} diverged"
+        cat = cat.unionByName(
+            newb.filter(F.col("block").isNotNull())
+            .join(
+                spark.createDataFrame(
+                    [(m, v[0]) for m, v in want.items()],
+                    "id string, cluster string",
+                ),
+                "id",
+            )
+            .select(
+                F.col("id").alias("member_id"), "cluster", "block", "toks"
+            )
+        )
+
+    # store layout: bucket-partitioned for pruned scans
+    assert any(
+        d.startswith("block_bucket=") for d in os.listdir(cat_dir)
+    ), "catalog store is not partitioned by block_bucket"
