@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q92_prefix_filter_jaccard",
     "q93_cannot_link_repair",
     "q94_incremental_assignment",
+    "q98_progressive_recall",
 ]
 
 

@@ -203,6 +203,10 @@ AUDIT = [
     # q97 is absent for the same q66/q95 reason: the learner's OUTPUT
     # is a LocalTableScan of #schemes rows; each round's anti-join +
     # scheme groupBy is the q73-audited shape
+    # progressive recall: distinct-score histogram (HashAggregate) +
+    # per-score tie windows + a broadcast cuts join — the rank is
+    # never one global single-partition sort, never cartesian
+    ("q98_progressive_recall", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 

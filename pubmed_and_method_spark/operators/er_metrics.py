@@ -168,6 +168,118 @@ def threshold_sweep(
     )
 
 
+def progressive_recall(
+    scored: DataFrame,
+    n_steps: int = 10,
+    score_col: str = "score",
+    label_col: str = "same_entity",
+    id1_col: str = "mention_id1",
+    id2_col: str = "mention_id2",
+) -> DataFrame:
+    """Progressive-ER recall curve (Whang et al., ICDE'13 pay-as-you-go
+    ER): resolve candidate pairs in SCORE order and report, at each
+    review budget i/n_steps of the pair table, how much recall that
+    budget has already bought — plus precision inside the examined
+    prefix and lift over random order (recall / effort; a perfect
+    front-loader starts at lift N/P, random order sits at 1.0).
+
+    ``threshold_sweep`` answers "what does cut t buy"; this answers
+    the operational sibling "what do my FIRST k reviews buy" — the
+    curve a triage team sizing a budget (or an incremental resolver
+    deciding when to stop) actually reads.  The reference resolves
+    everything unconditionally (its full pairwise sweep,
+    src/model/classification.py); a 10^12-pair table cannot.
+
+    Rank is EXACT and total — (score DESC, id1, id2) — but never
+    computed as one global-order window (a single-partition sort at
+    scale).  Two-level decomposition instead: a per-distinct-score
+    histogram (one map-side-combined groupBy) turns into cumulative
+    offsets via a window over the DISTINCT-SCORE table only (tiny by
+    construction: round-6 scores from a k-feature model take at most
+    2^k values), and a second window partitioned BY SCORE ranks ties
+    by (id1, id2) in parallel.  rank = bucket offset + tie rank; the
+    per-pair shuffle is one hash exchange on the score column.  Skew
+    bound: the largest tie group (one distinct score) caps a
+    partition, the usual salting escape applies if a degenerate
+    scorer emits one constant.
+
+    Cut ranks are integer-exact: k_i = ceil(i*N/n_steps) via integer
+    div, so DuckDB re-derives every examined count, cumulative TP,
+    and round-6 ratio bit-for-bit.  Empty input -> empty curve.
+    """
+    from pyspark.sql import Window as W
+
+    base = scored.select(
+        F.round(F.col(score_col), 6).alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(id1_col).alias("__i1"),
+        F.col(id2_col).alias("__i2"),
+    )
+    hist = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__p")
+    )
+    prior = W.orderBy(F.desc("__s")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = hist.select(
+        "__s",
+        F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off_n"),
+        F.coalesce(F.sum("__p").over(prior), F.lit(0)).alias("__off_p"),
+    )
+    ties = W.partitionBy("__s").orderBy("__i1", "__i2")
+    ranked = (
+        base.join(offs, "__s")
+        .withColumn(
+            "__rank", F.col("__off_n") + F.row_number().over(ties)
+        )
+        .withColumn(
+            "__ctp",
+            F.col("__off_p")
+            + F.sum("__y").over(
+                ties.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.coalesce(F.sum("__y"), F.lit(0)).alias("__P"),
+    )
+    cuts = (
+        scored.sparkSession.range(1, n_steps + 1)
+        .select(F.col("id").cast("int").alias("__i"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__i",
+            "__N",
+            "__P",
+            F.expr(f"(__i * __N + {n_steps} - 1) DIV {n_steps}").alias(
+                "__k"
+            ),
+        )
+    )
+    rec = F.when(
+        F.col("__P") > 0, F.col("__ctp") / F.col("__P")
+    ).otherwise(0.0)
+    prec = F.col("__ctp") / F.col("__k")
+    lift = F.when(
+        F.col("__P") > 0,
+        (F.col("__ctp") / F.col("__P"))
+        / (F.col("__k") * F.lit(1.0) / F.col("__N")),
+    ).otherwise(0.0)
+    return (
+        cuts.join(ranked, cuts["__k"] == ranked["__rank"])
+        .select(
+            F.round(F.col("__i") / n_steps, 6).alias("effort_frac"),
+            F.col("__k").cast("long").alias("examined"),
+            F.col("__ctp").cast("long").alias("tp"),
+            F.round(rec, 6).alias("recall"),
+            F.round(prec, 6).alias("precision"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy("effort_frac")
+    )
+
+
 def cluster_agreement_metrics(
     assignments: DataFrame,
     cluster_col: str = "cluster",

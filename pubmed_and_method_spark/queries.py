@@ -7263,6 +7263,66 @@ ORACLES["q97_blocking_scheme_learner"] = (
 )
 
 
+@q("q98_progressive_recall")
+def q98(spark, sf):
+    """Progressive-ER recall curve (operators/er_metrics.
+    progressive_recall, Whang et al. ICDE'13): resolve the q67
+    FS-scored pairs in llr order and report recall / prefix precision
+    / lift-over-random at every decile of review effort — the
+    pay-as-you-go answer to "what do my first k reviews buy" that
+    q62's threshold sweep (cut-parameterized) and q84's queue
+    (allocation inside one band) don't give.  The reference resolves
+    every pair unconditionally (src/model/classification.py full
+    sweep); at 10^12 pairs the budget curve IS the plan.  Exact
+    two-level rank: distinct-llr offsets (<= 2^6 round-6 values from
+    the 6-feature model) + per-score tie windows; never a global
+    single-partition sort.  DuckDB re-derives the whole q67 scoring
+    chain, every rank, cumulative TP, integer cut ceil(i*N/10), and
+    round-6 ratio."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        progressive_recall,
+    )
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    return progressive_recall(
+        scored, n_steps=10, score_col="llr", label_col="same_entity"
+    )
+
+
+ORACLES["q98_progressive_recall"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    tot AS (
+        SELECT count(*) AS n,
+               coalesce(sum(same_entity), 0) AS p
+        FROM q67),
+    ranked AS (
+        SELECT same_entity,
+               row_number() OVER (
+                   ORDER BY llr DESC, mention_id1, mention_id2
+               ) AS rnk,
+               sum(same_entity) OVER (
+                   ORDER BY llr DESC, mention_id1, mention_id2
+                   ROWS UNBOUNDED PRECEDING
+               ) AS ctp
+        FROM q67),
+    cuts AS (
+        SELECT i, tot.n, tot.p,
+               (i * tot.n + 9) // 10 AS k
+        FROM generate_series(1, 10) AS g(i), tot)
+    SELECT round(i / 10.0, 6) AS effort_frac,
+           CAST(k AS BIGINT) AS examined,
+           CAST(ctp AS BIGINT) AS tp,
+           round(CASE WHEN p > 0 THEN ctp * 1.0 / p ELSE 0.0 END, 6)
+               AS recall,
+           round(ctp * 1.0 / k, 6) AS "precision",
+           round(CASE WHEN p > 0
+                      THEN (ctp * 1.0 / p) / (k * 1.0 / n)
+                      ELSE 0.0 END, 6) AS lift
+    FROM cuts JOIN ranked ON ranked.rnk = cuts.k
+    ORDER BY effort_frac
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

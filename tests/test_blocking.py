@@ -280,6 +280,47 @@ def test_threshold_sweep_hand_computed(spark):
     assert (r.precision, r.recall, r.f1) == (0.0, 0.0, 0.0)
 
 
+def test_progressive_recall_hand_computed(spark):
+    """6 scored pairs with a tie group at each of two scores,
+    n_steps=3: every cut rank ceil(i*6/3), cumulative TP, recall,
+    prefix precision, and lift re-derived by hand — including the
+    (score DESC, id1, id2) tie order inside the 0.8 and 0.5 groups."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        progressive_recall,
+    )
+
+    rows = [
+        (0.9, 1, "a", "b"),
+        (0.8, 1, "a", "c"),
+        (0.8, 0, "a", "d"),
+        (0.5, 0, "b", "c"),
+        (0.5, 1, "b", "d"),
+        (0.1, 0, "c", "d"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "score double, same_entity int, mention_id1 string, "
+        "mention_id2 string",
+    )
+    got = {
+        r.effort_frac: r for r in progressive_recall(df, n_steps=3).collect()
+    }
+    assert len(got) == 3
+    # rank order: (a,b)1 (a,c)1 (a,d)0 (b,c)0 (b,d)1 (c,d)0; N=6 P=3
+    r = got[round(1 / 3, 6)]
+    assert (r.examined, r.tp) == (2, 2)
+    assert (r.recall, r.precision, r.lift) == (round(2 / 3, 6), 1.0, 2.0)
+    r = got[round(2 / 3, 6)]
+    assert (r.examined, r.tp) == (4, 2)
+    assert (r.recall, r.precision, r.lift) == (round(2 / 3, 6), 0.5, 1.0)
+    r = got[1.0]
+    assert (r.examined, r.tp) == (6, 3)
+    assert (r.recall, r.precision, r.lift) == (1.0, 0.5, 1.0)
+    # empty input -> empty curve (no cut rank exists)
+    empty = progressive_recall(df.limit(0), n_steps=3)
+    assert empty.count() == 0
+
+
 def test_cluster_agreement_hand_computed(spark):
     """Clusters {A:[e1,e1], B:[e1], C:[e2,e2]} vs gold {e1 x3, e2 x2}:
     every metric re-derived independently in the test body (pure
