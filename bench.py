@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q93_cannot_link_repair",
     "q94_incremental_assignment",
     "q98_progressive_recall",
+    "q99_f1_subsample_ci",
 ]
 
 

@@ -207,6 +207,10 @@ AUDIT = [
     # per-score tie windows + a broadcast cuts join — the rank is
     # never one global single-partition sort, never cartesian
     ("q98_progressive_recall", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # subsample CI: map-side explode by a CONSTANT replicate count +
+    # conditional-sum HashAggregate; the grid join broadcasts
+    # n_replicates rows — no per-replicate pass, never cartesian
+    ("q99_f1_subsample_ci", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 

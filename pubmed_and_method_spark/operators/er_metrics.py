@@ -280,6 +280,101 @@ def progressive_recall(
     )
 
 
+def subsample_f1_ci(
+    decisions: DataFrame,
+    n_replicates: int = 16,
+    pred_col: str = "decision",
+    link_value: str = "link",
+    label_col: str = "same_entity",
+    id1_col: str = "mention_id1",
+    id2_col: str = "mention_id2",
+) -> DataFrame:
+    """Half-sample subsampling distribution of pairwise P/R/F1
+    (Politis & Romano 1994 m-out-of-n subsampling, m = n/2): how much
+    the headline F1 moves when half the evaluation pairs are removed —
+    the uncertainty band the reference's single point estimate
+    (src/model/classification.py) never reports.  A linkage F1 quoted
+    as 0.95 on 400 labeled pairs and one quoted on 4M are different
+    claims; the replicate spread is what separates them.
+
+    Replicate membership is a pure function of (id1, id2, replicate)
+    via the first md5 hex char (< '8' keeps exactly half the hash
+    space) — no RNG state, so the table is identical across engines,
+    runs, and partitionings, and DuckDB re-derives every replicate's
+    confusion counts bit-for-bit.  Scale: one map-side explode by
+    n_replicates (a constant), conditional-sum partial aggregation in
+    the same pass, and a shuffle of n_replicates rows per partition —
+    no join, no per-replicate pass over the pair table.
+
+    Emits one row per replicate (n_kept, tp, fp, fn, precision,
+    recall, f1 — zero_division=0 conventions as ``threshold_sweep``);
+    quantiles are the caller's two-line fold over <= n_replicates
+    rows.
+    """
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("replicate")
+    keep = (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col(id1_col),
+                    F.col(id2_col),
+                    F.col("replicate").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    pred = (F.col(pred_col) == link_value).cast("int")
+    y = F.col(label_col).cast("int")
+    agg = (
+        decisions.select(pred.alias("__pred"), y.alias("__y"), id1_col, id2_col, rep)
+        .filter(keep)
+        .groupBy("replicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("__pred") * F.col("__y")).alias("tp"),
+            F.sum(F.col("__pred") * (1 - F.col("__y"))).alias("fp"),
+            F.sum((1 - F.col("__pred")) * F.col("__y")).alias("fn"),
+        )
+    )
+    # grid left-join: exactly n_replicates rows even if a replicate
+    # keeps no pairs (possible only on tiny inputs, but row count must
+    # be a constant of the call, not of the data)
+    grid = decisions.sparkSession.range(n_replicates).select(
+        F.col("id").cast("int").alias("replicate")
+    )
+    agg = grid.join(agg, "replicate", "left").fillna(
+        0, subset=["n_kept", "tp", "fp", "fn"]
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(0.0)
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    ).otherwise(0.0)
+    return agg.select(
+        F.col("replicate").cast("int").alias("replicate"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("replicate")
+
+
 def cluster_agreement_metrics(
     assignments: DataFrame,
     cluster_col: str = "cluster",

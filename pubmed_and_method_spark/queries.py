@@ -7323,6 +7323,71 @@ ORACLES["q98_progressive_recall"] = f"""
 """
 
 
+@q("q99_f1_subsample_ci")
+def q99(spark, sf):
+    """Subsampling distribution of pairwise P/R/F1
+    (operators/er_metrics.subsample_f1_ci, Politis-Romano m-out-of-n
+    with m = n/2) over the q67 FS decision rule: 16 deterministic
+    half-sample replicates (membership = first md5 hex char of
+    (id1, id2, replicate) — RNG-free, engine-portable) each re-scored
+    for confusion counts in ONE map-side explode + conditional-sum
+    pass.  The uncertainty band behind the headline F1 the reference
+    reports as a bare point (src/model/classification.py) — a 0.95 on
+    400 pairs and a 0.95 on 4M are different claims, and the
+    replicate spread is the difference.  DuckDB re-derives every
+    membership bit and confusion count."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        subsample_f1_ci,
+    )
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    return subsample_f1_ci(scored, n_replicates=16)
+
+
+ORACLES["q99_f1_subsample_ci"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    reps AS (SELECT unnest(generate_series(0, 15)) AS replicate),
+    kept AS (
+        SELECT r.replicate,
+               CAST(q67.decision = 'link' AS INTEGER) AS pred,
+               q67.same_entity AS y
+        FROM q67, reps r
+        WHERE substr(md5(q67.mention_id1 || '#' || q67.mention_id2
+                         || '#' || CAST(r.replicate AS VARCHAR)),
+                     1, 1) < '8'),
+    agg AS (
+        SELECT replicate,
+               count(*) AS n_kept,
+               sum(pred * y) AS tp,
+               sum(pred * (1 - y)) AS fp,
+               sum((1 - pred) * y) AS fn
+        FROM kept GROUP BY replicate),
+    filled AS (
+        SELECT r.replicate,
+               coalesce(n_kept, 0) AS n_kept,
+               coalesce(tp, 0) AS tp,
+               coalesce(fp, 0) AS fp,
+               coalesce(fn, 0) AS fn
+        FROM reps r LEFT JOIN agg USING (replicate))
+    SELECT CAST(replicate AS INTEGER) AS replicate,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(CASE WHEN tp + fp > 0
+                      THEN tp * 1.0 / (tp + fp) ELSE 0.0 END, 6)
+               AS "precision",
+           round(CASE WHEN tp + fn > 0
+                      THEN tp * 1.0 / (tp + fn) ELSE 0.0 END, 6)
+               AS recall,
+           round(CASE WHEN 2 * tp + fp + fn > 0
+                      THEN 2 * tp * 1.0 / (2 * tp + fp + fn)
+                      ELSE 0.0 END, 6) AS f1
+    FROM filled
+    ORDER BY replicate
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -321,6 +321,53 @@ def test_progressive_recall_hand_computed(spark):
     assert empty.count() == 0
 
 
+def test_subsample_f1_ci_brute_force(spark):
+    """Every replicate's membership bits and confusion counts
+    re-derived with hashlib + pure Python on an 8-pair fixture,
+    including the grid guarantee (exactly n_replicates rows) and the
+    zero_division=0 conventions."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        subsample_f1_ci,
+    )
+    import hashlib
+
+    rows = [
+        ("a", "b", "link", 1),
+        ("a", "c", "link", 0),
+        ("a", "d", "nonlink", 1),
+        ("b", "c", "nonlink", 0),
+        ("b", "d", "possible", 1),
+        ("c", "d", "link", 1),
+        ("c", "e", "nonlink", 0),
+        ("d", "e", "link", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "mention_id1 string, mention_id2 string, decision string, "
+        "same_entity int",
+    )
+    got = {
+        r.replicate: r for r in subsample_f1_ci(df, n_replicates=4).collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3]
+    for b in range(4):
+        kept = [
+            (dec == "link", y)
+            for (i1, i2, dec, y) in rows
+            if hashlib.md5(f"{i1}#{i2}#{b}".encode()).hexdigest()[0] < "8"
+        ]
+        tp = sum(1 for p, y in kept if p and y)
+        fp = sum(1 for p, y in kept if p and not y)
+        fn = sum(1 for p, y in kept if not p and y)
+        r = got[b]
+        assert (r.n_kept, r.tp, r.fp, r.fn) == (len(kept), tp, fp, fn)
+        assert r.precision == (round(tp / (tp + fp), 6) if tp + fp else 0.0)
+        assert r.recall == (round(tp / (tp + fn), 6) if tp + fn else 0.0)
+        assert r.f1 == (
+            round(2 * tp / (2 * tp + fp + fn), 6) if 2 * tp + fp + fn else 0.0
+        )
+
+
 def test_cluster_agreement_hand_computed(spark):
     """Clusters {A:[e1,e1], B:[e1], C:[e2,e2]} vs gold {e1 x3, e2 x2}:
     every metric re-derived independently in the test body (pure
