@@ -730,6 +730,185 @@ def lenses_section(spark) -> list[str]:
     return lines
 
 
+def budget_section(spark) -> list[str]:
+    """Review-budget + uncertainty view of the FS matcher (the q98 /
+    q99 operators) at 2000 entities: progressive recall at each
+    effort decile of the llr-ordered labeled pairs, and the
+    half-sample subsampling band around the headline F1 — the two
+    numbers a triage team needs that a bare point F1 doesn't carry."""
+    from pyspark.sql import functions as F
+
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_classify,
+        fs_weights,
+        progressive_recall,
+        subsample_f1_ci,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.queries import _FS_EM_FEATURES
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    n_entities = 2000
+    lines = [
+        "## Review budget + uncertainty: progressive recall and the F1 band",
+        "",
+        f"FS decision rule (q67 binarization) on the labeled candidate"
+        f" pairs at {n_entities} entities.  Progressive recall (q98):"
+        " resolve pairs in llr order, read recall at each effort"
+        " decile — lift = recall/effort, random order = 1.0.  F1 band"
+        " (q99): 16 deterministic half-sample replicates of pairwise"
+        " F1 at the best-F1 llr cut.",
+        "",
+        "| corpus | recall@10% effort | @20% | @30% | @50% | @100% |"
+        " lift@10% |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    ci_rows = []
+    for label, hardness in (("clean", 0.0), ("hard 0.7", 0.7)):
+        t, g = transcripts_df(
+            spark,
+            seed=42,
+            hardness=hardness,
+            n_entities=n_entities,
+            n_blocks=max(24, n_entities * 3 // 10),
+        )
+        sig = build_signatures(t, tfidf=False)
+        feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+        ag = feats.select(
+            "mention_id1",
+            "mention_id2",
+            (F.round("name_jw", 6) >= 0.9).alias("name_jw_hi"),
+            (F.round("given_jw", 6) >= 0.9).alias("given_jw_hi"),
+            (F.round("name_lev_ratio", 6) >= 0.8).alias("lev_hi"),
+            (F.round("token_jacc", 6) >= 0.5).alias("token_hi"),
+            (F.round("tool_jacc", 6) >= 0.5).alias("tool_hi"),
+            (F.col("time_overlap") == 1).alias("time_overlap"),
+            F.col("same_entity").cast("int").alias("same_entity"),
+        ).cache()
+        west = {
+            r["feature"]: (r["match_weight"], r["disagree_weight"])
+            for r in fs_weights(ag, _FS_EM_FEATURES).collect()
+        }
+        scored = fs_classify(
+            ag, {c: west[c] for c in _FS_EM_FEATURES}, upper=4.0, lower=0.0
+        ).cache()
+        curve = {
+            round(r.effort_frac, 1): r
+            for r in progressive_recall(
+                scored, n_steps=10, score_col="llr"
+            ).collect()
+        }
+        rec = [round(curve[e].recall, 4) for e in (0.1, 0.2, 0.3, 0.5, 1.0)]
+        lines.append(
+            f"| {label} | {rec[0]} | {rec[1]} | {rec[2]} | {rec[3]} |"
+            f" {rec[4]} | {round(curve[0.1].lift, 2)}x |"
+        )
+        # the FS link band is precision-first triage, not an F1
+        # operating point (q75 sizes the bands); band the F1 at the
+        # best cut instead — distinct llr values are <= 2^k, so the
+        # argmax is a tiny driver fold over one groupBy
+        hist = (
+            scored.groupBy("llr")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("same_entity").alias("p"),
+            )
+            .orderBy(F.desc("llr"))
+            .collect()
+        )
+        pos = sum(r.p for r in hist)
+        cum_n = cum_p = 0
+        t_opt, point = None, -1.0
+        for r in hist:
+            cum_n += r.n
+            cum_p += r.p
+            f1 = 2 * cum_p / (cum_n + pos) if cum_n + pos else 0.0
+            if f1 > point:
+                t_opt, point = r.llr, f1
+        opt = scored.withColumn(
+            "opt_pred", (F.col("llr") >= t_opt).cast("string")
+        )
+        reps = sorted(
+            r.f1
+            for r in subsample_f1_ci(
+                opt, pred_col="opt_pred", link_value="true"
+            ).collect()
+        )
+        c = scored.filter(F.col("decision") == "link").select(
+            F.sum((F.col("same_entity") == 1).cast("int")).alias("tp"),
+            F.count(F.lit(1)).alias("pp"),
+        ).collect()[0]
+        link_p = c.tp / c.pp if c.pp else 0.0
+        link_r = c.tp / pos if pos else 0.0
+        ci_rows.append(
+            f"| {label} | {round(link_p, 4)} / {round(link_r, 4)} |"
+            f" {round(t_opt, 2)} | {round(point, 4)} | {round(reps[0], 4)} |"
+            f" {round((reps[7] + reps[8]) / 2, 4)} | {round(reps[-1], 4)} |"
+        )
+        ag.unpersist()
+        scored.unpersist()
+    lines += [
+        "",
+        "| corpus | link-cut P / R | best cut (llr) | F1 at best cut |"
+        " band min | band median | band max |",
+        "|---|---|---|---|---|---|---|",
+        *ci_rows,
+        "",
+        "Reading: the matcher front-loads — the first effort decile of"
+        " the llr order buys several times its share of recall (the"
+        " lift column), the property that makes a bounded review"
+        " budget rational at 10^12 pairs.  The FS link band at the"
+        " fixed upper cut is precision-first triage by design"
+        " (P ~0.99 at ~1% recall here; q75 sizes the bands), so the"
+        " uncertainty band is reported at the F1-argmax cut over the"
+        " <= 2^6 distinct llr values (in-sample selection, the"
+        " standard operating-curve read); the half-sample spread is"
+        " what the point estimate alone can't claim: on ~220k pairs the"
+        " spread is ~1 F1 point, so the best-cut estimate is stable —"
+        " the same operator exposes instability when a corpus is too"
+        " small to support its headline.  The GBT pipeline's 0.997"
+        " (BASELINE.md) is the strong matcher this weak-prior rule is"
+        " the triage fallback for.",
+    ]
+    return lines
+
+
+def only_budget() -> int:
+    """Regenerate ONLY the review-budget section (`--only-budget`):
+    splices before the Fellegi-Sunter section (or the ANN grid)."""
+    from pubmed_and_method_spark.session import get_spark
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "RESULTS.md"
+    )
+    with open(path) as f:
+        cur = f.read()
+    anchor = "## Fellegi-Sunter parameters"
+    head, sep, tail = cur.partition(anchor)
+    if not sep:
+        anchor = "## ANN recall grid"
+        head, sep, tail = cur.partition(anchor)
+    if not sep:
+        print("no splice anchor found; run the full report", file=sys.stderr)
+        return 1
+    b_head, b_sep, _ = head.partition(
+        "## Review budget + uncertainty: progressive recall and the F1 band"
+    )
+    if b_sep:
+        head = b_head
+    spark = get_spark(app_name="results_report_budget", cores="16")
+    lines = budget_section(spark)
+    out = head + "\n".join(lines) + "\n\n" + sep + tail
+    with open(path, "w") as f:
+        f.write(out)
+    print("\n".join(lines))
+    return 0
+
+
 def only_lenses() -> int:
     """Regenerate ONLY the evaluation-lenses section (`--only-lenses`):
     splices before the Fellegi-Sunter section (or the ANN grid)."""
@@ -780,6 +959,8 @@ def main() -> int:
         return only_clust()
     if "--only-lenses" in sys.argv:
         return only_lenses()
+    if "--only-budget" in sys.argv:
+        return only_budget()
     if "--assemble" in sys.argv:
         return assemble()
     if "--section" in sys.argv:
