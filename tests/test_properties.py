@@ -322,3 +322,55 @@ def test_incremental_assignment_matches_bruteforce(spark, fixture):
                 continue
         want[i] = (i, 1, 0, 0)
     assert got == want
+
+
+pr_pairs = st.lists(
+    st.tuples(
+        st.sampled_from([0.1, 0.25, 0.5, 0.9]),  # few values -> ties
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(pr_pairs)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_progressive_recall_matches_bruteforce(spark, pairs):
+    """q98's two-level rank (distinct-score offsets + per-score tie
+    windows) equals the literal sorted-list model at every cut on
+    random tie-heavy fixtures."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        progressive_recall,
+    )
+
+    rows = [
+        (s, int(y), f"m{j:02d}", f"n{j:02d}")
+        for j, (s, y) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "score double, same_entity int, mention_id1 string, "
+        "mention_id2 string",
+    )
+    n_steps = 4
+    got = {
+        r.examined: (r.tp, r.recall, r.precision, r.lift)
+        for r in progressive_recall(df, n_steps=n_steps).collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[0], r[2], r[3]))
+    n = len(order)
+    p = sum(r[1] for r in order)
+    want = {}
+    for i in range(1, n_steps + 1):
+        k = -((-i * n) // n_steps)  # ceil
+        tp = sum(r[1] for r in order[:k])
+        rec = round(tp / p, 6) if p else 0.0
+        want[k] = (
+            tp,
+            rec,
+            round(tp / k, 6),
+            round((tp / p) / (k * 1.0 / n), 6) if p else 0.0,
+        )
+    assert got == want
