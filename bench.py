@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q94_incremental_assignment",
     "q98_progressive_recall",
     "q99_f1_subsample_ci",
+    "q100_linkage_waterfall",
 ]
 
 

@@ -211,6 +211,10 @@ AUDIT = [
     # conditional-sum HashAggregate; the grid join broadcasts
     # n_replicates rows — no per-replicate pass, never cartesian
     ("q99_f1_subsample_ci", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # linkage waterfall: per tier one filter + two id-keyed hash
+    # anti-joins on the consumed-id set (localCheckpoint-pinned);
+    # never cartesian
+    ("q100_linkage_waterfall", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 

@@ -33,7 +33,7 @@ lets a SQL oracle unroll the identical rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -114,3 +114,52 @@ def greedy_one_to_one(
         F.col("s").alias(score_col),
         "round_matched",
     )
+
+
+def linkage_waterfall(
+    pairs: DataFrame,
+    tiers: list[tuple[str, Column]],
+    id1_col: str = "mention_id1",
+    id2_col: str = "mention_id2",
+) -> DataFrame:
+    """Tiered linkage waterfall (the census/Splink production cascade;
+    Winkler's multi-pass design): run DETERMINISTIC passes first, and
+    every record matched by an earlier pass is CONSUMED — later tiers
+    only see pairs whose both endpoints are still unmatched.  The
+    reference scores every candidate pair with one model
+    unconditionally; a production linkage spends its cheap exact
+    rules first and its probabilistic budget only on what survives
+    them.
+
+    ``tiers`` is an ordered list of (name, boolean Column over the
+    pair row).  Within a tier ALL qualifying pairs match
+    simultaneously (no order dependence); between tiers, consumption
+    is two hash anti-joins per tier on the matched-id set — a fixed
+    small number of id-keyed exchanges on a strictly shrinking pair
+    table, no global sort, no driver state.  Matched-id sets are
+    localCheckpoint-pinned so tier t+1 never recomputes tier t's
+    filter chain.
+
+    Returns (id1, id2, tier) for every matched pair, tier = the FIRST
+    tier whose rule fired with both endpoints alive.
+    """
+    out = None
+    remaining = pairs
+    for name, cond in tiers:
+        hit = remaining.filter(cond)
+        tier_rows = hit.select(
+            F.col(id1_col), F.col(id2_col), F.lit(name).alias("tier")
+        )
+        out = tier_rows if out is None else out.unionByName(tier_rows)
+        ids = (
+            hit.select(F.col(id1_col).alias("__id"))
+            .unionByName(hit.select(F.col(id2_col).alias("__id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        remaining = remaining.join(
+            ids.select(F.col("__id").alias(id1_col)), id1_col, "left_anti"
+        ).join(
+            ids.select(F.col("__id").alias(id2_col)), id2_col, "left_anti"
+        )
+    return out

@@ -7388,6 +7388,115 @@ ORACLES["q99_f1_subsample_ci"] = f"""
 """
 
 
+@q("q100_linkage_waterfall")
+def q100(spark, sf):
+    """Tiered linkage waterfall (operators/linkage.linkage_waterfall;
+    Winkler's multi-pass census design): deterministic passes first —
+    full agreement (exact AS-SHOWN name + exact tool profile), then
+    name-only — each CONSUMING its matched records, with the FS
+    probabilistic link rule (q67) spending its budget only on the
+    survivors.  The reference scores every candidate pair with one
+    model unconditionally (src/model/classification.py); a production
+    cascade prices cheap exact rules first — and on the clean seed
+    corpus the deterministic passes resolve everything (fs tier: 0
+    rows), the same cheap-rule-dominance signal as q97's exact-key
+    subsumption.  Consumption = two id-keyed hash anti-joins per tier
+    on a shrinking pair table; within a tier all qualifying pairs
+    fire simultaneously, so the result is order-free and DuckDB
+    re-derives every tier membership and consumption set."""
+    from pubmed_and_method_spark.operators.linkage import (
+        linkage_waterfall,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42)
+    attrs = build_signatures(t, tfidf=False).select(
+        "mention_id", "given_name_shown", "surname", "tool_profile"
+    )
+    pairs = scored.join(
+        attrs.select(
+            F.col("mention_id").alias("mention_id1"),
+            F.col("given_name_shown").alias("__g1"),
+            F.col("surname").alias("__s1"),
+            F.col("tool_profile").alias("__t1"),
+        ),
+        "mention_id1",
+    ).join(
+        attrs.select(
+            F.col("mention_id").alias("mention_id2"),
+            F.col("given_name_shown").alias("__g2"),
+            F.col("surname").alias("__s2"),
+            F.col("tool_profile").alias("__t2"),
+        ),
+        "mention_id2",
+    )
+    name_eq = (
+        (F.col("__g1") == F.col("__g2"))
+        & (F.col("__s1") == F.col("__s2"))
+        & (F.col("__g1") != "")
+        & (F.col("__s1") != "")
+    )
+    tools_eq = (F.col("__t1") == F.col("__t2")) & (F.size("__t1") > 0)
+    tiers = [
+        ("full_agree", name_eq & tools_eq),
+        ("name_exact", name_eq),
+        ("fs_link", F.col("decision") == "link"),
+    ]
+    return linkage_waterfall(pairs, tiers)
+
+
+ORACLES["q100_linkage_waterfall"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    {_NAMES_CTE_SQL},
+    sigt AS (
+        SELECT conv_id,
+               coalesce(list_sort(list_distinct(
+                   list(tool) FILTER (WHERE tool <> ''))),
+                        CAST([] AS VARCHAR[])) AS tools
+        FROM t GROUP BY conv_id),
+    attrs AS (
+        SELECT k.conv_id || '#assistant' AS mid,
+               k.given_raw AS given_name, k.surname, s.tools
+        FROM nk k JOIN sigt s ON s.conv_id = k.conv_id),
+    p AS MATERIALIZED (
+        SELECT q67.mention_id1 AS m1, q67.mention_id2 AS m2,
+               q67.decision,
+               a1.given_name AS g1, a1.surname AS s1, a1.tools AS ts1,
+               a2.given_name AS g2, a2.surname AS s2, a2.tools AS ts2
+        FROM q67
+        JOIN attrs a1 ON a1.mid = q67.mention_id1
+        JOIN attrs a2 ON a2.mid = q67.mention_id2),
+    t1 AS MATERIALIZED (
+        SELECT m1, m2 FROM p
+        WHERE g1 = g2 AND s1 = s2 AND g1 <> '' AND s1 <> ''
+          AND ts1 = ts2 AND len(ts1) > 0),
+    c1 AS MATERIALIZED (
+        SELECT m1 AS m FROM t1 UNION SELECT m2 FROM t1),
+    t2 AS MATERIALIZED (
+        SELECT m1, m2 FROM p
+        WHERE g1 = g2 AND s1 = s2 AND g1 <> '' AND s1 <> ''
+          AND m1 NOT IN (SELECT m FROM c1)
+          AND m2 NOT IN (SELECT m FROM c1)),
+    c2 AS MATERIALIZED (
+        SELECT m FROM c1
+        UNION SELECT m1 FROM t2 UNION SELECT m2 FROM t2),
+    t3 AS (
+        SELECT m1, m2 FROM p
+        WHERE decision = 'link'
+          AND m1 NOT IN (SELECT m FROM c2)
+          AND m2 NOT IN (SELECT m FROM c2))
+    SELECT m1 AS mention_id1, m2 AS mention_id2,
+           'full_agree' AS tier FROM t1
+    UNION ALL
+    SELECT m1, m2, 'name_exact' AS tier FROM t2
+    UNION ALL
+    SELECT m1, m2, 'fs_link' AS tier FROM t3
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -1374,3 +1374,37 @@ def test_greedy_blocking_scheme_hand_computed(spark):
     dup = df.unionByName(df)
     again = greedy_blocking_scheme(dup, total_true=4).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_linkage_waterfall_consumption(spark):
+    """Tier semantics by hand: all qualifying pairs fire SIMULTANEOUSLY
+    within a tier, and records matched by an earlier tier are consumed
+    — a later tier's rule firing on a consumed endpoint yields no
+    match."""
+    from pyspark.sql import functions as F
+
+    from pubmed_and_method_spark.operators.linkage import (
+        linkage_waterfall,
+    )
+
+    rows = [
+        ("x", "y", True, False, False),   # tier a
+        ("x", "z", False, True, True),    # x consumed at tier a -> none
+        ("u", "v", False, True, False),   # tier b
+        ("u", "w", False, False, True),   # u consumed at tier b -> none
+        ("p", "q", False, False, True),   # tier c
+        ("r", "s", False, False, False),  # no rule fires
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "mention_id1 string, mention_id2 string, ca boolean, "
+        "cb boolean, cc boolean",
+    )
+    got = {
+        (r.mention_id1, r.mention_id2): r.tier
+        for r in linkage_waterfall(
+            df,
+            [("a", F.col("ca")), ("b", F.col("cb")), ("c", F.col("cc"))],
+        ).collect()
+    }
+    assert got == {("x", "y"): "a", ("u", "v"): "b", ("p", "q"): "c"}
