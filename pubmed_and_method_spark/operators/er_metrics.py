@@ -471,6 +471,181 @@ def cluster_agreement_metrics(
     )
 
 
+def merge_distance_metrics(
+    assignments: DataFrame,
+    cluster_col: str = "cluster",
+    truth_col: str = "entity_id",
+) -> DataFrame:
+    """One-row EDIT-DISTANCE view of clustering error: generalized
+    merge distance (GMD, Menestrina/Whang/Garcia-Molina VLDB 2010)
+    with unit costs, plus variation of information (Meilă 2003).
+
+    The score metrics (pairwise F1, B-cubed, V-measure — q63/q76)
+    say HOW WRONG a clustering is; GMD says HOW MUCH WORK fixes it —
+    the minimum number of cluster split + merge operations turning
+    the predicted partition into truth, which is exactly the clerical
+    workload a repair queue drains.  With unit costs the optimum
+    decomposes per contingency cell: a predicted cluster spanning k
+    gold entities needs k−1 splits (cut it into its pure fragments);
+    a gold entity scattered over m fragments needs m−1 merges.  VI =
+    H(truth|pred) + H(pred|truth) is the metric-space companion (a
+    true metric on partitions, unlike F1), normalized here by ln N to
+    [0, 1] for cross-corpus comparison.
+
+    Same O(cells) skeleton as ``cluster_agreement_metrics``: ONE
+    (cluster, entity) groupBy with map-side partial agg builds the
+    cells; splits/merges are groupBys OF the cells (distinct-partner
+    counts per marginal); no per-member pair expansion anywhere, so
+    the plan holds at 10^12 mentions.  Empty input yields one all-zero
+    row; integer outputs are exact, floats round-6 on both engines.
+    """
+    cells = assignments.groupBy(cluster_col, truth_col).agg(
+        F.count(F.lit(1)).alias("n_ce")
+    )
+    cl = cells.groupBy(cluster_col).agg(
+        F.sum("n_ce").alias("n_c"), F.count(F.lit(1)).alias("k_c")
+    )
+    en = cells.groupBy(truth_col).agg(
+        F.sum("n_ce").alias("n_e"), F.count(F.lit(1)).alias("k_e")
+    )
+    j = cells.join(cl, cluster_col).join(en, truth_col)
+    sums = j.agg(
+        F.coalesce(F.sum("n_ce"), F.lit(0)).alias("n"),
+        F.sum(F.col("n_ce") * F.log(F.col("n_ce") / F.col("n_c"))).alias(
+            "lec"
+        ),
+        F.sum(F.col("n_ce") * F.log(F.col("n_ce") / F.col("n_e"))).alias(
+            "lce"
+        ),
+    )
+    cl_sum = cl.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.sum(F.col("k_c") - 1), F.lit(0)).alias("n_splits"),
+    )
+    en_sum = en.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.coalesce(F.sum(F.col("k_e") - 1), F.lit(0)).alias("n_merges"),
+    )
+    row = sums.crossJoin(F.broadcast(cl_sum)).crossJoin(F.broadcast(en_sum))
+    n = F.col("n")
+    vi = F.when(
+        n > 0, -F.col("lec") / n - F.col("lce") / n
+    ).otherwise(F.lit(0.0))
+    vi_norm = F.when(n > 1, vi / F.log(n)).otherwise(F.lit(0.0))
+    return row.select(
+        n.cast("long").alias("n_items"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.col("n_splits").cast("long").alias("n_splits"),
+        F.col("n_merges").cast("long").alias("n_merges"),
+        (F.col("n_splits") + F.col("n_merges")).cast("long").alias("gmd"),
+        F.round(vi, 6).alias("vi"),
+        F.round(vi_norm, 6).alias("vi_norm"),
+    )
+
+
+def calibration_table(
+    scored: DataFrame,
+    score_col: str = "llr",
+    label_col: str = "same_entity",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + Brier/ECE for a pair scorer: is the score
+    an honest probability?
+
+    The reference thresholds classifier scores at sklearn's fixed 0.5
+    (src/model/classification.py predict) and never asks whether 0.8
+    MEANS an 80% match chance — but every downstream consumer of an
+    ER score (the q84 review queue's uncertainty ordering, the q100
+    waterfall's tier cut, a human setting a precision bar) implicitly
+    assumes calibration.  This operator converts Fellegi-Sunter
+    log-likelihood ratios to posterior probabilities via the labeled
+    prior odds (p = 1 / (1 + 2^{-(llr + log2(prior_odds))}) — exact
+    Bayes under the FS independence model), bins pairs by predicted
+    probability, and reports per-bin predicted-vs-empirical match
+    rate plus the two standard scalar summaries: Brier score (mean
+    squared error of p against the 0/1 label) and expected
+    calibration error (bin-size-weighted |empirical − predicted|).
+
+    Determinism contract: per-pair posteriors are rounded to 6
+    decimals BEFORE any aggregation so both engines bin identical
+    values; per-bin rates are rounded before the gap/ECE arithmetic,
+    making ECE a pure function of the (already engine-exact) bin
+    table.  Scale: one global 1-row prior (broadcast), one
+    map-side-combining groupBy on the bin index, and a 1-row summary
+    crossJoin — O(pairs) with nothing driver-side, so the plan is
+    unchanged at 10^12 scored pairs.
+    """
+    y = F.col(label_col).cast("int")
+    tot = scored.agg(
+        F.coalesce(F.sum(y), F.lit(0)).alias("nm"),
+        F.coalesce(F.sum(1 - y), F.lit(0)).alias("nn"),
+    )
+    lpo = F.when(
+        (F.col("nm") > 0) & (F.col("nn") > 0),
+        F.round(F.log2(F.col("nm") / F.col("nn")), 6),
+    ).otherwise(F.lit(0.0))
+    base = scored.crossJoin(F.broadcast(tot.select(lpo.alias("lpo"))))
+    p = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.pow(F.lit(2.0), -(F.col(score_col) + F.col("lpo")))
+        ),
+        6,
+    )
+    w = base.select(
+        F.least(
+            F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    bins = (
+        w.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("y").alias("n_match"),
+            F.sum("p").alias("__sp"),
+            F.sum((F.col("p") - F.col("y")) ** 2).alias("__sq"),
+        )
+        .select(
+            "bin",
+            "n_pairs",
+            "n_match",
+            F.round(F.col("n_match") / F.col("n_pairs"), 6).alias(
+                "match_rate"
+            ),
+            F.round(F.col("__sp") / F.col("n_pairs"), 6).alias("avg_post"),
+            F.col("__sq"),
+        )
+        .withColumn(
+            "gap",
+            F.round(F.abs(F.col("match_rate") - F.col("avg_post")), 6),
+        )
+    )
+    glob = bins.agg(
+        F.round(F.sum("__sq") / F.sum("n_pairs"), 6).alias("brier"),
+        F.round(
+            F.sum(F.col("n_pairs") * F.col("gap")) / F.sum("n_pairs"), 6
+        ).alias("ece"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(glob))
+        .select(
+            "bin",
+            "n_pairs",
+            "n_match",
+            "match_rate",
+            "avg_post",
+            "gap",
+            "brier",
+            "ece",
+        )
+        .orderBy("bin")
+    )
+
+
 def fs_weights(
     pairs: DataFrame,
     agreement_cols: list[str],

@@ -7497,6 +7497,224 @@ ORACLES["q100_linkage_waterfall"] = f"""
 """
 
 
+@q(
+    "q101_merge_distance",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    a AS (
+        SELECT nk.block_key AS cluster, tr.entity_id
+        FROM nk JOIN tr USING (conv_id)
+        WHERE nk.block_key <> '__unblocked__'),
+    cells AS (
+        SELECT cluster, entity_id, count(*) AS n_ce
+        FROM a GROUP BY 1, 2),
+    cl AS (SELECT cluster, sum(n_ce) AS n_c, count(*) AS k_c
+           FROM cells GROUP BY 1),
+    en AS (SELECT entity_id, sum(n_ce) AS n_e, count(*) AS k_e
+           FROM cells GROUP BY 1),
+    j AS (
+        SELECT c.n_ce, cl.n_c, en.n_e
+        FROM cells c JOIN cl USING (cluster) JOIN en USING (entity_id)),
+    s AS (
+        SELECT coalesce(sum(n_ce), 0) AS n,
+               sum(n_ce * ln(n_ce * 1.0 / n_c)) AS lec,
+               sum(n_ce * ln(n_ce * 1.0 / n_e)) AS lce
+        FROM j),
+    m AS (
+        SELECT (SELECT count(*) FROM cl) AS n_clusters,
+               (SELECT coalesce(sum(k_c - 1), 0) FROM cl) AS n_splits,
+               (SELECT count(*) FROM en) AS n_entities,
+               (SELECT coalesce(sum(k_e - 1), 0) FROM en) AS n_merges)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_entities AS BIGINT) AS n_entities,
+           CAST(n_splits AS BIGINT) AS n_splits,
+           CAST(n_merges AS BIGINT) AS n_merges,
+           CAST(n_splits + n_merges AS BIGINT) AS gmd,
+           round(CASE WHEN n > 0 THEN -lec / n - lce / n
+                      ELSE 0.0 END, 6) AS vi,
+           round(CASE WHEN n > 1
+                      THEN (-lec / n - lce / n) / ln(n)
+                      ELSE 0.0 END, 6) AS vi_norm
+    FROM s CROSS JOIN m
+    """,
+)
+def q101(spark, sf):
+    """Generalized merge distance + variation of information
+    (operators/er_metrics.merge_distance_metrics) of the exact-name
+    blocking partition against planted truth on the HARD
+    (typo-planted, homonym-planted) corpus — the EDIT view of
+    clustering error: n_splits counts the homonym blocks that must be
+    cut (one block spanning k entities costs k−1 splits), n_merges
+    the typo-severed fragments that must be re-joined, gmd their sum
+    — the exact clerical workload a repair queue drains, which the
+    score metrics (q63 B-cubed/V-measure, q76 ARI, pairwise F1 —
+    src/model/classification.py) cannot express.  VI is the
+    metric-space companion (a true metric on partitions).  Same
+    O(cells) one-groupBy skeleton as q63 — no pair expansion at
+    10^12 mentions — and DuckDB re-derives every cell, marginal
+    distinct-count, entropy term, and guard."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        merge_distance_metrics,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    assign = (
+        build_signatures(t, tfidf=False)
+        .filter(F.col("block_key") != "__unblocked__")
+        .select("conv_id", F.col("block_key").alias("cluster"))
+        .join(g.select("conv_id", "entity_id"), "conv_id")
+    )
+    return merge_distance_metrics(assign, "cluster", "entity_id")
+
+
+def q102(spark, sf):
+    """Score CALIBRATION audit of the Fellegi-Sunter scorer
+    (operators/er_metrics.calibration_table): q67's pair LLRs become
+    Bayes posteriors via the labeled prior odds, and the reliability
+    table answers the question the reference never asks of its fixed
+    sklearn 0.5 cut (src/model/classification.py) — does a predicted
+    80% mean an empirical 80%?  Per-posterior-bin predicted-vs-
+    empirical match rate plus Brier score and expected calibration
+    error, the two standard scalar summaries; this is the audit that
+    licenses (or indicts) using the score as a review-queue ordering
+    (q84) or a waterfall tier cut (q100).  One broadcast 1-row prior,
+    one map-side-combining bin groupBy, one 1-row summary crossJoin —
+    O(pairs) at 10^12; per-pair posteriors round-6 before any
+    aggregation so DuckDB re-derives every bin, rate, gap, and both
+    summaries exactly."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        calibration_table,
+    )
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    return calibration_table(
+        scored, score_col="llr", label_col="same_entity", n_bins=10
+    )
+
+
+_CAL_P_SQL = "round(1.0 / (1.0 + pow(2.0, -(llr + lpo))), 6)"
+
+QUERIES["q102_fs_calibration"] = q102
+ORACLES["q102_fs_calibration"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    tot AS (
+        SELECT coalesce(sum(same_entity), 0) AS nm,
+               coalesce(sum(1 - same_entity), 0) AS nn
+        FROM q67),
+    pr AS (
+        SELECT CASE WHEN nm > 0 AND nn > 0
+                    THEN round(log2(nm * 1.0 / nn), 6)
+                    ELSE 0.0 END AS lpo
+        FROM tot),
+    w AS (
+        SELECT least(CAST(floor({_CAL_P_SQL} * 10) AS INTEGER), 9) AS bin,
+               {_CAL_P_SQL} AS p,
+               same_entity AS y
+        FROM q67 CROSS JOIN pr),
+    bins AS (
+        SELECT bin, count(*) AS n_pairs, sum(y) AS n_match,
+               round(sum(y) * 1.0 / count(*), 6) AS match_rate,
+               round(sum(p) / count(*), 6) AS avg_post,
+               sum((p - y) * (p - y)) AS sq
+        FROM w GROUP BY bin),
+    b2 AS (
+        SELECT bin, n_pairs, n_match, match_rate, avg_post,
+               round(abs(match_rate - avg_post), 6) AS gap, sq
+        FROM bins),
+    g AS (
+        SELECT round(sum(sq) / sum(n_pairs), 6) AS brier,
+               round(sum(n_pairs * gap) / sum(n_pairs), 6) AS ece
+        FROM b2)
+    SELECT bin, n_pairs, n_match, match_rate, avg_post, gap, brier, ece
+    FROM b2 CROSS JOIN g
+"""
+
+
+def _q103_oracle() -> str:
+    from pubmed_and_method_spark.functions.names import phonetic_key_sql
+
+    return f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    members AS (
+        SELECT CASE WHEN substr(md5(conv_id), 1, 2) < '80'
+                    THEN 'a' ELSE 'b' END AS snap,
+               block_key,
+               {phonetic_key_sql("surname")} || '_' || given_raw AS mk
+        FROM nk WHERE block_key <> '__unblocked__'),
+    ga AS (SELECT DISTINCT block_key AS group_a, mk
+           FROM members WHERE snap = 'a'),
+    gb AS (SELECT DISTINCT block_key AS group_b, mk
+           FROM members WHERE snap = 'b'),
+    na AS (SELECT group_a, count(*) AS n_a FROM ga GROUP BY 1),
+    nb AS (SELECT group_b, count(*) AS n_b FROM gb GROUP BY 1),
+    common AS (
+        SELECT group_a, group_b, count(*) AS n_common
+        FROM ga JOIN gb USING (mk) GROUP BY 1, 2)
+    SELECT group_a, group_b, n_a, n_b, n_common,
+           round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+    FROM common JOIN na USING (group_a) JOIN nb USING (group_b)
+    WHERE n_common >= 0.2 * (n_a + n_b - n_common)
+    """
+
+
+@q("q103_group_linkage", _q103_oracle())
+def q103(spark, sf):
+    """GROUP linkage across two disjoint corpus snapshots
+    (operators/group_linkage.group_linkage, On et al. ICDE 2007): the
+    hard corpus splits 50/50 by md5(conv_id) — no conversation is
+    shared — and each snapshot's exact-name blocks link to the other
+    side's by the Jaccard of their member-key sets (member key =
+    typo-absorbing phonetic surname + shown given name, q61's key).
+    This is the snapshot-reconciliation question the reference cannot
+    ask (it links record-to-record within one corpus,
+    database/link_pubmed_to_aminer_amg_s2.sql) and q83's churn cannot
+    answer (churn keys on SHARED mention ids; snapshots share none):
+    a typo-severed block in one snapshot links to its clean twin in
+    the other because the phonetic member keys still collide.  One
+    member-key equi-join + one group-pair groupBy — candidate group
+    pairs exist only where a key is shared, exactly like a blocking
+    pass; the promiscuous-key cap (``max_key_freq``) is the skew
+    valve at 10^12.  All counts integer-exact; the 0.2 threshold is
+    an integer-vs-product comparison; DuckDB re-derives every set,
+    size, and ratio."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.group_linkage import (
+        group_linkage,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42, hardness=0.7)
+    members = (
+        build_signatures(t, tfidf=False)
+        .filter(F.col("block_key") != "__unblocked__")
+        .select(
+            (F.substring(F.md5(F.col("conv_id")), 1, 2) < "80").alias(
+                "__snap_a"
+            ),
+            "block_key",
+            F.concat(
+                phonetic_key("surname"),
+                F.lit("_"),
+                F.col("given_name_shown"),
+            ).alias("member_key"),
+        )
+    )
+    return group_linkage(
+        members.filter(F.col("__snap_a")),
+        members.filter(~F.col("__snap_a")),
+        group_col="block_key",
+        member_col="member_key",
+        min_jaccard=0.2,
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

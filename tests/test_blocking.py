@@ -1408,3 +1408,134 @@ def test_linkage_waterfall_consumption(spark):
         ).collect()
     }
     assert got == {("x", "y"): "a", ("u", "v"): "b", ("p", "q"): "c"}
+
+
+def test_merge_distance_hand_computed(spark):
+    """{A:[e1,e1,e2], B:[e1], C:[e3]}: A spans 2 entities (1 split),
+    e1 spans 2 clusters (1 merge) -> gmd 2; VI re-derived from the
+    same cells with math.log in the test body."""
+    import math
+
+    from pubmed_and_method_spark.operators.er_metrics import (
+        merge_distance_metrics,
+    )
+
+    rows = [
+        ("A", "e1"), ("A", "e1"), ("A", "e2"), ("B", "e1"), ("C", "e3"),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, entity_id string")
+    r = merge_distance_metrics(df).collect()[0]
+    assert (r.n_items, r.n_clusters, r.n_entities) == (5, 3, 3)
+    assert (r.n_splits, r.n_merges, r.gmd) == (1, 1, 2)
+    # H(E|C): cells (A,e1,2)/n_c=3, (A,e2,1)/3, (B,e1,1)/1, (C,e3,1)/1
+    lec = 2 * math.log(2 / 3) + math.log(1 / 3)
+    # H(C|E): n_e(e1)=3 -> (A,e1,2): ln(2/3), (B,e1,1): ln(1/3)
+    lce = 2 * math.log(2 / 3) + math.log(1 / 3)
+    vi = (-lec - lce) / 5
+    assert r.vi == round(vi, 6)
+    assert r.vi_norm == round(vi / math.log(5), 6)
+
+
+def test_merge_distance_perfect_and_empty(spark):
+    """A clustering identical to truth needs zero edits and has VI 0;
+    empty input yields one all-zero row."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        merge_distance_metrics,
+    )
+
+    perfect = spark.createDataFrame(
+        [("A", "e1"), ("A", "e1"), ("B", "e2")],
+        "cluster string, entity_id string",
+    )
+    r = merge_distance_metrics(perfect).collect()[0]
+    assert (r.n_splits, r.n_merges, r.gmd) == (0, 0, 0)
+    assert (r.vi, r.vi_norm) == (0.0, 0.0)
+
+    empty = spark.createDataFrame([], "cluster string, entity_id string")
+    r = merge_distance_metrics(empty).collect()[0]
+    assert (r.n_items, r.n_splits, r.n_merges, r.gmd) == (0, 0, 0, 0)
+    assert (r.vi, r.vi_norm) == (0.0, 0.0)
+
+
+def test_calibration_hand_computed(spark):
+    """Balanced prior (lpo = 0): llr +-2 -> posteriors 0.8 / 0.2, so
+    bins 8 and 2; every rate, gap, Brier, and ECE re-derived by
+    hand."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        calibration_table,
+    )
+
+    rows = [(2.0, 1), (2.0, 1), (-2.0, 0), (-2.0, 0)]
+    df = spark.createDataFrame(rows, "llr double, same_entity int")
+    got = {r.bin: r for r in calibration_table(df).collect()}
+    assert set(got) == {2, 8}
+    hi, lo = got[8], got[2]
+    assert (hi.n_pairs, hi.n_match, hi.match_rate, hi.avg_post) == (
+        2, 2, 1.0, 0.8,
+    )
+    assert (lo.n_pairs, lo.n_match, lo.match_rate, lo.avg_post) == (
+        2, 0, 0.0, 0.2,
+    )
+    assert hi.gap == lo.gap == 0.2
+    # Brier: (2*(0.8-1)^2 + 2*(0.2-0)^2)/4; ECE: (2*0.2 + 2*0.2)/4
+    assert hi.brier == lo.brier == 0.04
+    assert hi.ece == lo.ece == 0.2
+
+
+def test_calibration_prior_odds(spark):
+    """Unbalanced labels shift the posterior by the prior log-odds:
+    all-zero LLRs land every pair at the base rate, a perfectly
+    calibrated (gap 0) single bin."""
+    import math
+
+    from pubmed_and_method_spark.operators.er_metrics import (
+        calibration_table,
+    )
+
+    rows = [(0.0, 1)] + [(0.0, 0)] * 3
+    df = spark.createDataFrame(rows, "llr double, same_entity int")
+    out = calibration_table(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    lpo = round(math.log2(1 / 3), 6)
+    p = round(1 / (1 + 2 ** (-lpo)), 6)
+    assert r.bin == int(p * 10)
+    assert (r.n_pairs, r.n_match, r.match_rate) == (4, 1, 0.25)
+    assert r.avg_post == p
+    assert r.gap == round(abs(0.25 - p), 6)
+
+
+def test_group_linkage_hand_computed(spark):
+    """A1{k1,k2,k3} x B1{k1,k2} -> 2/3; A2{k4} x B2{k4,k5} -> 1/2;
+    duplicate member rows dedupe (set semantics); min_jaccard
+    filters; the stop-key cap drops promiscuous keys."""
+    from pubmed_and_method_spark.operators.group_linkage import (
+        group_linkage,
+    )
+
+    a = spark.createDataFrame(
+        [("A1", "k1"), ("A1", "k1"), ("A1", "k2"), ("A1", "k3"),
+         ("A2", "k4")],
+        "group_id string, member_key string",
+    )
+    b = spark.createDataFrame(
+        [("B1", "k1"), ("B1", "k2"), ("B2", "k4"), ("B2", "k5"),
+         ("B3", "k9")],
+        "group_id string, member_key string",
+    )
+    got = {
+        (r.group_a, r.group_b): r
+        for r in group_linkage(a, b).collect()
+    }
+    assert set(got) == {("A1", "B1"), ("A2", "B2")}
+    r = got[("A1", "B1")]
+    assert (r.n_a, r.n_b, r.n_common) == (3, 2, 2)
+    assert r.jaccard == round(2 / 3, 6)
+    assert got[("A2", "B2")].jaccard == 0.5
+
+    only_hi = group_linkage(a, b, min_jaccard=0.6).collect()
+    assert [(r.group_a, r.group_b) for r in only_hi] == [("A1", "B1")]
+
+    # max_key_freq=1 drops every shared key (each appears twice across
+    # the deduped sides), leaving no candidate pairs at all.
+    assert group_linkage(a, b, max_key_freq=1).count() == 0
