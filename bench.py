@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "q98_progressive_recall",
     "q99_f1_subsample_ci",
     "q100_linkage_waterfall",
+    "q101_merge_distance",
+    "q102_fs_calibration",
+    "q103_group_linkage",
 ]
 
 

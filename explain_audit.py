@@ -215,6 +215,17 @@ AUDIT = [
     # anti-joins on the consumed-id set (localCheckpoint-pinned);
     # never cartesian
     ("q100_linkage_waterfall", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # merge distance / VI: ONE (cluster,entity) cell HashAggregate,
+    # marginals are groupBys OF the cells, 1-row summaries broadcast-
+    # crossJoin (BNLJ on 1 row is fine); never a pair expansion
+    ("q101_merge_distance", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # calibration: 1-row prior broadcast + ONE bin HashAggregate +
+    # 1-row summary; O(pairs), never cartesian
+    ("q102_fs_calibration", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # group linkage: member-key equi-join (hash join, candidate group
+    # pairs only where a key is shared) + group-pair HashAggregate;
+    # never a cartesian over groups
+    ("q103_group_linkage", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
