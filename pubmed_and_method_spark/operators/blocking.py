@@ -536,3 +536,91 @@ def greedy_blocking_scheme(
         " marginal_true long, cum_candidates long, cum_true long,"
         " cum_recall double",
     )
+
+
+def suffix_blocking_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    min_suffix_len: int = 4,
+    max_block_size: int = 50,
+) -> DataFrame:
+    """Suffix-array blocking (de Vries et al., "Robust record linkage
+    blocking using suffix arrays", CIKM'09): every string keys into
+    one block per suffix of length >= ``min_suffix_len`` (a string
+    shorter than that keys on itself whole), suffixes whose block
+    would exceed ``max_block_size`` records are DROPPED entirely (the
+    RSA promiscuous-suffix rule — "son"/"man" name endings would
+    otherwise pair half the corpus), and candidates are the distinct
+    within-block pairs.  Complementary to the other typo passes: a
+    PREFIX disturbance of any length (dropped particle "vandenberg"
+    -> "berg", truncated OCR head, glued initial) lands both forms in
+    the shared-suffix block, while del1 (OSA-1, q85) only covers one
+    edit and SNB (q68) needs sort-adjacency — and symmetrically it
+    never recovers a suffix typo, which is exactly what q85 covers.
+
+    The pair predicate is EXACT, not heuristic: a pair survives iff
+    its common suffix reaches ``min_suffix_len`` (or a short string
+    matches whole) AND some shared suffix block is under the cap, so
+    no verify pass is needed; ``common_suffix_len`` is emitted as the
+    match evidence.
+
+    Scale shape: suffixes per string = O(len) — a bounded explode
+    like q85's deletion variants; the block-size cap is enforced with
+    ONE groupBy count on the suffix key plus a left-semi join (no
+    broadcast of the big side), and the self-join shuffles on the
+    suffix key where the cap bounds every bucket at
+    ``max_block_size``² pair work — the skew valve is structural, not
+    salted.  All substring arithmetic is native (whole-stage
+    codegen); DuckDB re-derives every suffix, cap, pair, and
+    common-suffix length.  Reference analog: the blocking ladder the
+    AND pipeline unions (database/and_datasets.sql:56-68 exact-key
+    blocks; this pass widens recall like src's lastname-initial
+    relaxations).
+    """
+    s = F.col(s_col)
+    n = F.length(s)
+    sufs = F.when(
+        n >= min_suffix_len,
+        F.transform(
+            F.sequence(F.lit(1), n - min_suffix_len + 1),
+            lambda i: s.substr(i, n),
+        ),
+    ).otherwise(F.array(s))
+    ev = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(sufs).alias("__v"),
+    )
+    ok = (
+        ev.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") <= max_block_size)
+        .select("__v")
+    )
+    ev = ev.join(ok, "__v", "left_semi")
+    a = ev.select(
+        F.col("__id").alias(f"{id_col}1"),
+        F.col("__s").alias(f"{s_col}1"),
+        "__v",
+    )
+    b = ev.select(
+        F.col("__id").alias(f"{id_col}2"),
+        F.col("__s").alias(f"{s_col}2"),
+        "__v",
+    )
+    pairs = (
+        a.join(b, "__v")
+        .filter(F.col(f"{id_col}1") < F.col(f"{id_col}2"))
+        .drop("__v")
+        .distinct()
+    )
+    c1, c2 = F.col(f"{s_col}1"), F.col(f"{s_col}2")
+    r1, r2 = F.reverse(c1), F.reverse(c2)
+    common = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.least(F.length(c1), F.length(c2))),
+            lambda i: r1.substr(F.lit(1), i) == r2.substr(F.lit(1), i),
+        )
+    )
+    return pairs.withColumn("common_suffix_len", common.cast("int"))

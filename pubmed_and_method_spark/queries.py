@@ -7715,6 +7715,102 @@ def q103(spark, sf):
     )
 
 
+@q(
+    "q104_suffix_blocking",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    members AS (
+        SELECT conv_id || '#assistant' AS mid, conv_id, surname
+        FROM nk WHERE block_key <> '__unblocked__'),
+    ev AS (
+        SELECT mid, conv_id, surname,
+               unnest(CASE WHEN len(surname) >= 4
+                      THEN list_transform(
+                          generate_series(1, len(surname) - 3),
+                          i -> substr(surname, i, len(surname)))
+                      ELSE [surname] END) AS v
+        FROM members),
+    ok AS (SELECT v FROM ev GROUP BY v HAVING count(*) <= 50),
+    ev2 AS (SELECT ev.* FROM ev JOIN ok USING (v)),
+    cand AS (
+        SELECT DISTINCT a.mid AS mention_id1, b.mid AS mention_id2,
+               a.conv_id AS c1, b.conv_id AS c2,
+               a.surname AS surname1, b.surname AS surname2
+        FROM ev2 a JOIN ev2 b ON a.v = b.v AND a.mid < b.mid)
+    SELECT mention_id1, mention_id2, surname1, surname2,
+           CAST(len(list_filter(
+               generate_series(1, least(len(surname1), len(surname2))),
+               i -> substr(reverse(surname1), 1, i)
+                    = substr(reverse(surname2), 1, i))) AS INTEGER)
+               AS common_suffix_len,
+           CAST(t1.entity_id = t2.entity_id AS INTEGER) AS same_entity
+    FROM cand
+    JOIN tr t1 ON t1.conv_id = cand.c1
+    JOIN tr t2 ON t2.conv_id = cand.c2
+    """,
+)
+def q104(spark, sf):
+    """Suffix-array blocking (operators/blocking.suffix_blocking_pairs,
+    de Vries et al. CIKM'09) on the HARD corpus: every surname keys
+    into one block per suffix of length >= 4, suffix blocks larger
+    than 50 records are dropped whole (the RSA promiscuous-suffix
+    rule — the structural skew valve), and the distinct within-block
+    pairs carry their exact common-suffix length as match evidence.
+    The PREFIX-disturbance complement of the typo ladder: del1 (q85)
+    proves OSA-1 recall but one edit only, phonetic (q61) is
+    heuristic, SNB (q68) needs sort-adjacency — a dropped particle or
+    glued initial of ANY length still shares the surname's tail here.
+    Labels joined from planted truth; DuckDB re-derives every
+    suffix, cap decision, pair, and common-suffix length."""
+    from pubmed_and_method_spark.operators.blocking import (
+        suffix_blocking_pairs,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    members = build_signatures(t, tfidf=False).filter(
+        F.col("block_key") != "__unblocked__"
+    )
+    pairs = suffix_blocking_pairs(
+        members.select("mention_id", "surname"),
+        "mention_id",
+        "surname",
+        min_suffix_len=4,
+        max_block_size=50,
+    )
+    tr = g.select(
+        F.concat("conv_id", F.lit("#assistant")).alias("mention_id"),
+        "entity_id",
+    )
+    return (
+        pairs.join(
+            tr.select(
+                F.col("mention_id").alias("mention_id1"),
+                F.col("entity_id").alias("e1"),
+            ),
+            "mention_id1",
+        )
+        .join(
+            tr.select(
+                F.col("mention_id").alias("mention_id2"),
+                F.col("entity_id").alias("e2"),
+            ),
+            "mention_id2",
+        )
+        .select(
+            "mention_id1",
+            "mention_id2",
+            "surname1",
+            "surname2",
+            "common_suffix_len",
+            (F.col("e1") == F.col("e2")).cast("int").alias("same_entity"),
+        )
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

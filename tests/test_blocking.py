@@ -1539,3 +1539,102 @@ def test_group_linkage_hand_computed(spark):
     # max_key_freq=1 drops every shared key (each appears twice across
     # the deduped sides), leaving no candidate pairs at all.
     assert group_linkage(a, b, max_key_freq=1).count() == 0
+
+
+def test_suffix_blocking_hand_computed(spark):
+    """RSA semantics by hand: a prefix disturbance of ANY length pairs
+    via the shared tail; no shared >=min_suffix_len tail -> no pair;
+    short strings key whole (equal shorts still pair); the block-size
+    cap drops a promiscuous suffix ENTIRELY."""
+    from pubmed_and_method_spark.operators.blocking import (
+        suffix_blocking_pairs,
+    )
+
+    rows = [
+        (1, "vandenberg"), (2, "berg"),      # dropped particle
+        (3, "smith"), (4, "smyth"),          # common tail "th" only
+        (5, "ith"),                          # short: keys whole
+        (7, "li"), (8, "li"),                # equal shorts pair
+    ]
+    df = spark.createDataFrame(rows, "mention_id long, surname string")
+    got = {
+        (r.mention_id1, r.mention_id2): r.common_suffix_len
+        for r in suffix_blocking_pairs(df, "mention_id", "surname").collect()
+    }
+    assert got == {(1, 2): 4, (7, 8): 2}
+
+    trio = spark.createDataFrame(
+        [(1, "mason"), (2, "jason"), (3, "cason")],
+        "mention_id long, surname string",
+    )
+    at3 = sorted(
+        (r.mention_id1, r.mention_id2)
+        for r in suffix_blocking_pairs(
+            trio, "mention_id", "surname", max_block_size=3
+        ).collect()
+    )
+    assert at3 == [(1, 2), (1, 3), (2, 3)]
+    # cap 2: the only shared suffix block ("ason") holds 3 records ->
+    # dropped whole, nothing pairs
+    at2 = suffix_blocking_pairs(
+        trio, "mention_id", "surname", max_block_size=2
+    ).collect()
+    assert at2 == []
+
+
+def test_suffix_blocking_equals_model(spark):
+    """Pair set == the brute-force RSA model (suffix inventory ->
+    cap-filtered eligible keys -> within-key pairs) on a seeded
+    pseudo-random corpus, including common_suffix_len."""
+    import random
+
+    from pubmed_and_method_spark.operators.blocking import (
+        suffix_blocking_pairs,
+    )
+
+    rng = random.Random(42)
+    frags = ["berg", "son", "de", "van", "wit", "man", "stra", "ko"]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randint(1, 3))))
+        for i in range(60)
+    ]
+    min_len, cap = 4, 12
+
+    def suffixes(s):
+        if len(s) < min_len:
+            return {s}
+        return {s[i:] for i in range(0, len(s) - min_len + 1)}
+
+    inv = {}
+    for i, s in rows:
+        for v in suffixes(s):
+            inv.setdefault(v, []).append(i)
+    eligible = {v: ids for v, ids in inv.items() if len(ids) <= cap}
+    want = set()
+    for ids in eligible.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    want.add((a, b))
+
+    def common_suffix(s1, s2):
+        n = 0
+        while (
+            n < min(len(s1), len(s2))
+            and s1[len(s1) - 1 - n] == s2[len(s2) - 1 - n]
+        ):
+            n += 1
+        return n
+
+    by_id = dict(rows)
+    df = spark.createDataFrame(rows, "mention_id long, surname string")
+    got = {
+        (r.mention_id1, r.mention_id2): r.common_suffix_len
+        for r in suffix_blocking_pairs(
+            df, "mention_id", "surname",
+            min_suffix_len=min_len, max_block_size=cap,
+        ).collect()
+    }
+    assert set(got) == want
+    for (a, b), n in got.items():
+        assert n == common_suffix(by_id[a], by_id[b])
