@@ -775,7 +775,11 @@ def run_pipeline(
     (KwikCluster-family parallel pivot,
     operators/pivot_clustering.py — diameter <= 2 like star but
     hash-"random" pivots instead of degree-greedy centers, the
-    correlation-clustering 3-approximation family).  RESULTS.md
+    correlation-clustering 3-approximation family), or 'hac'
+    (threshold-stopped average-link agglomerative merging within CC
+    pre-partitions, operators/hac.py — the AND literature's default
+    clustering family; exact despite the pre-partition because
+    cross-component linkage is 0).  RESULTS.md
     "Clustering strategy" quantifies the tradeoff: at tight cuts star
     contains chain welds (B3 F1 0.653 vs 0.488 on the 2000-entity
     hard corpus); with near-certain edges closure recovers more.
@@ -922,6 +926,44 @@ def run_pipeline(
             ).select(
                 F.col("node").alias("id"),
                 F.col("pivot").alias("component"),
+            )
+    elif clusterer == "hac":
+        from pubmed_and_method_spark.operators.hac import (
+            hac_within_blocks,
+        )
+
+        def _cluster():
+            # CC pre-partition, then average-link HAC within each
+            # component.  EXACT, not an approximation: with absent
+            # pairs scoring 0, the linkage between clusters in
+            # different components is 0 < threshold, so global HAC
+            # would never merge across components either — CC only
+            # bounds the per-group matrix (components of the matched
+            # graph, small after the content-evidence edge bar) and
+            # sets the applyInPandas parallelism.
+            comp = connected_components(
+                matched, u_col="mention_id1", v_col="mention_id2"
+            ).select(F.col("id").alias("mention_id1"), "component")
+            edges = matched.select(
+                "mention_id1", "mention_id2", "pred_prob"
+            ).join(comp, "mention_id1")
+            # threshold 0.5, NOT cluster_threshold: with absent pairs
+            # scoring 0 and matched-edge probs saturated near 1,
+            # average linkage reads as matched CROSS-PAIR DENSITY —
+            # 0.5 = "merge while a majority of cross pairs matched",
+            # the density analog of a majority vote.  At
+            # cluster_threshold (0.9) it demands 90% density and
+            # splits true entities whose match subgraph has holes
+            # (measured F1 0.947 vs 0.997 on the easy corpus).
+            return hac_within_blocks(
+                edges,
+                block_col="component",
+                id_cols=("mention_id1", "mention_id2"),
+                sim_col="pred_prob",
+                threshold=0.5,
+                linkage="average",
+            ).select(
+                F.col("id"), F.col("cluster").alias("component")
             )
     elif clusterer == "cc":
         def _cluster():

@@ -7811,6 +7811,63 @@ def q104(spark, sf):
     )
 
 
+@q("q105_hac_clusters")  # rows-only: data-dependent merge sequence
+def q105(spark, sf):
+    """Threshold-stopped average-link HAC (operators/hac.py) — the
+    fourth pluggable clusterer, and the family the AND literature
+    defaults to (the reference's comparison table pits exactly this
+    threshold-agglomerative family against its classifier,
+    src/comparison/result.txt) — over the q67 Fellegi-Sunter scored
+    pairs: llr squashed to a posterior-odds similarity
+    1/(1+2^-llr), threshold 0.5 (= llr 0, the FS indifference
+    point), merged per exact-name block.  Sits between single link
+    (== connected components at t, proven by a dual-implementation
+    pytest) and complete link (threshold-cliques, clique invariant
+    pytest); average-link equality against a from-scratch
+    no-Lance-Williams model and order/partition invariance are also
+    pytest-pinned, so the entry is rows-only ONLY because the merge
+    sequence is data-dependent (not SQL-expressible), not because it
+    is unchecked.  Scale: one shuffle on block_key, Arrow-batched
+    per-block agglomeration, parallelism = #blocks, hard
+    max_block_records guard."""
+    from pubmed_and_method_spark.operators.hac import hac_within_blocks
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    t, _ = transcripts_df(spark, seed=42)
+    blocks = build_signatures(t, tfidf=False).select(
+        F.col("mention_id").alias("mention_id1"), "block_key"
+    )
+    edges = scored.join(blocks, "mention_id1").select(
+        "block_key",
+        "mention_id1",
+        "mention_id2",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("llr"))),
+            6,
+        ).alias("post"),
+    )
+    return (
+        hac_within_blocks(
+            edges,
+            block_col="block_key",
+            id_cols=("mention_id1", "mention_id2"),
+            sim_col="post",
+            threshold=0.5,
+            linkage="average",
+        )
+        .select(
+            "block_key",
+            F.col("id").alias("mention_id"),
+            "cluster",
+            "cluster_size",
+        )
+        .orderBy("block_key", "mention_id")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
