@@ -7868,6 +7868,46 @@ def q105(spark, sf):
     )
 
 
+@q(
+    "q106_passjoin_edit_join",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    ss AS (SELECT DISTINCT surname FROM nk WHERE surname <> '')
+    SELECT a.surname AS s1, b.surname AS s2,
+           levenshtein(a.surname, b.surname) AS ed
+    FROM ss a JOIN ss b ON a.surname < b.surname
+    WHERE levenshtein(a.surname, b.surname) <= 2
+    """,
+)
+def q106(spark, sf):
+    """Exact edit-distance similarity join
+    (operators/string_join.passjoin_edit_join, PassJoin — Li et al.
+    VLDB'12): ALL distinct surname pairs on the HARD corpus within
+    Levenshtein 2, via tau+1-segment pigeonhole candidates + native
+    levenshtein verify — the edit-distance counterpart of q92's exact
+    Jaccard prefix filter, and the full-strength big sibling of
+    q85's del-1 deletion neighborhood (one edit only).  The reference
+    thresholds raw edit counts between name variants (feature X2,
+    src/eutilities/string_utils.py:59-77); this makes that decision a
+    *join* with provable 100% recall at the threshold.  The DuckDB
+    oracle brute-forces every pair — the dual-implementation
+    completeness check the reference applies to its own pair
+    generator (database/and_datasets.sql:81-105); a property pytest
+    re-proves it on adversarial binary-alphabet strings at tau=1..3."""
+    from pubmed_and_method_spark.operators.string_join import (
+        passjoin_edit_join,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42, hardness=0.7)
+    names = build_signatures(t, tfidf=False).where(
+        F.col("surname") != ""
+    )
+    return passjoin_edit_join(names, "surname", tau=2)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
