@@ -24,7 +24,7 @@ comparison block is coming).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 METRIC_COLS = [
@@ -1487,4 +1487,63 @@ def review_queue(
             score_col,
             "band_depth",
         )
+    )
+
+
+def ranking_metrics(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Threshold-free scorer evaluation: tie-corrected ROC AUC
+    (Mann-Whitney midranks), Gini, and the Kolmogorov-Smirnov
+    statistic over a scored labeled-pair table.
+
+    q62's threshold sweep reports P/R/F1 at each cut; this is the
+    integral view — AUC = P(random match outranks random nonmatch,
+    ties half), KS = max CDF separation = the best achievable
+    |TPR - FPR| over ALL cuts.  The pair the credit-scoring and
+    linkage-calibration literatures quote together.
+
+    Scale design: ONE map-side-combinable groupBy on the score value
+    — for an FS scorer the distinct-score cardinality is bounded by
+    2^k (k binary comparisons), so the subsequent ordered window runs
+    over a tiny aggregated frame, never the raw pairs.  For
+    continuous scores, round/bucket upstream first (the caller owns
+    the binning; midranks make the result exact for whatever binning
+    arrives here).
+    """
+    y = F.col(label_col).cast("long")
+    g = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(y).alias("__pos")
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()  # over the tiny aggregated frame only
+    g = (
+        g.withColumn("__cum_n", F.sum("__n").over(w))
+        .withColumn("__cum_pos", F.sum("__pos").over(w))
+        .withColumn("__tot_n", F.sum("__n").over(tot))
+        .withColumn("__tot_pos", F.sum("__pos").over(tot))
+        .withColumn(
+            "__midrank",
+            F.col("__cum_n") - F.col("__n") + (F.col("__n") + 1) / 2.0,
+        )
+        .withColumn(
+            "__ks_term",
+            F.abs(
+                F.col("__cum_pos") / F.col("__tot_pos")
+                - (F.col("__cum_n") - F.col("__cum_pos"))
+                / (F.col("__tot_n") - F.col("__tot_pos"))
+            ),
+        )
+    )
+    u = (
+        F.sum(F.col("__pos") * F.col("__midrank"))
+        - F.sum("__pos") * (F.sum("__pos") + 1) / 2.0
+    )
+    denom = F.sum("__pos") * (F.sum("__n") - F.sum("__pos"))
+    return g.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        (F.sum("__n") - F.sum("__pos")).cast("long").alias("n_neg"),
+        F.round(u / denom, 6).alias("auc"),
+        F.round(2.0 * u / denom - 1.0, 6).alias("gini"),
+        F.round(F.max("__ks_term"), 6).alias("ks"),
     )

@@ -7908,6 +7908,61 @@ def q106(spark, sf):
     return passjoin_edit_join(names, "surname", tau=2)
 
 
+@q("q107_ranking_metrics")
+def q107(spark, sf):
+    """Threshold-free evaluation of the FS scorer
+    (operators/er_metrics.ranking_metrics): tie-corrected ROC AUC via
+    Mann-Whitney midranks, Gini, and the Kolmogorov-Smirnov max-CDF-
+    separation over q67's scored labeled pairs.  q62 sweeps discrete
+    thresholds and reports P/R/F1 at each; this is the integral view
+    the calibration literature quotes (AUC = P(random match outranks
+    random nonmatch, ties half; KS = best achievable |TPR-FPR| over
+    ALL cuts).  Exactness across engines: llr is round-6 so grouping
+    is stable; midranks are half-integers and counts are ints, so
+    every sum is exactly representable and order-free — no fold
+    discipline needed.  Scale: ONE map-side-combinable groupBy on the
+    score (distinct llr values bounded by 2^k for k binary FS
+    comparisons), then a window over that tiny frame — raw pairs are
+    never globally sorted."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        ranking_metrics,
+    )
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    return ranking_metrics(scored, "llr", "same_entity")
+
+
+ORACLES["q107_ranking_metrics"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    g AS (
+        SELECT llr AS s, count(*) AS n, sum(same_entity) AS pos
+        FROM q67 GROUP BY llr),
+    c AS (
+        SELECT s, n, pos,
+               sum(n) OVER (ORDER BY s) AS cum_n,
+               sum(pos) OVER (ORDER BY s) AS cum_pos,
+               sum(n) OVER () AS tot_n,
+               sum(pos) OVER () AS tot_pos
+        FROM g),
+    m AS (
+        SELECT *,
+               cum_n - n + (n + 1) / 2.0 AS midrank,
+               abs(cum_pos * 1.0 / tot_pos
+                   - (cum_n - cum_pos) * 1.0 / (tot_n - tot_pos))
+                   AS ks_term
+        FROM c)
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(pos) AS BIGINT) AS n_neg,
+           round((sum(pos * midrank) - sum(pos) * (sum(pos) + 1) / 2.0)
+                 / (sum(pos) * (sum(n) - sum(pos))), 6) AS auc,
+           round(2.0 * (sum(pos * midrank)
+                        - sum(pos) * (sum(pos) + 1) / 2.0)
+                 / (sum(pos) * (sum(n) - sum(pos))) - 1.0, 6) AS gini,
+           round(max(ks_term), 6) AS ks
+    FROM m
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
