@@ -7963,6 +7963,89 @@ ORACLES["q107_ranking_metrics"] = f"""
 """
 
 
+@q(
+    "q108_truth_discovery",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    claims AS (
+        SELECT DISTINCT substr(md5(nk.conv_id), 1, 1) AS s,
+               tr.entity_id AS o, nk.given_raw AS v
+        FROM nk JOIN tr USING (conv_id)
+        WHERE nk.given_raw <> ''),
+    oc AS (SELECT o, count(*) AS n_o FROM claims GROUP BY o),
+    vc AS (SELECT o, v, count(*) AS n_v FROM claims GROUP BY o, v),
+    nv AS (SELECT o, count(*) AS n_values FROM vc GROUP BY o),
+    sh AS (SELECT vc.o, vc.v, round(n_v * 1.0 / n_o, 6) AS share
+           FROM vc JOIN oc USING (o)),
+    cs AS (SELECT c.s, c.o, c.v, sh.share
+           FROM claims c JOIN sh ON sh.o = c.o AND sh.v = c.v),
+    tj AS (
+        SELECT s,
+               round(list_reduce(list(share ORDER BY o, v),
+                                 (a, b) -> a + b) / count(*), 6) AS trust
+        FROM cs GROUP BY s),
+    ct AS (SELECT c.o, c.v, c.s, tj.trust
+           FROM claims c JOIN tj USING (s)),
+    num AS (
+        SELECT o, v,
+               list_reduce(list(trust ORDER BY s), (a, b) -> a + b) AS tv
+        FROM ct GROUP BY o, v),
+    den AS (
+        SELECT o,
+               list_reduce(list(trust ORDER BY v, s),
+                           (a, b) -> a + b) AS tall
+        FROM ct GROUP BY o),
+    conf AS (
+        SELECT num.o, num.v, round(tv / tall, 6) AS confidence
+        FROM num JOIN den USING (o)),
+    win AS (
+        SELECT o, v, confidence,
+               row_number() OVER (PARTITION BY o
+                                  ORDER BY confidence DESC, v) AS rn
+        FROM conf)
+    SELECT win.o AS entity_id, win.v AS resolved_value, win.confidence,
+           oc.n_o AS n_claims, nv.n_values
+    FROM win JOIN oc USING (o) JOIN nv USING (o)
+    WHERE rn = 1
+    """,
+)
+def q108(spark, sf):
+    """Truth discovery over conflicting given-name claims
+    (operators/truth_discovery.truth_discovery — TruthFinder family,
+    Yin/Han/Yu TKDE'08): each HARD-corpus conversation's shown
+    given-name spelling is a claim about its planted entity, grouped
+    into 16 synthetic feeds by a portable md5 bucket of conv_id.  One
+    reliability round — uniform-prior vote -> per-feed trust (mean
+    vote share of its claims) -> trust-reweighted vote — resolves a
+    value per entity with a confidence, the fusion step q54's
+    equal-vote mode survivorship lacks: a feed full of typo spellings
+    loses weight everywhere, not just where it is outvoted locally.
+    All ratios round-6 at birth and every sum a strict sorted left
+    fold (the q80/q91 discipline), so DuckDB re-derives trust and
+    confidence bit-for-bit; winners argmax with a smallest-value tie
+    break."""
+    from pubmed_and_method_spark.operators.truth_discovery import (
+        truth_discovery,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False)
+    claims = (
+        sig.where(F.col("given_name_shown") != "")
+        .join(g.select("conv_id", "entity_id"), "conv_id")
+        .select(
+            F.substring(F.md5("conv_id"), 1, 1).alias("feed"),
+            F.col("entity_id"),
+            F.col("given_name_shown").alias("claim_value"),
+        )
+    )
+    return truth_discovery(claims, "feed", "entity_id", "claim_value")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
