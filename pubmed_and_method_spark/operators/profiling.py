@@ -19,7 +19,7 @@ the exact variant stays the cross-engine oracle path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,4 +66,71 @@ def profile_columns(
     )
     return row.selectExpr(
         f"stack({len(cols)}, {pairs}) as (col_name, n_valid, n_distinct, avg_len)"
+    )
+
+
+def block_skew_profile(
+    records: DataFrame, key_col: str, salt_target: int = 32
+) -> DataFrame:
+    """Block-size skew diagnostics: the table that PLANS the salting
+    the pair stage applies (operators/blocking.generate_pairs
+    ``adaptive_target``).
+
+    One row per power-of-two block-size bucket: how many blocks land
+    there, the records and within-block pairs they carry, each
+    bucket's share of TOTAL pair mass, the share held by this bucket
+    and larger ("cum" — the tail the salting exists for), the largest
+    block, and the salt factor ``ceil(max_block/salt_target)`` that
+    bucket's worst block needs to meet the target.  The reference
+    eyeballs exactly this distribution to justify its
+    ``commonness > 1000`` hot-namespace cap (README.md:3,
+    database/model_building_using_rich_features.sql:438-448); here it
+    is an operator, because at 10^12 turns the pair stage's fate is
+    decided by the tail of this histogram, not its mean.
+
+    Scale: one count shuffle on the block key, then aggregation over
+    (#distinct sizes -> #buckets) rows; the ordered windows run on
+    the ~60-row bucket frame.  floor(log2(n)) is engine-portable here
+    (identical doubles from identical ints, same libm).
+    """
+    sizes = records.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    b = sizes.withColumn(
+        "size_bucket", F.floor(F.log2("__n")).cast("int")
+    )
+    g = b.groupBy("size_bucket").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("__n").alias("n_records"),
+        F.sum(F.expr("__n * (__n - 1) div 2")).alias("n_pairs"),
+        F.max("__n").alias("max_block_size"),
+    )
+    tot = Window.partitionBy()
+    cum = Window.orderBy(F.col("size_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.withColumn("__tot", F.sum("n_pairs").over(tot))
+        .withColumn("__cum", F.sum("n_pairs").over(cum))
+        .select(
+            "size_bucket",
+            "n_blocks",
+            "n_records",
+            "n_pairs",
+            F.when(
+                F.col("__tot") > 0,
+                F.round(F.col("n_pairs") / F.col("__tot"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pair_share"),
+            F.when(
+                F.col("__tot") > 0,
+                F.round(F.col("__cum") / F.col("__tot"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cum_pair_share"),
+            "max_block_size",
+            F.expr(
+                f"(max_block_size + {salt_target} - 1) div {salt_target}"
+            ).alias("rec_salt"),
+        )
+        .orderBy("size_bucket")
     )

@@ -8046,6 +8046,61 @@ def q108(spark, sf):
     return truth_discovery(claims, "feed", "entity_id", "claim_value")
 
 
+@q(
+    "q109_block_skew_profile",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    members AS (
+        SELECT conv_id, block_key FROM nk
+        WHERE block_key <> '__unblocked__'),
+    sizes AS (
+        SELECT block_key, count(*) AS n FROM members GROUP BY block_key),
+    b AS (SELECT CAST(floor(log2(n)) AS INTEGER) AS size_bucket, n
+          FROM sizes),
+    g AS (SELECT size_bucket, count(*) AS n_blocks, sum(n) AS n_records,
+                 sum((n * (n - 1)) // 2) AS n_pairs,
+                 max(n) AS max_block_size
+          FROM b GROUP BY size_bucket),
+    w AS (SELECT *, sum(n_pairs) OVER () AS tot,
+                 sum(n_pairs) OVER (ORDER BY size_bucket DESC) AS cum
+          FROM g)
+    SELECT size_bucket, n_blocks, n_records, n_pairs,
+           CASE WHEN tot > 0 THEN round(n_pairs * 1.0 / tot, 6)
+                ELSE 0.0 END AS pair_share,
+           CASE WHEN tot > 0 THEN round(cum * 1.0 / tot, 6)
+                ELSE 0.0 END AS cum_pair_share,
+           max_block_size,
+           (max_block_size + 31) // 32 AS rec_salt
+    FROM w
+    """,
+)
+def q109(spark, sf):
+    """Block-size skew profile / salt planner
+    (operators/profiling.block_skew_profile) on the HARD corpus: per
+    power-of-two block-size bucket, block/record/pair mass, each
+    bucket's share of total pair volume, the cumulative share held by
+    this bucket AND larger (the tail that decides the pair stage's
+    fate at 10^12 turns), and the salt factor its worst block needs
+    for a 32-pair-per-task target — the planning table behind
+    generate_pairs(adaptive_target=...), made an operator the way the
+    reference eyeballs its commonness>1000 hot-namespace rule
+    (README.md:3).  Integer pair counts, single divisions, and a
+    ~60-row bucket frame for the windows; DuckDB re-derives every
+    bucket, share, and salt."""
+    from pubmed_and_method_spark.operators.profiling import (
+        block_skew_profile,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42, hardness=0.7)
+    members = build_signatures(t, tfidf=False).filter(
+        F.col("block_key") != "__unblocked__"
+    )
+    return block_skew_profile(members, "block_key", salt_target=32)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

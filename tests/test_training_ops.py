@@ -1005,3 +1005,31 @@ def test_dedup_retention_quality_survivor(spark):
 
     per = Counter(r.cluster for r in got.values() if r.kept == 1)
     assert all(v == 1 for v in per.values()) and len(per) == 3
+
+
+def test_block_skew_profile_hand_computed(spark):
+    """Sizes [1,1,2,3,8,33] -> buckets 0/1/3/5 with hand-computed
+    pair mass, shares, cumulative tail shares, and salt factors."""
+    from pubmed_and_method_spark.operators.profiling import (
+        block_skew_profile,
+    )
+
+    rows = []
+    for key, n in [("a", 1), ("b", 1), ("c", 2), ("d", 3), ("e", 8), ("f", 33)]:
+        rows += [(key,)] * n
+    df = spark.createDataFrame(rows, ["bk"])
+    out = {
+        r.size_bucket: r
+        for r in block_skew_profile(df, "bk", salt_target=32).collect()
+    }
+    assert set(out) == {0, 1, 3, 5}
+    tot = 0 + 1 + 3 + 28 + 528
+    assert out[0].n_blocks == 2 and out[0].n_pairs == 0
+    assert out[1].n_blocks == 2 and out[1].n_pairs == 4
+    assert out[3].n_pairs == 28 and out[3].max_block_size == 8
+    assert out[5].n_pairs == 528 and out[5].rec_salt == 2
+    assert out[5].pair_share == round(528 / tot, 6)
+    assert out[5].cum_pair_share == round(528 / tot, 6)
+    assert out[3].cum_pair_share == round((528 + 28) / tot, 6)
+    assert out[0].cum_pair_share == 1.0
+    assert out[1].rec_salt == 1 and out[0].rec_salt == 1
