@@ -89,3 +89,76 @@ def common_neighbor_features(
         .otherwise(F.lit(0.0))
         .alias("nbr_jaccard"),
     )
+
+
+def cluster_cohesion(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-cluster cohesion audit of a match graph: how chain-like is
+    each connected component the clusterer is about to assert?
+
+    Single-link closure welds everything a path connects; a component
+    held together by one low-degree thread is the classic homonym
+    bridge (the failure q65 audits pair-by-pair — this is the
+    per-CLUSTER roll-up that ranks components for review).  One row
+    per component:
+
+    - ``n_nodes`` / ``n_edges``;
+    - ``density`` — n_edges / (n_nodes choose 2), round-6 (1.0 =
+      clique = every merge directly evidenced; chains score ~2/n);
+    - ``min_degree`` — 1 means a cut vertex's neighbor dangles;
+    - ``n_leaf_nodes`` — degree-1 members, each removable by cutting
+      a single edge.
+
+    Scale: components from the iterative large-star/small-star
+    operator (its own checkpoint discipline); degrees are one
+    groupBy on the symmetrized edge list; the roll-up is one shuffle
+    on component id.  Singleton nodes never appear (no edges), which
+    matches the audit's purpose: unmerged records carry no weld risk.
+    """
+    from pubmed_and_method_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    e = (
+        edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    cc = connected_components(e, "u", "v", max_iter=max_iter)
+    bidir = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bidir.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    nodes = cc.join(deg, "id")
+    per_node = nodes.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("__deg").alias("min_degree"),
+        F.sum((F.col("__deg") == 1).cast("long")).alias("n_leaf_nodes"),
+    )
+    e_comp = e.join(
+        cc.select(F.col("id").alias("u"), "component"), "u"
+    ).groupBy("component").agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        per_node.join(e_comp, "component")
+        .select(
+            "component",
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2.0),
+                6,
+            ).alias("density"),
+            "min_degree",
+            "n_leaf_nodes",
+        )
+    )

@@ -8101,6 +8101,61 @@ def q109(spark, sf):
     return block_skew_profile(members, "block_key", salt_target=32)
 
 
+@q("q110_cluster_cohesion")
+def q110(spark, sf):
+    """Per-cluster cohesion audit
+    (operators/graph_features.cluster_cohesion) over the q67 FS link
+    graph: components from the REAL iterative large-star/small-star
+    operator rolled up to n_nodes / n_edges / round-6 density /
+    min_degree / leaf count — the table that ranks single-link welds
+    by chain risk (density ~2/n + leaves = homonym bridge; density
+    1.0 = every merge directly evidenced).  The per-cluster roll-up
+    of what q65 audits pair-by-pair.  DuckDB re-derives the
+    components with the q65 recursive-CTE reachability fixpoint and
+    every roll-up column on top of the full q67 oracle."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        cluster_cohesion,
+    )
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    links = scored.where(F.col("decision") == "link")
+    return cluster_cohesion(links, "mention_id1", "mention_id2")
+
+
+ORACLES["q110_cluster_cohesion"] = f"""
+    WITH RECURSIVE q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    e AS (
+        SELECT least(mention_id1, mention_id2) AS u,
+               greatest(mention_id1, mention_id2) AS v
+        FROM q67 WHERE decision = 'link' AND mention_id1 <> mention_id2
+        GROUP BY 1, 2),
+    bidir AS (
+        SELECT u, v FROM e
+        UNION ALL SELECT v AS u, u AS v FROM e),
+    walk AS (
+        SELECT u AS id, v AS peer FROM bidir
+        UNION
+        SELECT w.id, b.v AS peer FROM walk w JOIN bidir b ON b.u = w.peer),
+    comp AS (
+        SELECT id, least(id, min(peer)) AS component
+        FROM walk GROUP BY id),
+    deg AS (SELECT u AS id, count(*) AS d FROM bidir GROUP BY u),
+    per_node AS (
+        SELECT c.component, count(*) AS n_nodes,
+               min(d.d) AS min_degree,
+               sum(CASE WHEN d.d = 1 THEN 1 ELSE 0 END) AS n_leaf_nodes
+        FROM comp c JOIN deg d USING (id) GROUP BY c.component),
+    e_comp AS (
+        SELECT c.component, count(*) AS n_edges
+        FROM e JOIN comp c ON c.id = e.u GROUP BY c.component)
+    SELECT p.component, p.n_nodes, ec.n_edges,
+           round(ec.n_edges / (p.n_nodes * (p.n_nodes - 1) / 2.0), 6)
+               AS density,
+           p.min_degree, p.n_leaf_nodes
+    FROM per_node p JOIN e_comp ec USING (component)
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

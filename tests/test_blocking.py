@@ -1638,3 +1638,29 @@ def test_suffix_blocking_equals_model(spark):
     assert set(got) == want
     for (a, b), n in got.items():
         assert n == common_suffix(by_id[a], by_id[b])
+
+
+def test_cluster_cohesion_hand_computed(spark):
+    """Triangle (clique), 4-chain, and 4-star: density, min degree,
+    and leaf counts hand-computed; duplicate/reversed/self edges
+    collapse first."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        cluster_cohesion,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+        ("b", "a"), ("a", "a"),                      # dup/reverse/self
+        ("d", "e"), ("e", "f"), ("f", "g"),          # chain
+        ("h", "i"), ("h", "j"), ("h", "k"),          # star
+    ]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = {r.component: r for r in cluster_cohesion(df, "u", "v").collect()}
+    assert set(out) == {"a", "d", "h"}
+    tri, chain, star = out["a"], out["d"], out["h"]
+    assert (tri.n_nodes, tri.n_edges, tri.density) == (3, 3, 1.0)
+    assert (tri.min_degree, tri.n_leaf_nodes) == (2, 0)
+    assert (chain.n_nodes, chain.n_edges, chain.density) == (4, 3, 0.5)
+    assert (chain.min_degree, chain.n_leaf_nodes) == (1, 2)
+    assert (star.n_nodes, star.n_edges, star.density) == (4, 3, 0.5)
+    assert (star.min_degree, star.n_leaf_nodes) == (1, 3)
