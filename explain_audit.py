@@ -226,6 +226,23 @@ AUDIT = [
     # pairs only where a key is shared) + group-pair HashAggregate;
     # never a cartesian over groups
     ("q103_group_linkage", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # PassJoin: segment/probe explode + equi hash join on (substring,
+    # partner-length, segment-index); the short pool is a length-band
+    # join over the alphabet-bounded short dictionary (BNLJ there is
+    # bounded by construction); NEVER a cartesian over the strings
+    ("q106_passjoin_edit_join", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # ranking metrics: ONE map-side-combinable groupBy on the score,
+    # windows over the distinct-score frame only; never cartesian
+    ("q107_ranking_metrics", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # truth discovery: claim dedup + keyed aggs; fold lists are
+    # per-group sorted collects (ObjectHashAggregate); never cartesian
+    ("q108_truth_discovery", [r"HashAggregate|ObjectHashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # skew profile: one count shuffle on the block key + bucket agg +
+    # windows over the ~60-row bucket frame; never cartesian
+    ("q109_block_skew_profile", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # cohesion audit: CC operator (checkpoint-pinned) + degree groupBy
+    # + component roll-up hash joins; never cartesian
+    ("q110_cluster_cohesion", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 

@@ -133,3 +133,61 @@ def curate_documents(
             ).alias("verdict"),
         )
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "fingerprint",
+    train_hex: str = "b4",
+) -> DataFrame:
+    """Dedup-aware train/eval split: assign by DUPLICATE GROUP, never
+    by document, so copies of one text can never straddle the split.
+
+    The contamination q55 measures AFTER the fact is built in at
+    split time in real pipelines (the Dolma/C4 "split after dedup"
+    discipline); a per-document hash split leaks every duplicated
+    text across the boundary — exactly the eval rot the group split
+    makes structurally impossible.  Same portable md5-prefix rule as
+    q13's row split (train iff ``substr(md5(group),1,2) < train_hex``
+    — b4/256 ~= 70%), keyed on the group instead of the row.
+
+    One row per group: its split, member count, and
+    ``naive_straddled`` — whether the per-document md5 rule would
+    have scattered this group over both splits (1 only possible for
+    multi-member groups; the audit column that justifies the
+    operator).  Scale: one groupBy on the group key; the straddle
+    audit is two conditional sums in the same pass — no second
+    shuffle, no join.
+    """
+    doc_side = (
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+        < F.lit(train_hex)
+    ).cast("long")
+    return (
+        docs.select(
+            F.col(group_col).alias("group_key"),
+            doc_side.alias("__doc_train"),
+        )
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__doc_train").alias("__n_doc_train"),
+        )
+        .select(
+            "group_key",
+            "n_docs",
+            F.when(
+                F.substring(F.md5("group_key"), 1, 2) < F.lit(train_hex),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+            (
+                (F.col("__n_doc_train") > 0)
+                & (F.col("__n_doc_train") < F.col("n_docs"))
+            )
+            .cast("int")
+            .alias("naive_straddled"),
+        )
+    )

@@ -8156,6 +8156,62 @@ ORACLES["q110_cluster_cohesion"] = f"""
 """
 
 
+@q(
+    "q111_leakage_free_split",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0),
+    fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+',' ','g'),' +',' ','g'))) AS group_key
+        FROM corpus),
+    g AS (
+        SELECT group_key, count(*) AS n_docs,
+               sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'b4' THEN 1 ELSE 0 END) AS n_doc_train
+        FROM fp GROUP BY group_key)
+    SELECT group_key, n_docs,
+           CASE WHEN substr(md5(group_key), 1, 2) < 'b4'
+                THEN 'train' ELSE 'eval' END AS split,
+           CASE WHEN n_doc_train > 0 AND n_doc_train < n_docs
+                THEN 1 ELSE 0 END AS naive_straddled
+    FROM g
+    """,
+)
+def q111(spark, sf):
+    """Dedup-aware train/eval split (plans/curate.leakage_free_split):
+    every exact-duplicate group is assigned to ONE side by the
+    portable md5-prefix rule (q13's split, keyed on the group) — the
+    Dolma/C4 "split after dedup" discipline that makes cross-split
+    contamination structurally impossible, rather than measuring it
+    after the fact (q55).  The ``naive_straddled`` audit column counts
+    the groups a per-document hash split would have scattered across
+    the boundary — the leak this operator exists to close; every 10th
+    document is planted as an exact copy under a shifted id (the q34
+    planting pattern — the synthetic corpus has no exact dups of its
+    own) so the audit runs on real multi-member groups.  One groupBy
+    on the fingerprint; the audit is two conditional sums in the same
+    pass.  DuckDB re-derives every fingerprint, side, and straddle
+    flag."""
+    from pubmed_and_method_spark.operators.text import fingerprint
+    from pubmed_and_method_spark.plans.curate import leakage_free_split
+
+    base = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = base.unionByName(
+        base.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"), "text"
+        )
+    )
+    d = corpus.select("doc_id", fingerprint("text").alias("fingerprint"))
+    return leakage_free_split(
+        d, id_col="doc_id", group_col="fingerprint", train_hex="b4"
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

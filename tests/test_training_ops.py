@@ -1033,3 +1033,37 @@ def test_block_skew_profile_hand_computed(spark):
     assert out[3].cum_pair_share == round((528 + 28) / tot, 6)
     assert out[0].cum_pair_share == 1.0
     assert out[1].rec_salt == 1 and out[0].rec_salt == 1
+
+
+def test_leakage_free_split_group_atomic(spark):
+    """Groups never straddle; the naive audit flags exactly the
+    multi-member groups whose members' own md5 sides disagree
+    (expected sides re-derived with hashlib)."""
+    import hashlib
+
+    from pubmed_and_method_spark.plans.curate import leakage_free_split
+
+    rows = []
+    for gid in range(40):
+        size = 1 + (gid % 3)
+        for m in range(size):
+            rows.append((gid * 100 + m, f"g{gid}"))
+    df = spark.createDataFrame(rows, ["doc_id", "fingerprint"])
+    out = {
+        r.group_key: r
+        for r in leakage_free_split(df, "doc_id", "fingerprint").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()[:2]
+    for gid in range(40):
+        g = out[f"g{gid}"]
+        want_split = "train" if md5(f"g{gid}") < "b4" else "eval"
+        assert g.split == want_split
+        members = [gid * 100 + m for m in range(1 + (gid % 3))]
+        sides = {md5(str(i)) < "b4" for i in members}
+        assert g.naive_straddled == int(len(sides) == 2)
+        assert g.n_docs == len(members)
+    # the fixture must actually exercise both outcomes
+    assert any(r.naive_straddled == 1 for r in out.values())
+    assert any(
+        r.naive_straddled == 0 and r.n_docs > 1 for r in out.values()
+    )
