@@ -205,3 +205,62 @@ def update_components(
         star_edges.unionByName(e), max_iter=max_iter
     )
     return untouched.select("id", "component").unionByName(merged)
+
+
+def delete_and_repair(
+    components: DataFrame,
+    edges: DataFrame,
+    deleted: DataFrame,
+    id_col: str = "id",
+    u_col: str = "u",
+    v_col: str = "v",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Retract records from a clustering and repair ONLY the touched
+    components — the deletion complement of :func:`update_components`
+    (which folds new edges in).
+
+    Deleting a record can SPLIT its component (it may have been the
+    bridge), so unlike the additive case the repair must re-resolve
+    the touched components from their remaining raw edges, not their
+    star edges.  Because labels are canonical (min reachable id),
+    re-running hash-min CC on exactly those edges reproduces what a
+    full batch recompute over the remaining graph would assign —
+    row-identical, pytest-pinned.  Untouched components pass through
+    without a shuffle of their neighborhoods; surviving members whose
+    every edge died re-emerge as singletons.
+
+    The production shape is a privacy retraction: drop a user's
+    conversations, and the entity clusters they bridged must fall
+    apart rather than keep asserting the weld.  Per-batch cost is
+    O(touched members + their edges), never O(graph).
+    """
+    dd = deleted.select(F.col(id_col).alias("id")).distinct()
+    affected = (
+        components.join(dd, "id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    untouched = components.join(affected, "component", "left_anti")
+    survivors = components.join(affected, "component", "left_semi").join(
+        dd, "id", "left_anti"
+    )
+    e = (
+        edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .join(
+            survivors.select(F.col("id").alias("u")), "u", "left_semi"
+        )
+        .join(
+            survivors.select(F.col("id").alias("v")), "v", "left_semi"
+        )
+    )
+    repaired = connected_components(e, "u", "v", max_iter=max_iter)
+    singles = survivors.select("id").join(
+        repaired, "id", "left_anti"
+    ).select("id", F.col("id").alias("component"))
+    return (
+        untouched.select("id", "component")
+        .unionByName(repaired.select("id", "component"))
+        .unionByName(singles)
+    )

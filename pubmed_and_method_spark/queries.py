@@ -8212,6 +8212,72 @@ def q111(spark, sf):
     )
 
 
+@q("q112_deletion_repair")
+def q112(spark, sf):
+    """Privacy-retraction cluster repair
+    (operators/connected_components.delete_and_repair): mentions whose
+    conv_id md5 starts with '0' are deleted from the q67 link graph,
+    and ONLY their components are re-resolved from the remaining raw
+    edges — a deleted bridge mention must SPLIT its weld, which star
+    edges (update_components' additive shortcut) cannot express.
+    Untouched components pass through; edge-less survivors re-emerge
+    as singletons.  Canonical min-id labels make the incremental
+    repair row-identical to a full recompute, which is exactly what
+    the DuckDB oracle does: recursive-CTE CC over the remaining
+    edges + singleton survivors — the dual-implementation equivalence
+    proof, with a pytest twin on random graphs."""
+    from pubmed_and_method_spark.operators.connected_components import (
+        connected_components,
+        delete_and_repair,
+    )
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    links = (
+        scored.where(F.col("decision") == "link")
+        .select(
+            F.least("mention_id1", "mention_id2").alias("u"),
+            F.greatest("mention_id1", "mention_id2").alias("v"),
+        )
+        .distinct()
+    )
+    comps = connected_components(links, "u", "v")
+    deleted = comps.select("id").where(
+        F.substring(F.md5("id"), 1, 1) == "0"
+    )
+    return delete_and_repair(comps, links, deleted).orderBy("id")
+
+
+ORACLES["q112_deletion_repair"] = f"""
+    WITH RECURSIVE q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    e0 AS (
+        SELECT least(mention_id1, mention_id2) AS u,
+               greatest(mention_id1, mention_id2) AS v
+        FROM q67 WHERE decision = 'link' AND mention_id1 <> mention_id2
+        GROUP BY 1, 2),
+    nodes AS (
+        SELECT DISTINCT u AS id FROM e0
+        UNION SELECT DISTINCT v AS id FROM e0),
+    surv AS (
+        SELECT id FROM nodes WHERE substr(md5(id), 1, 1) <> '0'),
+    e AS (
+        SELECT u, v FROM e0
+        WHERE u IN (SELECT id FROM surv) AND v IN (SELECT id FROM surv)),
+    bidir AS (
+        SELECT u, v FROM e
+        UNION ALL SELECT v AS u, u AS v FROM e),
+    walk AS (
+        SELECT u AS id, v AS peer FROM bidir
+        UNION
+        SELECT w.id, b.v AS peer FROM walk w JOIN bidir b ON b.u = w.peer),
+    comp AS (
+        SELECT id, least(id, min(peer)) AS component
+        FROM walk GROUP BY id)
+    SELECT s.id, coalesce(c.component, s.id) AS component
+    FROM surv s LEFT JOIN comp c USING (id)
+    ORDER BY s.id
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

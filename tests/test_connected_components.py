@@ -350,3 +350,67 @@ def test_canopy_assign_overlap_and_removal(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         canopy_assign(df2, loose=0.5, tight=0.8, rounds=1)
+
+
+def test_delete_and_repair_matches_full_recompute(spark):
+    """Incremental deletion repair == batch CC over the remaining
+    graph (+ singletons for edge-less survivors) on seeded random
+    graphs, including deletions that split a component."""
+    import random
+
+    from pubmed_and_method_spark.operators.connected_components import (
+        connected_components,
+        delete_and_repair,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        nodes = [f"n{i:02d}" for i in range(30)]
+        edges = {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(rng.randint(15, 40))
+        }
+        # a guaranteed bridge: chain x-y-z where y will be deleted
+        edges |= {("xa", "yb"), ("yb", "zc")}
+        deleted = set(rng.sample(nodes, rng.randint(3, 8))) | {"yb"}
+
+        edf = spark.createDataFrame(sorted(edges), ["u", "v"])
+        comps = connected_components(edf, "u", "v")
+        ddf = spark.createDataFrame([(d,) for d in sorted(deleted)], ["id"])
+        got = {
+            (r.id, r.component)
+            for r in delete_and_repair(comps, edf, ddf).collect()
+        }
+
+        survivors = {
+            n for e in edges for n in e if n not in deleted
+        }
+        remaining = [
+            e for e in edges if e[0] not in deleted and e[1] not in deleted
+        ]
+        # brute-force union-find model
+        parent = {n: n for n in survivors}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in remaining:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = set()
+        for n in survivors:
+            root = find(n)
+            members = [m for m in survivors if find(m) == root]
+            want.add((n, min(members)))
+        assert got == want, f"trial {trial}"
+        # the planted bridge must have split: xa and zc now apart
+        assert ("xa", "xa") in got or any(
+            a == "xa" and c != next(
+                (c2 for a2, c2 in got if a2 == "zc"), None
+            )
+            for a, c in got
+        )
