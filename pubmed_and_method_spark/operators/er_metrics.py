@@ -1547,3 +1547,118 @@ def ranking_metrics(
         F.round(2.0 * u / denom - 1.0, 6).alias("gini"),
         F.round(F.max("__ks_term"), 6).alias("ks"),
     )
+
+
+def fs_select_thresholds(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    mu: tuple[int, int] = (1, 100),
+    lam: tuple[int, int] = (5, 100),
+) -> DataFrame:
+    """Fellegi-Sunter's ORIGINAL threshold-setting procedure: derive
+    the (upper, lower) decision cuts from target error rates instead
+    of hardcoding them (q67 fixes upper=4, lower=0 by eye).
+
+    FS'69 defines the optimal linkage rule by two admissible error
+    bounds: mu — the false-match rate among auto-links — and lambda —
+    the miss rate among true matches consigned to auto-nonlink.  On a
+    labeled pair table the empirical rule is:
+
+    - ``upper``  = the SMALLEST observed score t with
+      FDR(score >= t) <= mu   (maximizes auto-link volume under the
+      error bound);
+    - ``lower``  = the LARGEST observed score t with
+      miss(score <= t) <= lambda  (maximizes auto-nonlink volume
+      under the miss bound);
+
+    everything between is the clerical-review band whose WIDTH is now
+    a consequence of the declared error tolerances — the quantity
+    q75 reports for a hand-picked band.
+
+    Both bounds are integer-ratio comparisons (den*err <= num*vol —
+    no float threshold near a decision boundary), and the scan runs
+    over the distinct-score frame (<= 2^k rows for k binary FS
+    comparisons) with two cumulative windows; raw pairs contribute
+    one map-side-combinable groupBy.  Returns ONE row: the cuts, the
+    volumes and realized error rates they induce, and the review
+    band's size and share.
+    """
+    mu_n, mu_d = mu
+    lam_n, lam_d = lam
+    y = F.col(label_col).cast("long")
+    g = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(y).alias("__pos")
+    )
+    desc = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    asc = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    g = (
+        g.withColumn("__n_ge", F.sum("__n").over(desc))
+        .withColumn("__pos_ge", F.sum("__pos").over(desc))
+        .withColumn("__n_le", F.sum("__n").over(asc))
+        .withColumn("__pos_le", F.sum("__pos").over(asc))
+        .withColumn("__tot_pos", F.sum("__pos").over(tot))
+        .withColumn("__tot_n", F.sum("__n").over(tot))
+    )
+    # integer-exact bound checks
+    ok_u = (
+        F.lit(mu_d) * (F.col("__n_ge") - F.col("__pos_ge"))
+        <= F.lit(mu_n) * F.col("__n_ge")
+    )
+    ok_l = F.lit(lam_d) * F.col("__pos_le") <= F.lit(lam_n) * F.col(
+        "__tot_pos"
+    )
+    sel = g.agg(
+        F.min(F.when(ok_u, F.col("__s"))).alias("upper"),
+        F.max(F.when(ok_l, F.col("__s"))).alias("lower"),
+    )
+    chosen = (
+        g.crossJoin(F.broadcast(sel))
+        .agg(
+            F.first(F.col("upper")).alias("upper"),
+            F.first(F.col("lower")).alias("lower"),
+            F.max(
+                F.when(F.col("__s") == F.col("upper"), F.col("__n_ge"))
+            ).alias("n_link"),
+            F.max(
+                F.when(
+                    F.col("__s") == F.col("upper"),
+                    F.round(
+                        (F.col("__n_ge") - F.col("__pos_ge"))
+                        / F.col("__n_ge"),
+                        6,
+                    ),
+                )
+            ).alias("link_fdr"),
+            F.max(
+                F.when(F.col("__s") == F.col("lower"), F.col("__n_le"))
+            ).alias("n_nonlink"),
+            F.max(
+                F.when(
+                    F.col("__s") == F.col("lower"),
+                    F.round(F.col("__pos_le") / F.col("__tot_pos"), 6),
+                )
+            ).alias("miss_rate"),
+            F.max("__tot_n").alias("__t"),
+        )
+        .select(
+            "upper",
+            "lower",
+            "n_link",
+            "link_fdr",
+            "n_nonlink",
+            "miss_rate",
+            (F.col("__t") - F.col("n_link") - F.col("n_nonlink")).alias(
+                "n_review"
+            ),
+            F.round(
+                (F.col("__t") - F.col("n_link") - F.col("n_nonlink"))
+                / F.col("__t"),
+                6,
+            ).alias("review_share"),
+        )
+    )
+    return chosen

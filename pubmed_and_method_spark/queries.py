@@ -8278,6 +8278,71 @@ ORACLES["q112_deletion_repair"] = f"""
 """
 
 
+@q("q113_fs_threshold_selection")
+def q113(spark, sf):
+    """Error-bounded FS threshold selection
+    (operators/er_metrics.fs_select_thresholds — Fellegi & Sunter
+    JASA'69's ORIGINAL procedure): derive q67's (upper, lower) cuts
+    from declared admissible error rates — upper = smallest observed
+    llr whose auto-link FDR <= mu (1%), lower = largest whose true-
+    match miss rate <= lambda (5%) — instead of hardcoding 4/0 by
+    eye; the review band's width becomes a CONSEQUENCE of the
+    declared tolerances (q75 reports it for a hand-picked band, q102
+    audits the scores' calibration, q107 their ranking power — this
+    closes the FS arc by choosing the rule).  Both bound checks are
+    integer cross-multiplications on the distinct-score frame; DuckDB
+    re-derives every cumulative count, bound check, argmin/argmax cut,
+    and realized rate."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_select_thresholds,
+    )
+
+    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    return fs_select_thresholds(
+        scored, "llr", "same_entity", mu=(1, 100), lam=(5, 100)
+    )
+
+
+ORACLES["q113_fs_threshold_selection"] = f"""
+    WITH q67 AS ({ORACLES["q67_fs_decision_rule"]}),
+    g AS (
+        SELECT llr AS s, count(*) AS n, sum(same_entity) AS pos
+        FROM q67 GROUP BY llr),
+    c AS (
+        SELECT *,
+               sum(n) OVER (ORDER BY s DESC) AS n_ge,
+               sum(pos) OVER (ORDER BY s DESC) AS pos_ge,
+               sum(n) OVER (ORDER BY s) AS n_le,
+               sum(pos) OVER (ORDER BY s) AS pos_le,
+               sum(pos) OVER () AS tot_pos,
+               sum(n) OVER () AS tot_n
+        FROM g),
+    sel AS (
+        SELECT min(CASE WHEN 100 * (n_ge - pos_ge) <= 1 * n_ge
+                        THEN s END) AS upper,
+               max(CASE WHEN 100 * pos_le <= 5 * tot_pos
+                        THEN s END) AS lower
+        FROM c),
+    j AS (SELECT c.*, sel.upper AS u, sel.lower AS l
+          FROM c CROSS JOIN sel)
+    SELECT any_value(u) AS upper, any_value(l) AS lower,
+           max(CASE WHEN s = u THEN n_ge END) AS n_link,
+           max(CASE WHEN s = u
+                    THEN round((n_ge - pos_ge) * 1.0 / n_ge, 6)
+               END) AS link_fdr,
+           max(CASE WHEN s = l THEN n_le END) AS n_nonlink,
+           max(CASE WHEN s = l
+                    THEN round(pos_le * 1.0 / tot_pos, 6)
+               END) AS miss_rate,
+           max(tot_n) - max(CASE WHEN s = u THEN n_ge END)
+               - max(CASE WHEN s = l THEN n_le END) AS n_review,
+           round((max(tot_n) - max(CASE WHEN s = u THEN n_ge END)
+                  - max(CASE WHEN s = l THEN n_le END)) * 1.0
+                 / max(tot_n), 6) AS review_share
+    FROM j
+"""
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -51,3 +51,61 @@ def test_ranking_metrics_equals_pairwise_model(spark, scores, labels):
     assert row.auc == pytest.approx(auc, abs=1e-6)
     assert row.gini == pytest.approx(gini, abs=1e-6)
     assert row.ks == pytest.approx(ks, abs=1e-6)
+
+
+def _fs_model(rows, mu, lam):
+    """Brute-force FS threshold scan over distinct observed scores."""
+    from collections import Counter
+
+    n = Counter()
+    pos = Counter()
+    for s, y in rows:
+        n[s] += 1
+        pos[s] += y
+    scores = sorted(n)
+    tot_pos = sum(pos.values())
+    tot_n = sum(n.values())
+    uppers = [
+        t
+        for t in scores
+        if mu[1] * sum(n[s] - pos[s] for s in scores if s >= t)
+        <= mu[0] * sum(n[s] for s in scores if s >= t)
+    ]
+    lowers = [
+        t
+        for t in scores
+        if lam[1] * sum(pos[s] for s in scores if s <= t)
+        <= lam[0] * tot_pos
+    ]
+    u = min(uppers) if uppers else None
+    l = max(lowers) if lowers else None
+    n_link = sum(n[s] for s in scores if s >= u) if u is not None else None
+    n_non = sum(n[s] for s in scores if s <= l) if l is not None else None
+    return u, l, n_link, n_non, tot_n
+
+
+def test_fs_select_thresholds_matches_scan_model(spark):
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_select_thresholds,
+    )
+
+    rows = (
+        [(5.0, 1)] * 10
+        + [(4.0, 1)] * 5
+        + [(4.0, 0)] * 1
+        + [(3.0, 1)] * 2
+        + [(3.0, 0)] * 2
+        + [(2.0, 1)] * 1
+        + [(2.0, 0)] * 10
+        + [(1.0, 0)] * 30
+    )
+    df = spark.createDataFrame(rows, ["score", "label"])
+    for mu, lam in [((10, 100), (10, 100)), ((1, 100), (20, 100))]:
+        r = fs_select_thresholds(df, "score", "label", mu=mu, lam=lam).collect()[0]
+        u, l, n_link, n_non, tot = _fs_model(rows, mu, lam)
+        assert (r.upper, r.lower) == (u, l)
+        assert (r.n_link, r.n_nonlink) == (n_link, n_non)
+        assert r.n_review == tot - n_link - n_non
+        # realized rates honor the declared bounds
+        assert r.link_fdr * mu[1] <= mu[0] + 1e-9
+        assert r.miss_rate * lam[1] <= lam[0] + 1e-9
