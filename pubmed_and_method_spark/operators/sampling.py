@@ -111,3 +111,47 @@ def sample_mixture(
         )
         .select(id_col, "source", "n_toks", "cum_toks")
     )
+
+
+def random_cross_pairs(
+    df: DataFrame, id_col: str, bucket_hex_len: int = 1
+) -> DataFrame:
+    """Deterministic pseudo-random disjoint pairing of a record set:
+    each record appears in AT MOST one pair, partners drawn without
+    regard to any blocking key.
+
+    The sampling primitive behind unsupervised u-probability
+    estimation (Splink's estimate_u workflow; Fellegi-Sunter's
+    comparison-of-nonmatches): random cross-corpus pairs are almost
+    surely NON-matches, so per-feature agreement rates on them
+    estimate u without labels.  The reference has no u-estimation at
+    all (its weights come from labeled data only).
+
+    Determinism without a global sort: records bucket by an md5-hex
+    prefix, rank inside each bucket by (md5(id), id), and odd ranks
+    pair with the following even rank — per-bucket windows only
+    (16^k buckets bound each window's partition), one shuffle, and
+    the same rule re-derives in any engine.  Odd leftovers per
+    bucket are dropped (one record in 16^k).
+    """
+    from pyspark.sql import Window
+
+    t = (
+        df.select(F.col(id_col).alias("__id"))
+        .distinct()
+        .withColumn("__b", F.substring(F.md5("__id"), 1, bucket_hex_len))
+        .withColumn("__h", F.md5("__id"))
+    )
+    w = Window.partitionBy("__b").orderBy("__h", "__id")
+    t = t.withColumn("__r", F.row_number().over(w))
+    odd = t.where(F.col("__r") % 2 == 1).select(
+        F.col("__id").alias("id1"),
+        "__b",
+        F.expr("(__r + 1) div 2").alias("__k"),
+    )
+    even = t.where(F.col("__r") % 2 == 0).select(
+        F.col("__id").alias("id2"),
+        "__b",
+        F.expr("__r div 2").alias("__k"),
+    )
+    return odd.join(even, ["__b", "__k"]).select("id1", "id2")

@@ -8343,6 +8343,150 @@ ORACLES["q113_fs_threshold_selection"] = f"""
 """
 
 
+@q("q114_random_pair_u_estimation")
+def q114(spark, sf):
+    """Unsupervised u-probability estimation from deterministic random
+    pairs (operators/sampling.random_cross_pairs + the q67 feature
+    stack — Splink's estimate_u workflow / FS's comparison-of-
+    nonmatches): cross-corpus pairs drawn by a portable md5-bucket
+    odd-even pairing are almost surely NON-matches, so per-feature
+    agreement shares on them estimate u WITHOUT labels — the half of
+    the FS weight model q64/q66 get from labeled or EM'd block pairs,
+    measured instead the way production linkers bootstrap it.  Per-
+    bucket rank windows only (no global sort), one row per feature
+    (agreement share round-6).  DuckDB re-derives the pairing, every
+    JW/Lev/Jaccard/overlap feature, and each share."""
+    from pubmed_and_method_spark.operators.sampling import (
+        random_cross_pairs,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    members = sig.filter(F.col("block_key") != "__unblocked__")
+    pairs = random_cross_pairs(members, "conv_id").select(
+        F.concat("id1", F.lit("#assistant")).alias("mention_id1"),
+        F.concat("id2", F.lit("#assistant")).alias("mention_id2"),
+    )
+    feats = build_pair_features(pairs, sig)
+    ag = feats.select(
+        (F.round("name_jw", 6) >= 0.9).cast("long").alias("f1"),
+        (F.round("given_jw", 6) >= 0.9).cast("long").alias("f2"),
+        (F.round("name_lev_ratio", 6) >= 0.8).cast("long").alias("f3"),
+        (F.round("token_jacc", 6) >= 0.5).cast("long").alias("f4"),
+        (F.round("tool_jacc", 6) >= 0.5).cast("long").alias("f5"),
+        F.col("time_overlap").cast("long").alias("f6"),
+    )
+    one = ag.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[F.sum(f"f{i}").alias(f"s{i}") for i in range(1, 7)],
+    )
+    names = [
+        "name_jw_hi",
+        "given_jw_hi",
+        "lev_hi",
+        "token_hi",
+        "tool_hi",
+        "time_overlap",
+    ]
+    stack_args = ", ".join(
+        f"'{n}', round(s{i + 1} / n_pairs, 6)" for i, n in enumerate(names)
+    )
+    return one.select(
+        "n_pairs",
+        F.expr(f"stack(6, {stack_args}) AS (feature, u_hat)"),
+    ).select("feature", "n_pairs", "u_hat")
+
+
+ORACLES["q114_random_pair_u_estimation"] = f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks,
+               epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+        FROM t GROUP BY conv_id),
+    rk AS (
+        SELECT conv_id, substr(md5(conv_id), 1, 1) AS b,
+               row_number() OVER (PARTITION BY substr(md5(conv_id), 1, 1)
+                                  ORDER BY md5(conv_id), conv_id) AS r
+        FROM members),
+    pr AS (
+        SELECT o.conv_id AS c1, e.conv_id AS c2
+        FROM rk o JOIN rk e
+          ON o.b = e.b AND o.r % 2 = 1 AND e.r = o.r + 1),
+    fx AS (
+        SELECT
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name || ' ' || a.surname,
+                        b.given_name || ' ' || b.surname), 6) >= 0.9
+                    AS INTEGER) AS f1,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name, b.given_name), 6) >= 0.9
+                    AS INTEGER) AS f2,
+               CAST(round(CASE WHEN greatest(len(a.given_name),
+                                             len(b.given_name)) = 0
+                               THEN 1.0
+                               ELSE 1.0 - levenshtein(a.given_name,
+                                                      b.given_name) * 1.0
+                                    / greatest(len(a.given_name),
+                                               len(b.given_name)) END, 6)
+                        >= 0.8 AS INTEGER) AS f3,
+               CAST(round({{lj_toks}}, 6) >= 0.5 AS INTEGER) AS f4,
+               CAST(round({{lj_tools}}, 6) >= 0.5 AS INTEGER) AS f5,
+               CAST(least(f1.tmax, f2.tmax) - greatest(f1.tmin, f2.tmin) > 0
+                    AS INTEGER) AS f6
+        FROM pr
+        JOIN members a ON a.conv_id = pr.c1
+        JOIN members b ON b.conv_id = pr.c2
+        JOIN sigf f1 ON f1.conv_id = pr.c1
+        JOIN sigf f2 ON f2.conv_id = pr.c2),
+    agg AS (
+        SELECT count(*) AS n_pairs,
+               sum(f1) AS s1, sum(f2) AS s2, sum(f3) AS s3,
+               sum(f4) AS s4, sum(f5) AS s5, sum(f6) AS s6
+        FROM fx)
+    SELECT 'name_jw_hi' AS feature, n_pairs,
+           round(s1 * 1.0 / n_pairs, 6) AS u_hat FROM agg
+    UNION ALL SELECT 'given_jw_hi', n_pairs,
+           round(s2 * 1.0 / n_pairs, 6) FROM agg
+    UNION ALL SELECT 'lev_hi', n_pairs,
+           round(s3 * 1.0 / n_pairs, 6) FROM agg
+    UNION ALL SELECT 'token_hi', n_pairs,
+           round(s4 * 1.0 / n_pairs, 6) FROM agg
+    UNION ALL SELECT 'tool_hi', n_pairs,
+           round(s5 * 1.0 / n_pairs, 6) FROM agg
+    UNION ALL SELECT 'time_overlap', n_pairs,
+           round(s6 * 1.0 / n_pairs, 6) FROM agg
+""".format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

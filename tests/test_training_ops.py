@@ -1067,3 +1067,34 @@ def test_leakage_free_split_group_atomic(spark):
     assert any(
         r.naive_straddled == 0 and r.n_docs > 1 for r in out.values()
     )
+
+
+def test_random_cross_pairs_disjoint_deterministic(spark):
+    """Each record in at most one pair; pairing re-derived exactly
+    with hashlib; per-bucket odd leftover dropped."""
+    import hashlib
+    from collections import defaultdict
+
+    from pubmed_and_method_spark.operators.sampling import (
+        random_cross_pairs,
+    )
+
+    ids = [f"c{i:03d}" for i in range(137)]
+    df = spark.createDataFrame([(i,) for i in ids], ["cid"])
+    got = sorted(
+        (r.id1, r.id2) for r in random_cross_pairs(df, "cid").collect()
+    )
+    used = [x for p in got for x in p]
+    assert len(used) == len(set(used))
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    buckets = defaultdict(list)
+    for i in ids:
+        buckets[md5(i)[0]].append(i)
+    want = []
+    for b, members in buckets.items():
+        members.sort(key=lambda i: (md5(i), i))
+        for k in range(0, len(members) - 1, 2):
+            want.append((members[k], members[k + 1]))
+    assert got == sorted(want)
+    assert len(got) == sum(len(m) // 2 for m in buckets.values())
