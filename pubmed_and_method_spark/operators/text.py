@@ -211,3 +211,35 @@ def repetition_stats(
             ).alias("top_ngram_frac"),
         )
     )
+
+
+def compression_ratio(text_col: str) -> Column:
+    """zlib compression ratio of the UTF-8 text — the Gopher/FineWeb
+    repetitiveness signal q56's n-gram fractions approximate: highly
+    compressible (low ratio) means template/boilerplate/repeated
+    content, near-1.0 means high-entropy text.
+
+    An Arrow-batched pandas UDF by necessity, not convenience: DEFLATE
+    has no SQL form.  Level pinned to 6 so the byte count (and thus
+    the round-6 ratio) is a pure function of the text; empty texts
+    yield null (nothing to compress, not "perfectly compressible").
+    Cost is one streaming pass per batch, no shuffle — the UDF slots
+    into any projection.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return s.map(one)
+
+    return _ratio(F.col(text_col))

@@ -8487,6 +8487,35 @@ ORACLES["q114_random_pair_u_estimation"] = f"""
 )
 
 
+@q("q115_compression_quality")  # rows-only: DEFLATE has no SQL form
+def q115(spark, sf):
+    """Compression-ratio quality signal
+    (operators/text.compression_ratio): round-6
+    len(zlib(text))/len(text) per document plus a repetition verdict
+    at the 0.5 cut — the Gopher/FineWeb compressibility filter, the
+    entropy-complete sibling of q56's n-gram repetition fractions
+    (an n-gram table misses long-period templating; DEFLATE does
+    not).  Rows-only ONLY because DEFLATE has no SQL form — the UDF
+    is pytest-pinned byte-for-byte against direct zlib on the same
+    corpus slice, level fixed at 6, empty texts null.  Scale: one
+    Arrow-batched streaming pass, no shuffle."""
+    from pubmed_and_method_spark.operators.text import compression_ratio
+
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            compression_ratio("text").alias("zlib_ratio"),
+            F.length("text").alias("n_chars"),
+        )
+        .withColumn(
+            "repetitive",
+            F.when(F.col("zlib_ratio") < 0.5, 1).otherwise(0),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

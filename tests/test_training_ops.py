@@ -1098,3 +1098,35 @@ def test_random_cross_pairs_disjoint_deterministic(spark):
             want.append((members[k], members[k + 1]))
     assert got == sorted(want)
     assert len(got) == sum(len(m) // 2 for m in buckets.values())
+
+
+def test_compression_ratio_matches_zlib_and_separates(spark):
+    """UDF output == direct zlib byte math; a repetitive text scores
+    far below a high-entropy one; empty/null -> null."""
+    import zlib
+
+    from pubmed_and_method_spark.operators.text import compression_ratio
+
+    rep = "spark shuffle " * 200
+    import base64
+    import hashlib
+
+    rand = "".join(
+        base64.b64encode(hashlib.sha256(str(i).encode()).digest()).decode()
+        for i in range(80)
+    )
+    rows = [(1, rep), (2, rand), (3, ""), (4, None), (5, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.zlib_ratio
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("zlib_ratio")
+        ).collect()
+    }
+    for i, t in rows:
+        if not t:
+            assert out[i] is None, i
+        else:
+            raw = t.encode()
+            assert out[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert out[1] < 0.1 < 0.5 < out[2]
