@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "q101_merge_distance",
     "q102_fs_calibration",
     "q103_group_linkage",
+    "q106_passjoin_edit_join",
+    "q108_truth_discovery",
+    "q110_cluster_cohesion",
+    "q111_leakage_free_split",
+    "q115_compression_quality",
 ]
 
 

@@ -243,6 +243,23 @@ AUDIT = [
     # cohesion audit: CC operator (checkpoint-pinned) + degree groupBy
     # + component roll-up hash joins; never cartesian
     ("q110_cluster_cohesion", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # leakage-free split: ONE groupBy on the fingerprint; the naive-
+    # straddle audit rides the same pass as conditional sums — no
+    # second shuffle, no join, never cartesian
+    ("q111_leakage_free_split", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct", r"Join"]),
+    # deletion repair: semi/anti joins on batch-bounded id sets + CC
+    # re-run on the touched subgraph only; never cartesian
+    ("q112_deletion_repair", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # FS threshold selection: one score groupBy + cumulative windows
+    # over the distinct-score frame + a 1-row broadcast of the chosen
+    # cuts; never cartesian
+    ("q113_fs_threshold_selection", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # u estimation: per-bucket rank windows (16 bounded partitions,
+    # no global sort) + the pair double-join + one 1-row agg
+    ("q114_random_pair_u_estimation", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # compression signal: one Arrow-batched projection pass; the only
+    # exchange is the presentation orderBy
+    ("q115_compression_quality", [r"ArrowEvalPython"], [r"CartesianProduct", r"Join"]),
 ]
 
 
