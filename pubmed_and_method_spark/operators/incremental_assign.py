@@ -121,3 +121,89 @@ def assign_to_clusters(
             .alias("n_union"),
         )
     )
+
+
+def persistent_cluster_ids(
+    old: DataFrame,
+    new: DataFrame,
+    member_col: str = "mention_id",
+    old_id_col: str = "old_cluster",
+    new_id_col: str = "new_cluster",
+) -> DataFrame:
+    """Stable entity ids across clustering releases: a new cluster
+    INHERITS an old cluster's id iff they mutually-majority overlap
+    (shared members > half of EACH side) — the downstream-consumer
+    contract q83's churn report measures but does not enforce.
+
+    The mutual-majority rule makes inheritance a perfect partial
+    matching with no tie-breaking needed: two new clusters cannot
+    each hold >half of one old cluster (their member sets are
+    disjoint), nor one new cluster >half-overlap two old ones — so
+    every persistent id survives into AT MOST one successor and every
+    successor claims at most one ancestor, by integer comparisons
+    alone.  Non-inheriting clusters mint a fresh id from their
+    smallest member ("new:<member>").
+
+    Scale: one (new, old) contingency-cell groupBy — O(cells), cells
+    bounded by members — two size groupBys OF the cells' inputs, an
+    argmax struct-min per new cluster, and a broadcast-size join
+    back.  No pair expansion anywhere.
+    """
+    o = old.select(
+        F.col(member_col).alias("__m"), F.col(old_id_col).alias("__oc")
+    )
+    n = new.select(
+        F.col(member_col).alias("__m"), F.col(new_id_col).alias("__nc")
+    )
+    cells = (
+        n.join(o, "__m", "left")
+        .groupBy("__nc", "__oc")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+    )
+    n_new = n.groupBy("__nc").agg(F.count(F.lit(1)).alias("__n_new"))
+    n_old = o.groupBy("__oc").agg(F.count(F.lit(1)).alias("__n_old"))
+    best = (
+        cells.where(F.col("__oc").isNotNull())
+        .join(n_old, "__oc")
+        .groupBy("__nc")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__ov")).alias("__neg"),
+                    F.col("__oc").alias("__oc"),
+                    F.col("__ov").alias("__ov"),
+                    F.col("__n_old").alias("__n_old"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            "__nc",
+            F.col("__b.__oc").alias("__oc"),
+            F.col("__b.__ov").alias("__ov"),
+            F.col("__b.__n_old").alias("__n_old"),
+        )
+    )
+    fresh = n.groupBy("__nc").agg(F.min("__m").alias("__rep"))
+    inherit = (
+        n_new.join(best, "__nc", "left")
+        .join(fresh, "__nc")
+        .withColumn(
+            "inherited",
+            (
+                F.col("__oc").isNotNull()
+                & (2 * F.col("__ov") > F.col("__n_new"))
+                & (2 * F.col("__ov") > F.col("__n_old"))
+            ).cast("int"),
+        )
+    )
+    return inherit.select(
+        F.col("__nc").alias(new_id_col),
+        F.when(F.col("inherited") == 1, F.col("__oc"))
+        .otherwise(F.concat(F.lit("new:"), F.col("__rep")))
+        .alias("persistent_id"),
+        "inherited",
+        F.coalesce(
+            F.when(F.col("inherited") == 1, F.col("__ov")), F.lit(0)
+        ).alias("n_shared"),
+        F.col("__n_new").alias("n_members"),
+    )

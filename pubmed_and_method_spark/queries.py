@@ -8516,6 +8516,88 @@ def q115(spark, sf):
     )
 
 
+@q(
+    "q116_persistent_ids",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    members AS ({{phon_members}}),
+    cells AS (
+        SELECT pk AS nc, block_key AS oc, count(*) AS ov
+        FROM members GROUP BY 1, 2),
+    nn AS (SELECT nc, CAST(sum(ov) AS BIGINT) AS n_new
+           FROM cells GROUP BY nc),
+    no AS (SELECT oc, CAST(sum(ov) AS BIGINT) AS n_old
+           FROM cells GROUP BY oc),
+    best AS (
+        SELECT c.nc,
+               min(struct_pack(negov := -c.ov, oc := c.oc,
+                               ov := c.ov, n_old := no.n_old)) AS b
+        FROM cells c JOIN no ON no.oc = c.oc
+        GROUP BY c.nc),
+    fresh AS (
+        SELECT pk AS nc, min(conv_id || '#assistant') AS rep
+        FROM members GROUP BY pk),
+    j AS (
+        SELECT nn.nc, nn.n_new, f.rep,
+               b.b.oc AS oc, b.b.ov AS ov, b.b.n_old AS n_old,
+               CASE WHEN b.b.oc IS NOT NULL
+                         AND 2 * b.b.ov > nn.n_new
+                         AND 2 * b.b.ov > b.b.n_old
+                    THEN 1 ELSE 0 END AS inherited
+        FROM nn JOIN best b USING (nc) JOIN fresh f USING (nc))
+    SELECT nc AS new_cluster,
+           CASE WHEN inherited = 1 THEN oc
+                ELSE 'new:' || rep END AS persistent_id,
+           inherited,
+           CAST(CASE WHEN inherited = 1 THEN ov ELSE 0 END AS BIGINT)
+               AS n_shared,
+           n_new AS n_members
+    FROM j
+    """,
+)
+def q116(spark, sf):
+    """Persistent entity ids across clustering releases
+    (operators/incremental_assign.persistent_cluster_ids): the new
+    phonetic partition of the HARD corpus inherits the exact-block
+    partition's ids under the MUTUAL-MAJORITY rule (shared members >
+    half of BOTH sides) — which makes inheritance a perfect partial
+    matching by integer comparisons alone (no two successors can
+    each hold >half of one ancestor; disjointness does the proof),
+    so downstream consumers keep their entity keys across the
+    release that q83 only REPORTS churn for.  Non-inheriting
+    clusters mint 'new:<smallest member>'.  One contingency-cell
+    groupBy + size groupBys + an argmax struct-min; DuckDB
+    re-derives every cell, election, majority check, and minted
+    id."""
+    from pubmed_and_method_spark.functions.names import phonetic_key
+    from pubmed_and_method_spark.operators.incremental_assign import (
+        persistent_cluster_ids,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42, hardness=0.7)
+    sig = build_signatures(t, tfidf=False).filter(
+        F.col("block_key") != "__unblocked__"
+    )
+    old = sig.select("mention_id", F.col("block_key").alias("old_cluster"))
+    new = sig.select(
+        "mention_id",
+        F.concat(
+            phonetic_key("surname"),
+            F.lit("_"),
+            F.substring("given_name", 1, 1),
+        ).alias("new_cluster"),
+    )
+    return persistent_cluster_ids(old, new)
+
+
+ORACLES["q116_persistent_ids"] = ORACLES["q116_persistent_ids"].format(
+    phon_members=_phon_member_sql()
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -142,3 +142,43 @@ def test_q94_registry_query_matches_duckdb(spark):
     # both outcomes occur on the real corpus
     news = [t for t in got if t[2] == 1]
     assert 0 < len(news) < len(got)
+
+
+def test_persistent_ids_mutual_majority(spark):
+    """Inheritance requires >half of BOTH sides; an ancestor split in
+    two is inherited by neither half; unmatched clusters mint
+    new:<smallest member>."""
+    from pubmed_and_method_spark.operators.incremental_assign import (
+        persistent_cluster_ids,
+    )
+
+    old = spark.createDataFrame(
+        [("m1", "A"), ("m2", "A"), ("m3", "A"), ("m4", "B"), ("m5", "B"),
+         ("m6", "C"), ("n0", "D"), ("n1", "D"), ("n2", "D"), ("n3", "D")],
+        ["mention_id", "old_cluster"],
+    )
+    new = spark.createDataFrame(
+        [("m1", "X"), ("m2", "X"), ("m3", "X"), ("m4", "X"),
+         ("m5", "Y"), ("m6", "Y"), ("m7", "Y"),
+         ("m8", "Z"),
+         ("n0", "P"), ("n1", "P"), ("n2", "Q"), ("n3", "Q")],
+        ["mention_id", "new_cluster"],
+    )
+    out = {
+        r.new_cluster: r
+        for r in persistent_cluster_ids(old, new).collect()
+    }
+    # X holds 3/4 of itself and 3/3 of A -> inherits A
+    assert (out["X"].persistent_id, out["X"].inherited) == ("A", 1)
+    assert out["X"].n_shared == 3 and out["X"].n_members == 4
+    # Y: best old overlap is 1 (B or C) -> no majority -> fresh id
+    assert out["Y"].persistent_id == "new:m5" and out["Y"].inherited == 0
+    assert out["Y"].n_shared == 0
+    # Z: no old members at all
+    assert out["Z"].persistent_id == "new:m8"
+    # D split evenly: neither P nor Q takes >half of D -> both fresh
+    assert out["P"].persistent_id == "new:n0" and out["P"].inherited == 0
+    assert out["Q"].persistent_id == "new:n2" and out["Q"].inherited == 0
+    # every persistent id unique (perfect partial matching)
+    ids = [r.persistent_id for r in out.values()]
+    assert len(ids) == len(set(ids))
