@@ -86,3 +86,51 @@ def entity_epochs(
         F.max("__secs").alias("epoch_end"),
         (F.max("__secs") - F.min("__secs")).alias("span_seconds"),
     )
+
+
+def temporal_decay_score(
+    pairs: DataFrame,
+    weights: dict[str, tuple[float, float]],
+    gap_col: str,
+    half_life_days: float = 30.0,
+) -> DataFrame:
+    """Time-decayed Fellegi-Sunter evidence (the decay idea of Li,
+    Dong, Maurino & Srivastava, "Linking Temporal Records", VLDB'11):
+    the further apart two mentions' activity windows, the less their
+    feature agreement OR disagreement should count — entities drift
+    (tools change, names re-spell), so stale evidence in either
+    direction is discounted toward zero rather than trusted at face
+    value.
+
+    Appends three columns: ``decay`` = round-6 2^(-gap/half_life),
+    ``llr`` = the plain q67 score (identical literal term order), and
+    ``llr_decayed`` = the same terms each multiplied by the pair's
+    decay (round-6 per term, summed left-to-right) — so a same-week
+    pair keeps its full evidence and a year-apart pair's llr shrinks
+    toward the indifference point, pushing it into the clerical band
+    instead of a confident auto-decision.
+
+    Pure codegen projection: weights are literals baked into the
+    plan, no join or shuffle beyond what produced the pairs; every
+    term is round-6 with a fixed order, so any engine re-derives it
+    bit-for-bit.
+    """
+    decay = F.round(
+        F.pow(F.lit(2.0), -F.col(gap_col) / F.lit(half_life_days)), 6
+    )
+    plain = None
+    dec = None
+    for c, (mw, dw) in weights.items():
+        w = (
+            F.when(F.col(c) == 1, F.lit(round(mw, 6)))
+            .otherwise(F.lit(round(dw, 6)))
+        )
+        t = F.round(w * F.col("__decay"), 6)
+        plain = w if plain is None else plain + w
+        dec = t if dec is None else dec + t
+    return (
+        pairs.withColumn("__decay", decay)
+        .withColumn("llr", F.round(plain, 6))
+        .withColumn("llr_decayed", F.round(dec, 6))
+        .withColumnRenamed("__decay", "decay")
+    )

@@ -8598,6 +8598,188 @@ ORACLES["q116_persistent_ids"] = ORACLES["q116_persistent_ids"].format(
 )
 
 
+def _fs_decay_sql(half_life: float) -> str:
+    """q117 oracle suffix: the q67 weight derivation verbatim, then
+    every pair scored twice — plain terms and per-term decay products
+    — in the SAME literal order the Spark plan bakes in."""
+    k = len(_FS_EM_FEATURES)
+    piv = []
+    for j, c in enumerate(_FS_EM_FEATURES):
+        piv.append(f"max(CASE WHEN feature = '{c}' THEN mw END) AS mw{j + 1}")
+        piv.append(f"max(CASE WHEN feature = '{c}' THEN dw END) AS dw{j + 1}")
+    plain = " + ".join(
+        f"(CASE WHEN {c} = 1 THEN mw{j + 1} ELSE dw{j + 1} END)"
+        for j, c in enumerate(_FS_EM_FEATURES)
+    )
+    dec = " + ".join(
+        f"round((CASE WHEN {c} = 1 THEN mw{j + 1} ELSE dw{j + 1} END)"
+        f" * decay, 6)"
+        for j, c in enumerate(_FS_EM_FEATURES)
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS feature, {c} AS agree, y FROM fx"
+        for c in _FS_EM_FEATURES
+    )
+    return f"""long AS (
+        {unions}),
+    agg AS (
+        SELECT feature,
+               sum(y) AS n_match, sum(1 - y) AS n_nonmatch,
+               sum(agree * y) AS agree_match,
+               sum(agree * (1 - y)) AS agree_nonmatch
+        FROM long GROUP BY feature),
+    probs AS (
+        SELECT feature,
+               greatest(least(CASE WHEN n_match > 0
+                                   THEN agree_match * 1.0 / n_match
+                                   ELSE 1e-6 END, 1 - 1e-6), 1e-6) AS m,
+               greatest(least(CASE WHEN n_nonmatch > 0
+                                   THEN agree_nonmatch * 1.0 / n_nonmatch
+                                   ELSE 1e-6 END, 1 - 1e-6), 1e-6) AS u
+        FROM agg),
+    wtab AS (
+        SELECT feature,
+               round(log2(m / u), 6) AS mw,
+               round(log2((1.0 - m) / (1.0 - u)), 6) AS dw
+        FROM probs),
+    wrow AS (SELECT {", ".join(piv)} FROM wtab),
+    fxd AS (
+        SELECT fx.*, wrow.*,
+               round(pow(2.0, -gap_days / {half_life}), 6) AS decay
+        FROM fx CROSS JOIN wrow)
+    SELECT m1 AS mention_id1, m2 AS mention_id2, gap_days, decay,
+           round({plain}, 6) AS llr,
+           round({dec}, 6) AS llr_decayed,
+           y AS same_entity
+    FROM fxd"""
+
+
+@q("q117_temporal_decay")
+def q117(spark, sf):
+    """Time-decayed FS evidence
+    (operators/temporal.temporal_decay_score — the decay model of Li
+    et al. "Linking Temporal Records", VLDB'11): each q67 weight term
+    is multiplied by the pair's round-6 2^(-gap/30d) before summing,
+    so stale agreement OR disagreement discounts toward the
+    indifference point — a year-apart pair lands in the clerical band
+    where a same-week pair auto-decides, the temporal dimension X14's
+    raw day-diff feature leaves to the classifier.  Plain and decayed
+    scores share one literal term order; DuckDB re-derives weights,
+    gaps, decay factors, and both sums bit-for-bit."""
+    from pubmed_and_method_spark.operators.er_metrics import fs_weights
+    from pubmed_and_method_spark.operators.temporal import (
+        temporal_decay_score,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    ag = feats.select(
+        "mention_id1",
+        "mention_id2",
+        (F.round("name_jw", 6) >= 0.9).cast("int").alias("name_jw_hi"),
+        (F.round("given_jw", 6) >= 0.9).cast("int").alias("given_jw_hi"),
+        (F.round("name_lev_ratio", 6) >= 0.8).cast("int").alias("lev_hi"),
+        (F.round("token_jacc", 6) >= 0.5).cast("int").alias("token_hi"),
+        (F.round("tool_jacc", 6) >= 0.5).cast("int").alias("tool_hi"),
+        F.col("time_overlap").cast("int").alias("time_overlap"),
+        F.round("time_diff_days", 6).alias("gap_days"),
+        F.col("same_entity").cast("int").alias("same_entity"),
+    )
+    west = {
+        r["feature"]: (r["match_weight"], r["disagree_weight"])
+        for r in fs_weights(ag, _FS_EM_FEATURES).collect()
+    }
+    weights = {c: west[c] for c in _FS_EM_FEATURES}
+    return temporal_decay_score(
+        ag, weights, "gap_days", half_life_days=30.0
+    ).select(
+        "mention_id1",
+        "mention_id2",
+        "gap_days",
+        "decay",
+        "llr",
+        "llr_decayed",
+        "same_entity",
+    )
+
+
+ORACLES["q117_temporal_decay"] = f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks,
+               epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+        FROM t GROUP BY conv_id),
+    fx AS (
+        SELECT a.conv_id || '#assistant' AS m1,
+               b.conv_id || '#assistant' AS m2,
+               CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name || ' ' || a.surname,
+                        b.given_name || ' ' || b.surname), 6) >= 0.9
+                    AS INTEGER) AS name_jw_hi,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name, b.given_name), 6) >= 0.9
+                    AS INTEGER) AS given_jw_hi,
+               CAST(round(CASE WHEN greatest(len(a.given_name),
+                                             len(b.given_name)) = 0
+                               THEN 1.0
+                               ELSE 1.0 - levenshtein(a.given_name,
+                                                      b.given_name) * 1.0
+                                    / greatest(len(a.given_name),
+                                               len(b.given_name)) END, 6)
+                        >= 0.8 AS INTEGER) AS lev_hi,
+               CAST(round({{lj_toks}}, 6) >= 0.5 AS INTEGER) AS token_hi,
+               CAST(round({{lj_tools}}, 6) >= 0.5 AS INTEGER) AS tool_hi,
+               CAST(least(f1.tmax, f2.tmax) - greatest(f1.tmin, f2.tmin) > 0
+                    AS INTEGER) AS time_overlap,
+               round(abs((f1.tmin + f1.tmax) / 2.0
+                         - (f2.tmin + f2.tmax) / 2.0) / 86400.0, 6)
+                   AS gap_days
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    {{decay}}
+""".format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    decay=_fs_decay_sql(30.0),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

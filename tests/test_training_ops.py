@@ -1130,3 +1130,40 @@ def test_compression_ratio_matches_zlib_and_separates(spark):
             raw = t.encode()
             assert out[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
     assert out[1] < 0.1 < 0.5 < out[2]
+
+
+def test_temporal_decay_score_math_and_monotonicity(spark):
+    """decay == 2^(-gap/h) round-6; gap 0 keeps llr intact; evidence
+    shrinks toward 0 monotonically with gap; python re-derivation."""
+    from pubmed_and_method_spark.operators.temporal import (
+        temporal_decay_score,
+    )
+
+    weights = {"f1": (2.0, -1.5), "f2": (1.25, -0.75)}
+    rows = [
+        ("a", 1, 1, 0.0),
+        ("b", 1, 1, 30.0),
+        ("c", 1, 1, 365.0),
+        ("d", 0, 0, 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["pid", "f1", "f2", "gap"])
+    out = {
+        r.pid: r
+        for r in temporal_decay_score(
+            df, weights, "gap", half_life_days=30.0
+        ).collect()
+    }
+    for pid, f1, f2, gap in rows:
+        d = round(2.0 ** (-gap / 30.0), 6)
+        w1 = 2.0 if f1 else -1.5
+        w2 = 1.25 if f2 else -0.75
+        assert out[pid].decay == d
+        assert out[pid].llr == round(w1 + w2, 6)
+        assert out[pid].llr_decayed == round(
+            round(w1 * d, 6) + round(w2 * d, 6), 6
+        )
+    assert out["a"].llr_decayed == out["a"].llr  # gap 0: undecayed
+    assert abs(out["c"].llr_decayed) < abs(out["b"].llr_decayed) < abs(
+        out["b"].llr
+    )
+    assert abs(out["d"].llr_decayed) < abs(out["d"].llr)  # disagreement too
