@@ -134,3 +134,82 @@ def temporal_decay_score(
         .withColumn("llr_decayed", F.round(dec, 6))
         .withColumnRenamed("__decay", "decay")
     )
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact interval-overlap self-join by time-bucket hashing — the
+    RANGE join Spark's equi-join machinery lacks natively, built the
+    scalable way: a naive ``a.start <= b.end AND b.start <= a.end``
+    theta-join plans as a nested-loop over the corpus; instead every
+    interval explodes into the fixed-width buckets it covers, and
+    candidates come from an EQUI-join on (partition cols, bucket).
+    Complete by construction: any point of a non-empty intersection
+    lies in a bucket both intervals cover.  Candidates then verify
+    the exact predicate and dedupe (an overlapping pair shares every
+    bucket of its intersection).
+
+    Fan-out per row is interval_length/bucket_seconds + 1 — pick the
+    bucket near the typical interval so the explode stays O(1) per
+    record; ``partition_cols`` (e.g. the blocking key) bound the
+    bucket-collision groups the same way blocks bound pair
+    generation.  Returns (id1, id2, partition cols, overlap_seconds
+    > 0).
+    """
+    parts = list(partition_cols or [])
+    w = int(bucket_seconds)
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in parts],
+        s.alias("__s"),
+        e.alias("__e"),
+        F.explode(
+            F.sequence(
+                F.floor(s / F.lit(w)).cast("long"),
+                F.floor(e / F.lit(w)).cast("long"),
+            )
+        ).alias("__bk"),
+    )
+    left = b.select(
+        F.col("__id").alias("id1"),
+        *[F.col(c).alias(f"__p_{c}") for c in parts],
+        F.col("__s").alias("__s1"),
+        F.col("__e").alias("__e1"),
+        "__bk",
+    )
+    right = b.select(
+        F.col("__id").alias("id2"),
+        *[F.col(c).alias(f"__q_{c}") for c in parts],
+        F.col("__s").alias("__s2"),
+        F.col("__e").alias("__e2"),
+        "__bk",
+    )
+    cond = [left["__bk"] == right["__bk"]] + [
+        left[f"__p_{c}"] == right[f"__q_{c}"] for c in parts
+    ]
+    cand = (
+        left.join(right, cond)
+        .where(F.col("id1") < F.col("id2"))
+        .where(
+            (F.col("__s1") <= F.col("__e2"))
+            & (F.col("__s2") <= F.col("__e1"))
+        )
+        .select(
+            "id1",
+            "id2",
+            *[F.col(f"__p_{c}").alias(c) for c in parts],
+            (
+                F.least("__e1", "__e2") - F.greatest("__s1", "__s2")
+            ).alias("overlap_seconds"),
+        )
+        .where(F.col("overlap_seconds") > 0)
+        .distinct()
+    )
+    return cand

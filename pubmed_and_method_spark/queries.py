@@ -8780,6 +8780,68 @@ ORACLES["q117_temporal_decay"] = f"""
 )
 
 
+@q(
+    "q118_interval_overlap_join",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    t2 AS (SELECT * FROM '{_CORPUS_DIR}/transcripts_hard.parquet'),
+    spans AS (
+        SELECT nk.conv_id || '#assistant' AS mid, nk.block_key,
+               CAST(epoch(min(t2.ts)) AS BIGINT) - 604800 AS s,
+               CAST(epoch(max(t2.ts)) AS BIGINT) + 604800 AS e
+        FROM nk JOIN t2 ON t2.conv_id = nk.conv_id
+        WHERE nk.block_key <> '__unblocked__'
+        GROUP BY 1, 2)
+    SELECT a.mid AS id1, b.mid AS id2, a.block_key,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_seconds
+    FROM spans a JOIN spans b
+      ON a.block_key = b.block_key AND a.mid < b.mid
+    WHERE a.s <= b.e AND b.s <= a.e
+      AND least(a.e, b.e) - greatest(a.s, b.s) > 0
+    """,
+)
+def q118(spark, sf):
+    """Exact interval-overlap self-join
+    (operators/temporal.interval_overlap_join): same-block mention pairs on the
+    HARD corpus whose +-7-day-padded activity windows overlap (raw
+    conversations are ~minutes-long point events, so 'co-active'
+    means within two weeks) — the RANGE join Spark has no
+    native equi-form for, built scalably: activity windows explode
+    into week buckets and candidates come from an EQUI-join on
+    (block_key, bucket), complete because any point of a non-empty
+    intersection lies in a bucket both windows cover; exact predicate
+    + dedup after.  A naive theta-join here plans as a nested loop
+    over the corpus (J10 was 'n/a' in the reference — this is the
+    missing join family done Spark-first).  The DuckDB oracle
+    brute-forces the within-block theta-join — the dual-
+    implementation completeness check; a pytest re-proves it on
+    random intervals at several bucket widths."""
+    from pubmed_and_method_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, _ = transcripts_df(spark, seed=42, hardness=0.7)
+    spans = build_signatures(t, tfidf=False).filter(
+        F.col("block_key") != "__unblocked__"
+    )
+    return interval_overlap_join(
+        spans.select(
+            "mention_id",
+            "block_key",
+            (F.unix_timestamp("ts_min") - 604800).alias("s"),
+            (F.unix_timestamp("ts_max") + 604800).alias("e"),
+        ),
+        "mention_id",
+        "s",
+        "e",
+        bucket_seconds=7 * 86400,
+        partition_cols=["block_key"],
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

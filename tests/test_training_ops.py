@@ -1167,3 +1167,38 @@ def test_temporal_decay_score_math_and_monotonicity(spark):
         out["b"].llr
     )
     assert abs(out["d"].llr_decayed) < abs(out["d"].llr)  # disagreement too
+
+
+def test_interval_overlap_join_equals_brute_force(spark):
+    """Bucketed candidates + exact verify == brute-force theta-join
+    on random intervals, across bucket widths smaller/near/larger
+    than the intervals, including negative coordinates."""
+    import itertools
+    import random
+
+    from pubmed_and_method_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(120):
+        s = rng.randint(-5000, 5000)
+        rows.append((f"i{i:03d}", "g" + str(i % 3), s, s + rng.randint(0, 800)))
+    df = spark.createDataFrame(rows, ["iid", "grp", "s", "e"])
+    want = sorted(
+        (a[0], b[0], a[1], min(a[3], b[3]) - max(a[2], b[2]))
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if a[1] == b[1]
+        and a[2] <= b[3]
+        and b[2] <= a[3]
+        and min(a[3], b[3]) - max(a[2], b[2]) > 0
+    )
+    for w in (50, 500, 5000):
+        got = sorted(
+            tuple(r)
+            for r in interval_overlap_join(
+                df, "iid", "s", "e", w, partition_cols=["grp"]
+            ).collect()
+        )
+        assert got == want, f"width {w}"
