@@ -162,3 +162,86 @@ def cluster_cohesion(
             "n_leaf_nodes",
         )
     )
+
+
+def propagate_scores(
+    scored: DataFrame,
+    id_cols: tuple[str, str] = ("id1", "id2"),
+    score_col: str = "score",
+    rounds: int = 2,
+    alpha: tuple[int, int] = (7, 10),
+    hi: float = 0.6,
+) -> DataFrame:
+    """Iterated collective ER: candidate-pair scores re-blended with
+    the structure their own high-confidence subgraph induces
+    (Bhattacharya & Getoor's collective relational ER, as a fixed
+    deterministic round count — the ITERATED form of q74's one-shot
+    common-neighbor features).
+
+    Per round: edges = pairs currently >= ``hi``; every candidate's
+    neighbor-Jaccard over that graph is computed (the
+    common_neighbor_features triangle join); the score becomes
+    ``(a*score + (b-a)*nbr_jaccard) / b`` for ``alpha = (a, b)``.  A
+    borderline pair whose endpoints' other partners agree gets pulled
+    UP across rounds (evidence propagates transitively); an isolated
+    high scorer decays geometrically — exactly the two corrections
+    pair-local features cannot make.
+
+    Cross-engine exactness: scores live in INTEGER MICRO-UNITS
+    (round-6 x 1e6) and each blend is ``(a*prev + (b-a)*jacc) div b``
+    — integer floor division, no decimal rounding anywhere near a
+    half boundary (a 0.7x blend of round-6 values lands on exact
+    7th-decimal fives, where engines' round() disagree).  Fixed
+    rounds keep the output a pure function of (pairs, rounds, alpha,
+    hi); per round one symmetrized adjacency + the triangle join,
+    pinned with localCheckpoint like the other iterative operators.
+
+    Returns the pairs with ``score_0`` .. ``score_<rounds>`` (micro
+    units scaled back to doubles) and ``promoted`` (crossed ``hi`` by
+    iteration but not at round 0).
+    """
+    a, b = alpha
+    hi_int = int(round(hi * 1_000_000))
+    c1, c2 = id_cols
+    extras = [c for c in scored.columns if c not in (c1, c2, score_col)]
+    cur = scored.select(
+        F.col(c1),
+        F.col(c2),
+        F.round(F.col(score_col) * 1_000_000)
+        .cast("long")
+        .alias("__si_0"),
+        *extras,
+    ).localCheckpoint(eager=True)
+    for r in range(1, rounds + 1):
+        prev = f"__si_{r - 1}"
+        edges = cur.where(F.col(prev) >= hi_int).select(c1, c2)
+        feat = common_neighbor_features(
+            cur.select(c1, c2), edges, id_cols=(c1, c2)
+        )
+        cur = (
+            cur.join(feat, [c1, c2])
+            .withColumn(
+                "__ji",
+                F.round(F.col("nbr_jaccard") * 1_000_000).cast("long"),
+            )
+            .withColumn(
+                f"__si_{r}",
+                F.expr(
+                    f"({a} * {prev} + {b - a} * __ji) div {b}"
+                ),
+            )
+            .drop("cn", "nbr_jaccard", "__ji")
+            .localCheckpoint(eager=True)
+        )
+    out = cur.withColumn(
+        "promoted",
+        (
+            (F.col(f"__si_{rounds}") >= hi_int)
+            & (F.col("__si_0") < hi_int)
+        ).cast("int"),
+    )
+    for r in range(rounds + 1):
+        out = out.withColumn(
+            f"score_{r}", F.col(f"__si_{r}") / F.lit(1_000_000.0)
+        ).drop(f"__si_{r}")
+    return out

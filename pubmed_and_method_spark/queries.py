@@ -8842,6 +8842,167 @@ def q118(spark, sf):
     )
 
 
+def _propagate_round_sql(r: int) -> str:
+    """One unrolled q119 propagation round: adjacency of the >=0.6
+    subgraph (micro-int >= 600000), degrees, common-neighbor counts,
+    and the integer blend (7*prev + 3*jacc_micro) // 10 —
+    MATERIALIZED so chained rounds don't inline exponentially."""
+    p = f"s{r - 1}"
+    pc = f"si{r - 1}"
+    return f"""e{r} AS MATERIALIZED (
+        SELECT m1, m2 FROM {p} WHERE {pc} >= 600000),
+    adj{r} AS MATERIALIZED (
+        SELECT m1 AS u, m2 AS v FROM e{r}
+        UNION SELECT m2 AS u, m1 AS v FROM e{r}),
+    deg{r} AS (SELECT u, count(*) AS d FROM adj{r} GROUP BY u),
+    cn{r} AS (
+        SELECT p.m1, p.m2, count(*) AS cn
+        FROM {p} p
+        JOIN adj{r} n1 ON n1.u = p.m1
+        JOIN adj{r} n2 ON n2.u = p.m2 AND n2.v = n1.v
+        GROUP BY 1, 2),
+    s{r} AS MATERIALIZED (
+        SELECT p.*,
+               (7 * p.{pc} + 3 * CAST(round(
+                   CASE WHEN coalesce(d1.d, 0) + coalesce(d2.d, 0)
+                             - coalesce(c.cn, 0) > 0
+                        THEN coalesce(c.cn, 0) * 1.0
+                             / (coalesce(d1.d, 0) + coalesce(d2.d, 0)
+                                - coalesce(c.cn, 0))
+                        ELSE 0.0 END * 1000000) AS BIGINT)) // 10
+                   AS si{r}
+        FROM {p} p
+        LEFT JOIN cn{r} c ON c.m1 = p.m1 AND c.m2 = p.m2
+        LEFT JOIN deg{r} d1 ON d1.u = p.m1
+        LEFT JOIN deg{r} d2 ON d2.u = p.m2)"""
+
+
+@q("q119_collective_propagation")
+def q119(spark, sf):
+    """Iterated collective ER
+    (operators/graph_features.propagate_scores — Bhattacharya &
+    Getoor's collective relational ER as two fixed deterministic
+    rounds): each round re-blends every candidate's score with its
+    neighbor-Jaccard over the CURRENT >=0.6 subgraph by the integer
+    rule (7*score + 3*jacc)/10 in round-6 MICRO-UNITS — evidence
+    propagates transitively, so a borderline pair whose endpoints'
+    other partners agree is pulled up while an isolated high scorer
+    decays geometrically — the two corrections q74's one-shot
+    common-neighbor feature cannot make.  Integer micro-unit blends
+    dodge the half-ulp decimal-rounding boundary a 0.7x float blend
+    of round-6 values sits on.  `promoted` marks pairs that crossed
+    the bar only by iteration, labeled with truth.  DuckDB unrolls
+    the SAME two rounds as MATERIALIZED CTEs (the q66/q70 iterative-
+    oracle pattern) and re-derives every adjacency, degree,
+    common-neighbor count, and integer blend."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        propagate_scores,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    scored = feats.select(
+        "mention_id1",
+        "mention_id2",
+        F.round(
+            (
+                F.round("name_jw", 6)
+                + F.round("token_jacc", 6)
+                + F.round("tool_jacc", 6)
+            )
+            / 3,
+            6,
+        ).alias("score"),
+        F.col("same_entity").cast("int").alias("same_entity"),
+    )
+    return propagate_scores(
+        scored,
+        ("mention_id1", "mention_id2"),
+        "score",
+        rounds=2,
+        alpha=(7, 10),
+        hi=0.6,
+    ).select(
+        "mention_id1",
+        "mention_id2",
+        "score_0",
+        "score_1",
+        "score_2",
+        "promoted",
+        "same_entity",
+    )
+
+
+ORACLES["q119_collective_propagation"] = f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    s0 AS MATERIALIZED (
+        SELECT a.conv_id || '#assistant' AS m1,
+               b.conv_id || '#assistant' AS m2,
+               CAST(round(round((round(jaro_winkler_similarity(
+                          a.given_name || ' ' || a.surname,
+                          b.given_name || ' ' || b.surname), 6)
+                      + round({{lj_toks}}, 6)
+                      + round({{lj_tools}}, 6)) / 3, 6) * 1000000)
+                    AS BIGINT) AS si0,
+               CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    {{r1}},
+    {{r2}}
+    SELECT m1 AS mention_id1, m2 AS mention_id2,
+           si0 / 1000000.0 AS score_0,
+           si1 / 1000000.0 AS score_1,
+           si2 / 1000000.0 AS score_2,
+           CASE WHEN si2 >= 600000 AND si0 < 600000 THEN 1 ELSE 0 END
+               AS promoted,
+           y AS same_entity
+    FROM s2
+""".format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    r1=_propagate_round_sql(1),
+    r2=_propagate_round_sql(2),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -1664,3 +1664,42 @@ def test_cluster_cohesion_hand_computed(spark):
     assert (chain.min_degree, chain.n_leaf_nodes) == (1, 2)
     assert (star.n_nodes, star.n_edges, star.density) == (4, 3, 0.5)
     assert (star.min_degree, star.n_leaf_nodes) == (1, 3)
+
+
+def test_propagate_scores_promotion_and_decay(spark):
+    """A borderline pair inside an agreeing triangle is promoted;
+    an isolated high pair decays geometrically; exact micro-int
+    arithmetic re-derived by hand."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        propagate_scores,
+    )
+
+    rows = [
+        ("a", "b", 0.55),  # borderline, but a and b share neighbor c
+        ("a", "c", 0.9),
+        ("b", "c", 0.9),
+        ("d", "e", 0.9),   # isolated high pair: no shared structure
+    ]
+    df = spark.createDataFrame(rows, ["id1", "id2", "score"])
+    out = {
+        (r.id1, r.id2): r
+        for r in propagate_scores(df, rounds=2).collect()
+    }
+    ab = out[("a", "b")]
+    # round 1: jacc(a,b) = 1 (both see only c) ->
+    # (7*550000 + 3*1000000)//10 = 685000 — promoted past the bar
+    assert ab.score_1 == 0.685
+    # round 2: the promoted edge thickens the graph, jacc drops to
+    # 1/3 -> (7*685000 + 3*333333)//10 = 579499
+    assert ab.score_2 == 0.579499
+    de = out[("d", "e")]
+    # no common neighbor ever: pure decay 0.9 -> 0.63 -> 0.441
+    assert (de.score_1, de.score_2) == (0.63, 0.441)
+    assert de.promoted == 0
+    # at rounds=1 the triangle promotion IS the outcome
+    one = {
+        (r.id1, r.id2): r
+        for r in propagate_scores(df, rounds=1).collect()
+    }
+    assert one[("a", "b")].promoted == 1
+    assert one[("a", "b")].score_1 == 0.685
