@@ -260,6 +260,21 @@ AUDIT = [
     # compression signal: one Arrow-batched projection pass; the only
     # exchange is the presentation orderBy
     ("q115_compression_quality", [r"ArrowEvalPython"], [r"CartesianProduct", r"Join"]),
+    # persistent ids: contingency-cell groupBy + size aggs + argmax
+    # struct-min + hash joins back; never a pair expansion
+    ("q116_persistent_ids", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # temporal decay: weights are plan literals — scoring is pure
+    # projection over the pair stage (BNLJ only on 1-row scalar CTEs)
+    ("q117_temporal_decay", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # interval join: bucket explode + EQUI hash join on (block,
+    # bucket) — the range join must never plan as nested-loop/cartesian
+    ("q118_interval_overlap_join", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # collective propagation: per round a symmetrized adjacency +
+    # the triangle hash join + integer-blend projection; localCheckpoint
+    # PINS each round, so the audited plan is only the final projection
+    # over the last checkpoint (the per-round join/agg plans are the
+    # common_neighbor_features shape gated via q74) — never cartesian
+    ("q119_collective_propagation", [r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
