@@ -245,3 +245,68 @@ def propagate_scores(
             f"score_{r}", F.col(f"__si_{r}") / F.lit(1_000_000.0)
         ).drop(f"__si_{r}")
     return out
+
+
+def knn_sparsify(
+    scored: DataFrame,
+    id_cols: tuple[str, str] = ("id1", "id2"),
+    score_col: str = "score",
+    k: int = 3,
+    mutual: bool = False,
+) -> DataFrame:
+    """k-nearest-neighbor sparsification of a scored match graph:
+    each node keeps only its k best-scored incident edges, and an
+    edge survives if EITHER endpoint keeps it (``mutual=False``, the
+    standard kNN graph) or only if BOTH do (``mutual=True``, the
+    high-precision variant that kills hub attachments the way q89's
+    reciprocal-top-1 does at k=1).
+
+    The hairball valve for transitive clustering: a dense ambiguous
+    block contributes O(b^2) edges, and single-link welds the lot;
+    sparsified to <= k*b edges, chains must follow strong local
+    agreement instead of any similarity above bar.  Rank windows are
+    PER NODE (partition = node, bounded by its degree) — no global
+    sort; ties break by (score desc, partner id) so the kept set is
+    a pure function of the input.
+
+    Returns canonical (id1 < id2) surviving edges with the score and
+    ``kept_by`` (how many endpoints ranked it <= k: 2 = mutual).
+    """
+    from pyspark.sql import Window
+
+    c1, c2 = id_cols
+    e = (
+        scored.select(
+            F.least(F.col(c1), F.col(c2)).alias("u"),
+            F.greatest(F.col(c1), F.col(c2)).alias("v"),
+            F.col(score_col).alias("s"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("s").alias("s"))
+    )
+    sym = e.select("u", "v", "s").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "s")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("s").desc(), F.col("v"))
+    kept = (
+        sym.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("kept_by"))
+    )
+    need = 2 if mutual else 1
+    return (
+        e.join(kept, ["u", "v"])
+        .where(F.col("kept_by") >= need)
+        .select(
+            F.col("u").alias(c1),
+            F.col("v").alias(c2),
+            F.col("s").alias(score_col),
+            "kept_by",
+        )
+    )

@@ -9003,6 +9003,111 @@ ORACLES["q119_collective_propagation"] = f"""
 )
 
 
+@q("q120_knn_sparsify")
+def q120(spark, sf):
+    """kNN match-graph sparsification
+    (operators/graph_features.knn_sparsify): every mention keeps its
+    3 best-scored partners (ties by partner id), an edge surviving
+    if either endpoint keeps it — the hairball valve that caps a
+    dense ambiguous block's edge contribution at k*b before
+    single-link clustering can weld its O(b^2) similarities, and the
+    k-generalization of q89's reciprocal-top-1 (mutual=True at k=1
+    IS that rule).  Per-node rank windows (partition = node, bounded
+    by degree — no global sort); `kept_by` records one-sided vs
+    mutual survival.  DuckDB re-derives the symmetrized ranks and
+    every keep decision over the q65 blended scores."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        knn_sparsify,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    scored = feats.select(
+        "mention_id1",
+        "mention_id2",
+        F.round(
+            (
+                F.round("name_jw", 6)
+                + F.round("token_jacc", 6)
+                + F.round("tool_jacc", 6)
+            )
+            / 3,
+            6,
+        ).alias("score"),
+    )
+    return knn_sparsify(
+        scored, ("mention_id1", "mention_id2"), "score", k=3
+    )
+
+
+ORACLES["q120_knn_sparsify"] = f"""
+    WITH {_NAMES_CTE_SQL},
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks
+        FROM t GROUP BY conv_id),
+    e AS (
+        SELECT a.conv_id || '#assistant' AS u,
+               b.conv_id || '#assistant' AS v,
+               round((round(jaro_winkler_similarity(
+                          a.given_name || ' ' || a.surname,
+                          b.given_name || ' ' || b.surname), 6)
+                      + round({{lj_toks}}, 6)
+                      + round({{lj_tools}}, 6)) / 3, 6) AS s
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id),
+    sym AS (
+        SELECT u, v, s FROM e
+        UNION ALL SELECT v AS u, u AS v, s FROM e),
+    rk AS (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY s DESC, v) AS r
+        FROM sym),
+    kept AS (
+        SELECT least(u, v) AS u, greatest(u, v) AS v,
+               CAST(count(*) AS BIGINT) AS kept_by
+        FROM rk WHERE r <= 3 GROUP BY 1, 2)
+    SELECT e.u AS mention_id1, e.v AS mention_id2, e.s AS score,
+           kept.kept_by
+    FROM e JOIN kept ON kept.u = e.u AND kept.v = e.v
+""".format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

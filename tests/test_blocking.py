@@ -1703,3 +1703,47 @@ def test_propagate_scores_promotion_and_decay(spark):
     }
     assert one[("a", "b")].promoted == 1
     assert one[("a", "b")].score_1 == 0.685
+
+
+def test_knn_sparsify_hand_computed(spark):
+    """Star + clique fixture: union keeps every node's top-3, mutual
+    kills one-sided hub attachments; reversed/dup edges collapse."""
+    from pubmed_and_method_spark.operators.graph_features import (
+        knn_sparsify,
+    )
+
+    edges = [
+        # hub h with 5 satellites at descending scores
+        ("h", "s1", 0.9), ("h", "s2", 0.8), ("h", "s3", 0.7),
+        ("h", "s4", 0.6), ("h", "s5", 0.5),
+        ("s1", "h", 0.9),  # reversed dup
+        # triangle among satellites s4, s5, s6 (their own best edges)
+        ("s4", "s5", 0.95), ("s4", "s6", 0.94), ("s5", "s6", 0.93),
+    ]
+    df = spark.createDataFrame(edges, ["id1", "id2", "score"])
+    out = {
+        (r.id1, r.id2): r.kept_by
+        for r in knn_sparsify(df, k=3).collect()
+    }
+    # h keeps only its top-3: h-s4, h-s5 dropped from h's list, but
+    # s4/s5 keep h within THEIR top-3? s4's edges: s5 .95, s6 .94,
+    # h .6 -> h is rank 3 -> kept one-sided; s5: s4 .95, s6 .93,
+    # h .5 -> rank 3 -> kept one-sided.
+    assert out[("h", "s1")] == 2  # top for both
+    assert out[("h", "s4")] == 1 and out[("h", "s5")] == 1
+    assert ("s4", "s5") in out and out[("s4", "s5")] == 2
+    # mutual mode drops the one-sided hub tails
+    mut = {
+        (r.id1, r.id2)
+        for r in knn_sparsify(df, k=3, mutual=True).collect()
+    }
+    assert ("h", "s4") not in mut and ("h", "s5") not in mut
+    assert ("h", "s1") in mut and ("s4", "s5") in mut
+    # mutual=True at k=1 is the reciprocal-top-1 rule
+    top1 = {
+        (r.id1, r.id2)
+        for r in knn_sparsify(df, k=1, mutual=True).collect()
+    }
+    # h<->s1 reciprocal best (0.9 both ways); s4<->s5 likewise (0.95);
+    # s6's best is s4 whose best is s5 -> not mutual
+    assert top1 == {("h", "s1"), ("s4", "s5")}
