@@ -94,3 +94,56 @@ def consolidate(
         )
         base = base.join(m, cluster_col)
     return base
+
+
+def mine_alias_map(
+    assignments: DataFrame,
+    cluster_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mine a variant -> canonical alias dictionary from RESOLVED
+    clusters: within each cluster the most frequent value (ties to
+    the smallest) is canonical, every co-occurring variant casts one
+    vote for the mapping, and votes aggregate across clusters into
+    (variant, canonical, support, n_votes_variant).
+
+    The classic ER flywheel byproduct: this run's resolved entities
+    teach the NEXT run's blocking which spellings co-refer (nickname
+    and typo tables are mined exactly this way from linked records),
+    turning q108's per-entity resolution into reusable corpus
+    knowledge.  ``support`` = clusters where the variant coexists
+    with that canonical; a variant seen under several canonicals
+    keeps one row per canonical, ranked by the caller.
+
+    Scale: one (cluster, value) count shuffle, a per-cluster argmax
+    struct-min over those cells, one hash join of cells back to
+    their cluster's canonical, one (variant, canonical) roll-up —
+    all O(cells), never row-pair expansion.
+    """
+    cells = assignments.groupBy(
+        F.col(cluster_col).alias("__c"), F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    canon = (
+        cells.groupBy("__c")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__n")).alias("__neg"),
+                    F.col("__v").alias("__v"),
+                )
+            )["__v"].alias("__canon")
+        )
+    )
+    votes = (
+        cells.join(canon, "__c")
+        .where(F.col("__v") != F.col("__canon"))
+        .groupBy(
+            F.col("__v").alias("variant"),
+            F.col("__canon").alias("canonical"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("support"),
+            F.sum("__n").cast("long").alias("n_votes_variant"),
+        )
+    )
+    return votes

@@ -9108,6 +9108,56 @@ ORACLES["q120_knn_sparsify"] = f"""
 )
 
 
+@q(
+    "q121_alias_mining",
+    f"""
+    WITH {_NAMES_CTE_HARD_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth_hard.parquet'),
+    asg AS (
+        SELECT tr.entity_id AS c, nk.given_raw AS v
+        FROM nk JOIN tr USING (conv_id)
+        WHERE nk.given_raw <> ''),
+    cells AS (SELECT c, v, count(*) AS n FROM asg GROUP BY c, v),
+    canon AS (
+        SELECT c, min(struct_pack(neg := -n, v := v)).v AS canon
+        FROM cells GROUP BY c)
+    SELECT cells.v AS variant, canon.canon AS canonical,
+           CAST(count(*) AS BIGINT) AS support,
+           CAST(sum(cells.n) AS BIGINT) AS n_votes_variant
+    FROM cells JOIN canon USING (c)
+    WHERE cells.v <> canon.canon
+    GROUP BY 1, 2
+    """,
+)
+def q121(spark, sf):
+    """Alias-dictionary mining from resolved clusters
+    (operators/consolidate.mine_alias_map): within each HARD-corpus
+    truth entity the most frequent given-name spelling is canonical
+    and every co-occurring variant casts a vote; votes roll up
+    across entities into a (variant -> canonical, support) table —
+    the ER flywheel byproduct real linkage shops run (nickname/typo
+    dictionaries are mined exactly this way from linked records), so
+    THIS run's resolution teaches the NEXT run's blocking.  O(cells)
+    throughout: one count shuffle, a per-cluster argmax, one join
+    back, one roll-up.  DuckDB re-derives every cell, canonical
+    election, and vote."""
+    from pubmed_and_method_spark.operators.consolidate import (
+        mine_alias_map,
+    )
+    from pubmed_and_method_spark.plans.pipeline import build_signatures
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42, hardness=0.7)
+    asg = (
+        build_signatures(t, tfidf=False)
+        .where(F.col("given_name_shown") != "")
+        .join(g.select("conv_id", "entity_id"), "conv_id")
+        .select("entity_id", F.col("given_name_shown").alias("spelling"))
+    )
+    return mine_alias_map(asg, "entity_id", "spelling")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -112,3 +112,29 @@ def test_noisy_source_loses_contested_object(spark):
         for r in source_trust(df, "src", "obj", "val").collect()
     }
     assert ts["noisy"] < ts["good1"]
+
+
+def test_mine_alias_map_hand_computed(spark):
+    """Canonical = most frequent per cluster (ties smallest); variants
+    vote once per cluster; votes aggregate across clusters."""
+    from pubmed_and_method_spark.operators.consolidate import (
+        mine_alias_map,
+    )
+
+    rows = (
+        [("e1", "robert")] * 3 + [("e1", "bob")] * 2 + [("e1", "rob")]
+        + [("e2", "robert")] * 2 + [("e2", "bob")]
+        + [("e3", "bob")] * 2 + [("e3", "robert")]  # bob canonical here
+        + [("e4", "ann"), ("e4", "anne")]           # tie -> ann (smaller)
+    )
+    df = spark.createDataFrame(rows, ["entity", "name"])
+    out = {
+        (r.variant, r.canonical): (r.support, r.n_votes_variant)
+        for r in mine_alias_map(df, "entity", "name").collect()
+    }
+    assert out[("bob", "robert")] == (2, 3)   # e1 (2 votes) + e2 (1)
+    assert out[("rob", "robert")] == (1, 1)
+    assert out[("robert", "bob")] == (1, 1)   # e3's minority direction
+    assert out[("anne", "ann")] == (1, 1)     # tie broke to 'ann'
+    assert ("ann", "anne") not in out
+    assert len(out) == 4
