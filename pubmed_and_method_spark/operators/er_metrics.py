@@ -1662,3 +1662,66 @@ def fs_select_thresholds(
         )
     )
     return chosen
+
+
+def fs_independence_audit(
+    pairs: DataFrame, feature_cols: list[str], label_col: str
+) -> DataFrame:
+    """Audit the conditional-independence assumption every
+    Fellegi-Sunter weight sum silently makes (Winkler's interaction
+    caveat): per feature pair, the ratio of observed co-agreement to
+    the independence prediction, separately within matches and
+    nonmatches —
+
+        ratio = P(a AND b agree | class) /
+                (P(a agree | class) * P(b agree | class))
+
+    1.0 = independent (the weights may add); >1 = the pair
+    double-counts evidence when both fire (q67's llr overstates);
+    <1 = anti-correlated.  Computed as exact integer-count products
+    with a single division per cell ((n_both * n_class) /
+    (n_a * n_b)), round-6, null when a marginal is zero.
+
+    ONE aggregation pass over the pair table produces every marginal
+    and pairwise count as columns (2 + 2k + k(k-1) conditional sums,
+    map-side combinable); the k(k-1)/2 output rows unstack from that
+    single row — no second scan, no join.
+    """
+    y = F.col(label_col).cast("long")
+    aggs = [F.sum(y).alias("__nm"), F.sum(1 - y).alias("__nu")]
+    for c in feature_cols:
+        f = F.col(c).cast("long")
+        aggs.append(F.sum(f * y).alias(f"__m_{c}"))
+        aggs.append(F.sum(f * (1 - y)).alias(f"__u_{c}"))
+    for i, a in enumerate(feature_cols):
+        for b in feature_cols[i + 1 :]:
+            fa, fb = F.col(a).cast("long"), F.col(b).cast("long")
+            aggs.append(F.sum(fa * fb * y).alias(f"__bm_{a}__{b}"))
+            aggs.append(F.sum(fa * fb * (1 - y)).alias(f"__bu_{a}__{b}"))
+    one = pairs.agg(*aggs)
+
+    stack_parts = []
+    for i, a in enumerate(feature_cols):
+        for b in feature_cols[i + 1 :]:
+            rm = (
+                f"CASE WHEN __m_{a} * __m_{b} > 0 THEN "
+                f"round(__bm_{a}__{b} * __nm * 1.0D / (__m_{a} * __m_{b}), 6) "
+                f"ELSE NULL END"
+            )
+            ru = (
+                f"CASE WHEN __u_{a} * __u_{b} > 0 THEN "
+                f"round(__bu_{a}__{b} * __nu * 1.0D / (__u_{a} * __u_{b}), 6) "
+                f"ELSE NULL END"
+            )
+            stack_parts.append(
+                f"'{a}', '{b}', CAST(__bm_{a}__{b} AS BIGINT), {rm}, "
+                f"CAST(__bu_{a}__{b} AS BIGINT), {ru}"
+            )
+    n = len(stack_parts)
+    return one.select(
+        F.expr(
+            f"stack({n}, {', '.join(stack_parts)}) AS "
+            "(feature_a, feature_b, n_both_match, ratio_match, "
+            "n_both_nonmatch, ratio_nonmatch)"
+        )
+    )

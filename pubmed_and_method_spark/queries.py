@@ -9158,6 +9158,138 @@ def q121(spark, sf):
     return mine_alias_map(asg, "entity_id", "spelling")
 
 
+def _fs_indep_sql() -> str:
+    """q122 oracle suffix: one aggregation CTE over fx, then the
+    k(k-1)/2 feature-pair rows as a generated UNION ALL."""
+    cols = [f"sum(y) AS nm", f"sum(1 - y) AS nu"]
+    for c in _FS_EM_FEATURES:
+        cols.append(f"sum({c} * y) AS m_{c}")
+        cols.append(f"sum({c} * (1 - y)) AS u_{c}")
+    sels = []
+    for i, a in enumerate(_FS_EM_FEATURES):
+        for b in _FS_EM_FEATURES[i + 1 :]:
+            cols.append(f"sum({a} * {b} * y) AS bm_{a}__{b}")
+            cols.append(f"sum({a} * {b} * (1 - y)) AS bu_{a}__{b}")
+            sels.append(
+                f"SELECT '{a}' AS feature_a, '{b}' AS feature_b, "
+                f"CAST(bm_{a}__{b} AS BIGINT) AS n_both_match, "
+                f"CASE WHEN m_{a} * m_{b} > 0 THEN "
+                f"round(bm_{a}__{b} * nm * 1.0 / (m_{a} * m_{b}), 6) "
+                f"ELSE NULL END AS ratio_match, "
+                f"CAST(bu_{a}__{b} AS BIGINT) AS n_both_nonmatch, "
+                f"CASE WHEN u_{a} * u_{b} > 0 THEN "
+                f"round(bu_{a}__{b} * nu * 1.0 / (u_{a} * u_{b}), 6) "
+                f"ELSE NULL END AS ratio_nonmatch FROM agg"
+            )
+    return (
+        "agg AS (SELECT " + ", ".join(cols) + " FROM fx)\n    "
+        + "\n    UNION ALL ".join(sels)
+    )
+
+
+@q("q122_fs_independence_audit")
+def q122(spark, sf):
+    """Conditional-independence audit of the FS comparison vector
+    (operators/er_metrics.fs_independence_audit — Winkler's
+    interaction caveat): per feature pair and class, observed
+    co-agreement over the independence prediction — the assumption
+    every q64/q66 weight SUM silently makes; a ratio far above 1
+    among matches means q67's llr double-counts evidence when both
+    features fire (name_jw_hi and given_jw_hi, sharing the given
+    name, are the expected offenders).  Exact integer-count products
+    with one division per cell, ONE aggregation pass (map-side
+    combinable conditional sums), rows unstacked from a single
+    aggregate row.  DuckDB re-derives every count and ratio."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_independence_audit,
+    )
+    from pubmed_and_method_spark.plans.pipeline import (
+        build_labeled_pairs,
+        build_pair_features,
+        build_signatures,
+    )
+    from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+    ensure_transcript_corpus()
+    t, g = transcripts_df(spark, seed=42)
+    sig = build_signatures(t, tfidf=False)
+    feats = build_pair_features(build_labeled_pairs(sig, g), sig)
+    ag = feats.select(
+        (F.round("name_jw", 6) >= 0.9).cast("int").alias("name_jw_hi"),
+        (F.round("given_jw", 6) >= 0.9).cast("int").alias("given_jw_hi"),
+        (F.round("name_lev_ratio", 6) >= 0.8).cast("int").alias("lev_hi"),
+        (F.round("token_jacc", 6) >= 0.5).cast("int").alias("token_hi"),
+        (F.round("tool_jacc", 6) >= 0.5).cast("int").alias("tool_hi"),
+        F.col("time_overlap").cast("int").alias("time_overlap"),
+        F.col("same_entity").cast("int").alias("same_entity"),
+    )
+    return fs_independence_audit(ag, _FS_EM_FEATURES, "same_entity")
+
+
+ORACLES["q122_fs_independence_audit"] = f"""
+    WITH {_NAMES_CTE_SQL},
+    tr AS (SELECT * FROM '{_CORPUS_DIR}/truth.parquet'),
+    wf AS (
+        SELECT conv_id, surname, block_key,
+               CASE WHEN block_key <> '__unblocked__'
+                         AND len(best.g) > len(given_raw)
+                    THEN best.g ELSE given_raw END AS given_name
+        FROM (
+            SELECT *, max(struct_pack(l := len(given_raw), g := given_raw))
+                          OVER (PARTITION BY block_key) AS best
+            FROM nk)),
+    members AS (
+        SELECT conv_id, block_key, given_name, surname
+        FROM wf WHERE block_key <> '__unblocked__'),
+    sigf AS (
+        SELECT conv_id,
+               coalesce(list_distinct(list(tool) FILTER (WHERE tool <> '')),
+                        CAST([] AS VARCHAR[])) AS tools,
+               coalesce(list_distinct({{toks}}),
+                        CAST([] AS VARCHAR[])) AS toks,
+               epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+        FROM t GROUP BY conv_id),
+    fx AS (
+        SELECT CAST(t1.entity_id = t2.entity_id AS INTEGER) AS y,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name || ' ' || a.surname,
+                        b.given_name || ' ' || b.surname), 6) >= 0.9
+                    AS INTEGER) AS name_jw_hi,
+               CAST(round(jaro_winkler_similarity(
+                        a.given_name, b.given_name), 6) >= 0.9
+                    AS INTEGER) AS given_jw_hi,
+               CAST(round(CASE WHEN greatest(len(a.given_name),
+                                             len(b.given_name)) = 0
+                               THEN 1.0
+                               ELSE 1.0 - levenshtein(a.given_name,
+                                                      b.given_name) * 1.0
+                                    / greatest(len(a.given_name),
+                                               len(b.given_name)) END, 6)
+                        >= 0.8 AS INTEGER) AS lev_hi,
+               CAST(round({{lj_toks}}, 6) >= 0.5 AS INTEGER) AS token_hi,
+               CAST(round({{lj_tools}}, 6) >= 0.5 AS INTEGER) AS tool_hi,
+               CAST(least(f1.tmax, f2.tmax) - greatest(f1.tmin, f2.tmin) > 0
+                    AS INTEGER) AS time_overlap
+        FROM members a
+        JOIN members b
+          ON a.block_key = b.block_key
+         AND a.conv_id || '#assistant' < b.conv_id || '#assistant'
+        JOIN sigf f1 ON f1.conv_id = a.conv_id
+        JOIN sigf f2 ON f2.conv_id = b.conv_id
+        JOIN tr t1 ON t1.conv_id = a.conv_id
+        JOIN tr t2 ON t2.conv_id = b.conv_id),
+    {{indep}}
+""".format(
+    toks=_TOKENS_SQL.format(
+        col="coalesce(string_agg(text, ' ' ORDER BY turn_idx) "
+            "FILTER (WHERE role = 'assistant'), '')"
+    ),
+    lj_toks=_LJ.format(a="f1.toks", b="f2.toks"),
+    lj_tools=_LJ.format(a="f1.tools", b="f2.tools"),
+    indep=_fs_indep_sql(),
+)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""

@@ -109,3 +109,40 @@ def test_fs_select_thresholds_matches_scan_model(spark):
         # realized rates honor the declared bounds
         assert r.link_fdr * mu[1] <= mu[0] + 1e-9
         assert r.miss_rate * lam[1] <= lam[0] + 1e-9
+
+
+def test_fs_independence_audit_hand_computed(spark):
+    """Designed fixture: a perfectly correlated feature pair (ratio
+    1/p), an independent pair (~1.0), and a zero-marginal null."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_independence_audit,
+    )
+
+    rows = []
+    # among matches (y=1), f1 == f2 always (perfectly dependent),
+    # f3 fires independently half the time f1 does
+    for i in range(8):
+        a = 1 if i < 4 else 0
+        rows.append((a, a, 1 if i % 2 == 0 else 0, 0, 1))
+    # among nonmatches f1 fires alone (f2 never -> zero marginal)
+    for i in range(4):
+        rows.append((1 if i < 2 else 0, 0, 1 if i < 1 else 0, 0, 0))
+    df = spark.createDataFrame(rows, ["f1", "f2", "f3", "f4", "label"])
+    out = {
+        (r.feature_a, r.feature_b): r
+        for r in fs_independence_audit(
+            df, ["f1", "f2", "f3", "f4"], "label"
+        ).collect()
+    }
+    r12 = out[("f1", "f2")]
+    # matches: n=8, f1=f2=4, both=4 -> 4*8/(4*4) = 2.0
+    assert r12.n_both_match == 4 and r12.ratio_match == 2.0
+    # nonmatches: f2 marginal 0 -> null
+    assert r12.ratio_nonmatch is None
+    r13 = out[("f1", "f3")]
+    # matches: f1=4, f3=4, both=2 -> 2*8/16 = 1.0 (independent)
+    assert r13.ratio_match == 1.0
+    # f4 never fires: all its rows null, counts 0
+    assert out[("f1", "f4")].n_both_match == 0
+    assert out[("f1", "f4")].ratio_match is None
+    assert len(out) == 6
