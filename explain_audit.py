@@ -275,6 +275,15 @@ AUDIT = [
     # over the last checkpoint (the per-round join/agg plans are the
     # common_neighbor_features shape gated via q74) — never cartesian
     ("q119_collective_propagation", [r"codegen id : "], [r"CartesianProduct"]),
+    # kNN sparsify: per-node rank windows (partition = node) + pair
+    # roll-up; no global sort, never cartesian
+    ("q120_knn_sparsify", [r"HashAggregate", r"Window", r"codegen id : "], [r"CartesianProduct"]),
+    # alias mining: O(cells) — count shuffle, argmax struct-min, one
+    # join back, one roll-up; never row-pair expansion
+    ("q121_alias_mining", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
+    # independence audit: ONE aggregation pass (conditional sums) +
+    # a stack over the single aggregate row; BNLJ only on 1-row builds
+    ("q122_fs_independence_audit", [r"HashAggregate", r"codegen id : "], [r"CartesianProduct"]),
 ]
 
 
