@@ -143,6 +143,15 @@ _JW_PROBES = [
     ("abcdefgh", "abcdwxyz"), ("abcdefgh", "abcdezzz"),
     ("abcdeffff", "abcdegggg"), ("aaaaaaab", "aaaabbbb"),
     ("acegik", "bdfhjl"), ("abxxxx", "abyyyy"),
+    # astral plane (r04 verdict task 7): codepoints > 0xFFFF stress
+    # the UTF-32 path — a UTF-16-based C lib would see surrogate
+    # PAIRS here (different lengths, different matches) and diverge;
+    # includes emoji, ZWJ sequences (multi-codepoint graphemes),
+    # mathematical alphanumerics, and astral/BMP mixes
+    ("😀😁😂🤣", "😀😂😁🤣"), ("x😀y", "xy😀"),
+    ("👩‍🚀abc", "👩‍🛰abc"),
+    ("𝕊𝕡𝕒𝕣𝕜𝕊𝕢𝕝", "𝕊𝕡𝕒𝕣𝕜𝕤𝕢𝕝"),
+    ("🜁🜂🜃🜄", "🜄🜃🜂🜁"), ("name😀", "name"),
 ]
 
 

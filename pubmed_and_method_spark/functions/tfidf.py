@@ -26,21 +26,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def tfidf_weight_maps(
+def _sorted_sumsq() -> Column:
+    """sqrt(sum of __w^2) summed in ascending __h order — an AGGREGATE
+    expression for groupBy(doc).  A plain F.sum accumulates floats in
+    shuffle-arrival order, which is partition-nondeterministic: two
+    executions of the same plan can differ in the last ulp, and the
+    sparse-vs-map cosine bit-parity contract
+    (``pair_cosine_from_terms``) then fails spuriously.  Sorting the
+    per-doc (term, square) list fixes one canonical summation order;
+    per-doc term counts are bounded (top_k, or document length), so
+    the collect is small."""
+    return F.sqrt(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__h"),
+                        (F.col("__w") * F.col("__w")).alias("__s"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__s"],
+        )
+    )
+
+
+def tfidf_weight_terms(
     df: DataFrame, id_col: str, token_seq_col: str, top_k: int | None = None
 ) -> DataFrame:
-    """(id, tfidf: map<long,double>) — L2-normalized TF-IDF weights.
+    """(id, __h, __wn) — the EXPLODED L2-normalized TF-IDF weights:
+    one narrow row per (doc, term) instead of a per-doc map.
+
+    This is the SCALE-PATH form (r04 verdict weak #1): the map form
+    rides both sides of the pair double-join and disk-spills the 33M-
+    turn pipeline at any truncation (SCALE_AB.json), while narrow
+    (id, term, weight) rows support the sparse-intersection pair
+    cosine (``pair_cosine_from_terms``) whose shuffle bytes are
+    O(shared terms per pair), never O(full maps per pair).
 
     ``token_seq_col`` is an array<long> of hashed tokens WITH
     duplicates (term frequency matters, array_distinct would erase it).
 
     ``top_k``: keep only the k highest-weight terms per doc (ties
     broken by hash for determinism), L2-normalizing AFTER truncation.
-    The weight map rides BOTH sides of the pair double-join — for long
-    documents it dominates the pair-shuffle bytes at 10^12-turn scale;
-    top-k caps that at O(k) per mention while preserving the cosine's
-    head mass (idf-weighted tails contribute little).  None = exact
-    (default; oracle-parity paths must use None).
+    None = exact (default; oracle-parity paths must use None).
+    ``tfidf_weight_maps`` is a thin wrapper over this function, so the
+    two forms are bit-identical by construction.
     """
     ex = df.select(F.col(id_col), F.explode(token_seq_col).alias("__h"))
     tf = ex.groupBy(id_col, "__h").agg(F.count("*").alias("__tf"))
@@ -64,17 +96,27 @@ def tfidf_weight_maps(
             .filter(F.col("__rk") <= top_k)
             .drop("__rk")
         )
-    norms = w.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
+    norms = w.groupBy(id_col).agg(_sorted_sumsq().alias("__n"))
+    return w.join(norms, id_col).select(
+        F.col(id_col),
+        "__h",
+        F.when(F.col("__n") > 0, F.col("__w") / F.col("__n"))
+        .otherwise(F.lit(0.0))
+        .alias("__wn"),
     )
+
+
+def tfidf_weight_maps(
+    df: DataFrame, id_col: str, token_seq_col: str, top_k: int | None = None
+) -> DataFrame:
+    """(id, tfidf: map<long,double>) — L2-normalized TF-IDF weights.
+
+    Map form of ``tfidf_weight_terms`` (same weights bit-for-bit —
+    it IS that function plus one map_from_entries groupBy).  Use for
+    bounded pair sets where carrying the map is fine; the pair
+    double-join at corpus scale must use the terms form instead."""
     return (
-        w.join(norms, id_col)
-        .withColumn(
-            "__wn",
-            F.when(F.col("__n") > 0, F.col("__w") / F.col("__n")).otherwise(
-                F.lit(0.0)
-            ),
-        )
+        tfidf_weight_terms(df, id_col, token_seq_col, top_k=top_k)
         .groupBy(id_col)
         .agg(
             F.map_from_entries(
@@ -151,9 +193,7 @@ def tfidf_weight_maps_from_idf(
             .filter(F.col("__rk") <= top_k)
             .drop("__rk")
         )
-    norms = w.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
-    )
+    norms = w.groupBy(id_col).agg(_sorted_sumsq().alias("__n"))
     return (
         w.join(norms, id_col)
         .withColumn(
@@ -185,6 +225,80 @@ def map_cosine(m1: Column | str, m2: Column | str) -> Column:
         F.map_values(prod), F.lit(0.0), lambda acc, x: acc + x
     )
     return F.coalesce(dot, F.lit(0.0))
+
+
+def pair_cosine_from_terms(
+    pairs: DataFrame,
+    terms: DataFrame,
+    id_col: str = "mention_id",
+    id1_col: str = "mention_id1",
+    id2_col: str = "mention_id2",
+    out_col: str = "content_tfidf_cos",
+) -> DataFrame:
+    """Sparse-intersection pair cosine (the r04-verdict scale fix for
+    X11): (id1, id2, cosine) for every pair with >=1 shared term.
+
+    ``pairs``: DISTINCT (id1, id2) rows (the candidate-pair contract;
+    duplicates would double the fan-out AND double-count the sum).
+    ``terms``: ``tfidf_weight_terms`` output (id, __h, __wn).
+
+    Plan shape — this is why it scales where the map form spills:
+      1. pairs JOIN terms ON id1      -> one narrow row per
+         (pair, side-1 term): fan-out <= top_k per pair, ~32 bytes/row
+         vs a wide feature row carrying two full maps;
+      2. ... JOIN terms ON (id2, term) -> INNER, so only SHARED terms
+         survive — the dominant shuffle is O(shared terms per pair);
+      3. groupBy(pair): products collected, sorted by term key, summed
+         with F.aggregate.
+    The wide pair-feature row never carries a map; the cosine arrives
+    as one double via a pair-keyed left join.
+
+    Bit-exactness vs the map path (``map_cosine`` over
+    ``tfidf_weight_maps``): the map path sums coalesce(v1,0)*coalesce(
+    v2,0) over the key-sorted union of the two maps' terms; non-shared
+    terms contribute exactly 0.0 and x + 0.0 == x in IEEE754 for
+    finite x, so that sum equals the shared-terms-only sum in
+    ascending key order — which is precisely the sorted aggregate in
+    step 3 (NOT a float F.sum, whose accumulation order is partition-
+    nondeterministic).  Pinned by
+    tests/test_pipeline.py::test_sparse_tfidf_cosine_bitwise_equals_map.
+
+    Pairs with no shared term (or an empty/absent side) are ABSENT
+    from the output — callers left-join and coalesce to 0.0, matching
+    map_cosine's null -> 0.0 contract.
+
+    Reference anchor: X11 content similarity,
+    src/pubmed_inner_feature_extract.py:135-147 (semantics only).
+    """
+    t1 = terms.select(
+        F.col(id_col).alias(id1_col),
+        F.col("__h").alias("__t"),
+        F.col("__wn").alias("__w1"),
+    )
+    t2 = terms.select(
+        F.col(id_col).alias(id2_col),
+        F.col("__h").alias("__t"),
+        F.col("__wn").alias("__w2"),
+    )
+    j = (
+        pairs.select(id1_col, id2_col)
+        .join(t1, id1_col)
+        .join(t2, [id2_col, "__t"])
+    )
+    return j.groupBy(id1_col, id2_col).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__t"),
+                        (F.col("__w1") * F.col("__w2")).alias("__p"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__p"],
+        ).alias(out_col)
+    )
 
 
 def bm25_topk(

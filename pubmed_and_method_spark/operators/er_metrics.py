@@ -1583,6 +1583,17 @@ def fs_select_thresholds(
     one map-side-combinable groupBy.  Returns ONE row: the cuts, the
     volumes and realized error rates they induce, and the review
     band's size and share.
+
+    Degenerate cases (ADVICE r04) are explicit, never silent nulls or
+    negative counts: when no score satisfies a bound, the
+    corresponding cut is null, its volume is 0 (not null), and
+    ``band_flag`` reports 'no_upper'/'no_lower'; with LOOSE bounds
+    the selected lower can exceed upper — the auto-link and
+    auto-nonlink sets then OVERLAP (some pairs satisfy both error
+    budgets), ``band_flag`` = 'overlap', and n_review/review_share
+    are clamped at 0 (an overlapping band means NO pair needs
+    review, not a negative count).  ``band_flag`` is null on a
+    healthy band.
     """
     mu_n, mu_d = mu
     lam_n, lam_d = lam
@@ -1647,18 +1658,34 @@ def fs_select_thresholds(
         .select(
             "upper",
             "lower",
-            "n_link",
+            F.coalesce("n_link", F.lit(0)).alias("n_link"),
             "link_fdr",
-            "n_nonlink",
+            F.coalesce("n_nonlink", F.lit(0)).alias("n_nonlink"),
             "miss_rate",
-            (F.col("__t") - F.col("n_link") - F.col("n_nonlink")).alias(
-                "n_review"
-            ),
+            F.greatest(
+                F.lit(0),
+                F.col("__t")
+                - F.coalesce("n_link", F.lit(0))
+                - F.coalesce("n_nonlink", F.lit(0)),
+            ).alias("n_review"),
             F.round(
-                (F.col("__t") - F.col("n_link") - F.col("n_nonlink"))
+                F.greatest(
+                    F.lit(0),
+                    F.col("__t")
+                    - F.coalesce("n_link", F.lit(0))
+                    - F.coalesce("n_nonlink", F.lit(0)),
+                )
                 / F.col("__t"),
                 6,
             ).alias("review_share"),
+            F.when(
+                F.col("upper").isNull() & F.col("lower").isNull(),
+                F.lit("no_upper,no_lower"),
+            )
+            .when(F.col("upper").isNull(), F.lit("no_upper"))
+            .when(F.col("lower").isNull(), F.lit("no_lower"))
+            .when(F.col("lower") >= F.col("upper"), F.lit("overlap"))
+            .alias("band_flag"),
         )
     )
     return chosen
@@ -1686,7 +1713,21 @@ def fs_independence_audit(
     and pairwise count as columns (2 + 2k + k(k-1) conditional sums,
     map-side combinable); the k(k-1)/2 output rows unstack from that
     single row — no second scan, no join.
+
+    Feature names are interpolated into generated expr()/stack() SQL,
+    so they are validated up front (ADVICE r04): identifiers only —
+    a quoted/hyphenated column would otherwise produce a parse error
+    or a silently malformed expression deep in the generated SQL.
     """
+    import re
+
+    bad = [c for c in feature_cols if not re.fullmatch(r"[A-Za-z0-9_]+", c)]
+    if bad:
+        raise ValueError(
+            "fs_independence_audit: feature_cols are interpolated into "
+            f"generated SQL and must match [A-Za-z0-9_]+; got {bad!r} — "
+            "alias such columns to plain identifiers first"
+        )
     y = F.col(label_col).cast("long")
     aggs = [F.sum(y).alias("__nm"), F.sum(1 - y).alias("__nu")]
     for c in feature_cols:

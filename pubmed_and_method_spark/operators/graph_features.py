@@ -199,6 +199,16 @@ def propagate_scores(
     Returns the pairs with ``score_0`` .. ``score_<rounds>`` (micro
     units scaled back to doubles) and ``promoted`` (crossed ``hi`` by
     iteration but not at round 0).
+
+    PRECONDITION (ADVICE r04): ``scored`` must hold DISTINCT
+    (id1, id2) rows — the candidate-pair contract every upstream
+    generator in this package satisfies (build_candidate_pairs
+    dedups, knn_sparsify keeps max-score per pair).  Duplicate pair
+    rows would fan out through the inner join with the per-round
+    common_neighbor_features frame and inflate every subsequent
+    round; this operator does NOT dedup internally because with
+    caller-supplied extra columns there is no principled survivor
+    row to pick.
     """
     a, b = alpha
     hi_int = int(round(hi * 1_000_000))

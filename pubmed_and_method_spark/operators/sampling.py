@@ -131,8 +131,10 @@ def random_cross_pairs(
     prefix, rank inside each bucket by (md5(id), id), and odd ranks
     pair with the following even rank — per-bucket windows only
     (16^k buckets bound each window's partition), one shuffle, and
-    the same rule re-derives in any engine.  Odd leftovers per
-    bucket are dropped (one record in 16^k).
+    the same rule re-derives in any engine.  Odd leftovers are
+    dropped: at most ONE record per bucket, i.e. up to 16^k records
+    total (16 at the default bucket_hex_len=1) — negligible for
+    u-estimation, but not "one record" (ADVICE r04 wording fix).
     """
     from pyspark.sql import Window
 

@@ -114,6 +114,15 @@ def temporal_decay_score(
     plan, no join or shuffle beyond what produced the pairs; every
     term is round-6 with a fixed order, so any engine re-derives it
     bit-for-bit.
+
+    ORDERING CONTRACT (ADVICE r04): "fixed order" means the
+    ITERATION ORDER OF ``weights`` — terms are summed left-to-right
+    in dict insertion order, so a caller re-deriving the score in
+    another engine (the q117 oracle does) must list the features in
+    the same order; a differently-ordered dict yields a float sum
+    that can differ in the last rounded digit.  Pass an ordered
+    mapping (python dicts preserve insertion order) built in the same
+    sequence as the oracle's expression.
     """
     decay = F.round(
         F.pow(F.lit(2.0), -F.col(gap_col) / F.lit(half_life_days)), 6

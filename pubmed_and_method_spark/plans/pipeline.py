@@ -33,7 +33,11 @@ from pubmed_and_method_spark.functions.strings import (
     token_jaccard,
     uniq_char_diff,
 )
-from pubmed_and_method_spark.functions.tfidf import map_cosine
+from pubmed_and_method_spark.functions.tfidf import (
+    map_cosine,
+    pair_cosine_from_terms,
+    tfidf_weight_terms,
+)
 from pubmed_and_method_spark.ml.model import (
     error_analysis,
     fit_match_classifier,
@@ -233,6 +237,23 @@ def build_signatures(
         )
         sig = sig.join(weights, "conv_id", "left")
     return sig.drop("__th_seq")
+
+
+def build_tfidf_terms(
+    signatures: DataFrame, top_k: int | None = None
+) -> DataFrame:
+    """(mention_id, __h, __wn) narrow TF-IDF term weights for the
+    sparse-intersection pair cosine (functions/tfidf.py) — the scale
+    path for X11.  Recomputes the duplicate-preserving token-hash
+    sequence from the signatures' ``tokens`` column (token_hashes is
+    distinct, which would erase term frequency), exactly as
+    ``build_signatures(tfidf=True)`` does for the map form, so the two
+    paths share weights bit-for-bit."""
+    seq = signatures.select(
+        "mention_id",
+        F.transform("tokens", lambda t: F.xxhash64(t)).alias("__th_seq"),
+    )
+    return tfidf_weight_terms(seq, "mention_id", "__th_seq", top_k=top_k)
 
 
 def build_candidate_pairs(
@@ -560,12 +581,26 @@ def build_labeled_pairs(
 
 
 def build_pair_features(
-    pairs: DataFrame, signatures: DataFrame, monge_elkan: bool = False
+    pairs: DataFrame,
+    signatures: DataFrame,
+    monge_elkan: bool = False,
+    tfidf_terms: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship pair-assembly double-join (J3):
     pair table joined against the mention-feature table twice —
     database/pubmed_inner_outer_feature.sql:672-781 — then the
     vectorized feature stack (X1-X17 analogs).
+
+    ``tfidf_terms``: narrow (mention_id, __h, __wn) weight rows from
+    ``build_tfidf_terms`` — the SPARSE-INTERSECTION path for the X11
+    content cosine (r04 verdict weak #1).  When given, the wide pair
+    row never carries a weight map: the cosine is computed as a
+    pair-keyed sum over SHARED terms only and left-joined back (absent
+    pairs share no term -> 0.0).  Values are bit-identical to the map
+    path (see functions/tfidf.pair_cosine_from_terms).  When None and
+    signatures carry a ``tfidf`` map column, the legacy map path runs
+    (bounded pair sets only — it disk-spills the 33M-turn pipeline,
+    SCALE_AB.json); with neither, content_tfidf_cos is 0.0.
 
     ``monge_elkan=True`` additionally computes the transposition-
     robust token-set name similarity (q80 operator) as a
@@ -590,7 +625,9 @@ def build_pair_features(
     has_lang = "lang" in signatures.columns
     if has_lang:
         feat_cols.append("lang")
-    has_tfidf = "tfidf" in signatures.columns
+    # sparse terms supersede the map column: never ship maps through
+    # the double-join when the narrow path is available
+    has_tfidf = "tfidf" in signatures.columns and tfidf_terms is None
     if has_tfidf:
         feat_cols.append("tfidf")
     s = signatures.select(*feat_cols)
@@ -600,6 +637,20 @@ def build_pair_features(
     s2 = s.select([F.col(c).alias(f"{c}2") for c in feat_cols]).withColumnRenamed(
         "block_key2", "bk2"
     )
+    # X11 sparse path: attach the cosine to the NARROW pair table
+    # BEFORE the double-join — one extra double per pair row rides the
+    # shuffles the double-join pays anyway, and the wide feature row
+    # never re-shuffles on the pair key for a cosine join
+    if tfidf_terms is not None:
+        cos = pair_cosine_from_terms(
+            pairs.select("mention_id1", "mention_id2"), tfidf_terms
+        )
+        pairs = pairs.join(
+            cos, ["mention_id1", "mention_id2"], "left"
+        ).withColumn(
+            "content_tfidf_cos",
+            F.coalesce("content_tfidf_cos", F.lit(0.0)),
+        )
     df = pairs.join(s1, "mention_id1").join(s2, "mention_id2")
     # X16 ambiguity: each SIDE brings its own block's score and the
     # pair takes the max.  For exact pairs both sides share the pair's
@@ -722,8 +773,11 @@ def build_pair_features(
         .withColumn("ambiguity_score", F.coalesce("ambiguity_score", F.lit(0.0)))
     )
     # X11: TF-IDF cosine (functions/tfidf.py); 0.0 when signatures were
-    # built lean (tfidf=False)
-    if has_tfidf:
+    # built lean (tfidf=False, no terms table).  In sparse mode the
+    # column was attached to the pair table above the double-join.
+    if tfidf_terms is not None:
+        pass
+    elif has_tfidf:
         df = df.withColumn(
             "content_tfidf_cos", map_cosine("tfidf1", "tfidf2")
         ).drop("tfidf1", "tfidf2")
@@ -764,6 +818,7 @@ def run_pipeline(
     lsh: bool = True,
     datagen_kwargs: dict | None = None,
     tfidf_top_k: int | None = 64,
+    tfidf_mode: str = "sparse",
     blocking_metrics: bool = False,
     clusterer: str = "cc",
 ) -> dict:
@@ -792,14 +847,28 @@ def run_pipeline(
     aggregations; off by default so benchmark timings stay comparable
     across rounds (the job entrypoint turns it on).
 
-    ``tfidf_top_k=64`` is the SCALE DEFAULT: the TF-IDF weight map
-    rides both sides of the pair double-join, and truncating each map
-    to its 64 heaviest terms (L2-renormalized) caps the dominant
-    pair-shuffle bytes at O(k) per mention (functions/tfidf.py).
-    Measured on this corpus the cluster F1 is unchanged (the
-    F1-gate pytest runs THIS default); pass None for exact untruncated
-    weights — every oracle-paired query builds its own signatures and
-    is unaffected by this default.
+    ``tfidf_mode`` selects the X11 content-cosine plan (values are
+    bit-identical across modes — pinned by
+    test_sparse_tfidf_cosine_bitwise_equals_map):
+      'sparse' (default, the r05 scale fix): a separate narrow
+        (mention_id, term, weight) stage + sparse-intersection
+        pair-keyed sum (functions/tfidf.pair_cosine_from_terms) —
+        shuffle bytes O(shared terms per pair); the 33M-turn pipeline
+        COMPLETES with the content feature on (SCALE_AB.json
+        'tfidf_sparse'), where the map path disk-spills at any
+        truncation;
+      'map': legacy weight-map column through the pair double-join —
+        bounded corpora only;
+      'off': no content feature (content_tfidf_cos = 0.0; the
+        cluster-edge content bar then rests on token_jacc alone).
+
+    ``tfidf_top_k=64`` is the SCALE DEFAULT: truncating each mention
+    to its 64 heaviest terms (L2-renormalized) caps the sparse path's
+    per-pair fan-out (and the map path's shuffle bytes) at O(k) per
+    mention (functions/tfidf.py).  Measured on this corpus the cluster
+    F1 is unchanged (the F1-gate pytest runs THIS default); pass None
+    for exact untruncated weights — every oracle-paired query builds
+    its own signatures and is unaffected by this default.
 
     ``adaptive_target=32`` is likewise the scale default for salting
     (r04 A/B, SCALE_AB.json): per-block s_b = ceil(n_b/32) beat the
@@ -814,12 +883,30 @@ def run_pipeline(
     )
     truth = store.run_stage("entities_truth", lambda: truth, params={"seed": seed})
 
+    if tfidf_mode not in ("sparse", "map", "off"):
+        raise ValueError(f"unknown tfidf_mode {tfidf_mode!r}")
     signatures = store.run_stage(
         "signatures",
-        lambda: build_signatures(transcripts, tfidf_top_k=tfidf_top_k),
+        lambda: build_signatures(
+            transcripts,
+            tfidf=(tfidf_mode == "map"),
+            tfidf_top_k=tfidf_top_k,
+        ),
         inputs=("transcripts",),
-        params={"seed": seed, "tfidf_top_k": tfidf_top_k},
+        params={
+            "seed": seed,
+            "tfidf_top_k": tfidf_top_k,
+            "tfidf_mode": tfidf_mode,
+        },
     )
+    tfidf_terms = None
+    if tfidf_mode == "sparse":
+        tfidf_terms = store.run_stage(
+            "tfidf_terms",
+            lambda: build_tfidf_terms(signatures, top_k=tfidf_top_k),
+            inputs=("signatures",),
+            params={"tfidf_top_k": tfidf_top_k},
+        )
     pairs = store.run_stage(
         "labeled_pairs",
         lambda: build_labeled_pairs(
@@ -834,9 +921,15 @@ def run_pipeline(
     )
     features = store.run_stage(
         "pair_features",
-        lambda: build_pair_features(pairs, signatures),
-        inputs=("labeled_pairs", "signatures"),
-        params={},
+        lambda: build_pair_features(
+            pairs, signatures, tfidf_terms=tfidf_terms
+        ),
+        inputs=(
+            ("labeled_pairs", "signatures", "tfidf_terms")
+            if tfidf_mode == "sparse"
+            else ("labeled_pairs", "signatures")
+        ),
+        params={"tfidf_mode": tfidf_mode},
     )
 
     # split on split_group (exact block key, or min member block key

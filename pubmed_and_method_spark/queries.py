@@ -8326,19 +8326,28 @@ ORACLES["q113_fs_threshold_selection"] = f"""
     j AS (SELECT c.*, sel.upper AS u, sel.lower AS l
           FROM c CROSS JOIN sel)
     SELECT any_value(u) AS upper, any_value(l) AS lower,
-           max(CASE WHEN s = u THEN n_ge END) AS n_link,
+           coalesce(max(CASE WHEN s = u THEN n_ge END), 0) AS n_link,
            max(CASE WHEN s = u
                     THEN round((n_ge - pos_ge) * 1.0 / n_ge, 6)
                END) AS link_fdr,
-           max(CASE WHEN s = l THEN n_le END) AS n_nonlink,
+           coalesce(max(CASE WHEN s = l THEN n_le END), 0) AS n_nonlink,
            max(CASE WHEN s = l
                     THEN round(pos_le * 1.0 / tot_pos, 6)
                END) AS miss_rate,
-           max(tot_n) - max(CASE WHEN s = u THEN n_ge END)
-               - max(CASE WHEN s = l THEN n_le END) AS n_review,
-           round((max(tot_n) - max(CASE WHEN s = u THEN n_ge END)
-                  - max(CASE WHEN s = l THEN n_le END)) * 1.0
-                 / max(tot_n), 6) AS review_share
+           greatest(0, max(tot_n)
+               - coalesce(max(CASE WHEN s = u THEN n_ge END), 0)
+               - coalesce(max(CASE WHEN s = l THEN n_le END), 0))
+               AS n_review,
+           round(greatest(0, max(tot_n)
+                  - coalesce(max(CASE WHEN s = u THEN n_ge END), 0)
+                  - coalesce(max(CASE WHEN s = l THEN n_le END), 0)) * 1.0
+                 / max(tot_n), 6) AS review_share,
+           CASE WHEN any_value(u) IS NULL AND any_value(l) IS NULL
+                    THEN 'no_upper,no_lower'
+                WHEN any_value(u) IS NULL THEN 'no_upper'
+                WHEN any_value(l) IS NULL THEN 'no_lower'
+                WHEN any_value(l) >= any_value(u) THEN 'overlap'
+           END AS band_flag
     FROM j
 """
 
@@ -9294,3 +9303,144 @@ def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: exact-dedup clusters over sf0.001 documents
     via fingerprint + connected components."""
     return q25(spark, "/root/testdata/sf0.001")
+
+
+@q(
+    "q123_prefix_filter_guarded",
+    f"""
+    WITH dd AS (
+        SELECT doc_id, ts FROM (
+            SELECT doc_id, list_distinct({_TOKENS_SQL.format(col='text')})
+                       AS ts
+            FROM documents)
+        WHERE len(ts) > 0),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM dd),
+    freq AS (SELECT tok, count(*) AS f FROM ex GROUP BY tok),
+    srt AS (
+        SELECT e.doc_id,
+               list(e.tok ORDER BY fr.f, e.tok) AS sorted,
+               count(*) AS n
+        FROM ex e JOIN freq fr USING (tok) GROUP BY e.doc_id),
+    pref AS (
+        SELECT doc_id, n,
+               unnest(sorted[1 : n - ((4 * n + 4) // 5) + 1]) AS tok
+        FROM srt),
+    cap AS (
+        SELECT doc_id, tok FROM pref
+        QUALIFY row_number() OVER (
+            PARTITION BY tok ORDER BY n, doc_id) <= 16),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM cap a JOIN cap b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    v AS (
+        SELECT c.id1, c.id2,
+               len(list_intersect(d1.ts, d2.ts)) AS n_inter,
+               len(d1.ts) + len(d2.ts)
+                   - len(list_intersect(d1.ts, d2.ts)) AS n_union
+        FROM cand c
+        JOIN dd d1 ON d1.doc_id = c.id1
+        JOIN dd d2 ON d2.doc_id = c.id2)
+    SELECT id1 AS doc_id1, id2 AS doc_id2, n_inter, n_union,
+           round(n_inter * 1.0 / n_union, 6) AS jacc
+    FROM v WHERE 5 * n_inter >= 4 * n_union
+    """,
+)
+def q123(spark, sf):
+    """The GUARDED form of q92 (r04 verdict weak #2,
+    operators/set_join.py): same exact PPJoin prefix-filter join, but
+    candidate generation per token is capped at the 16 deterministic
+    smallest-(set size, id) postings, with the dropped-posting count
+    logged — bounded wall on degenerate vocabularies (where q92's
+    exact join is inherently ~all-pairs) at the price of an EXPLICIT,
+    counted recall trade.  On natural Zipfian vocabularies the cap
+    never binds and the result equals q92 bit-for-bit
+    (test_prefix_filter_guard).  The cap rule is pure integer/order
+    logic, so DuckDB replicates candidates and counts exactly."""
+    from pubmed_and_method_spark.operators.set_join import (
+        prefix_filter_jaccard_join,
+    )
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(clean_tokens("text")).alias("toks")
+    )
+    return prefix_filter_jaccard_join(
+        toks, id_col="doc_id", toks_col="toks", num=4, den=5,
+        max_posting=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver sampling order (r04 verdict missing #1).
+#
+# The driver's per-round oracle check covers the FIRST 50 registry
+# entries only (CORRECTNESS_r04.json stops at q50 while the registry
+# holds 122), so rounds 2-4 left the whole FS/evaluation/constraint
+# suite without a driver-green row.  Rebuilding the dicts in a curated
+# order makes the 50-slot budget SAMPLE the operator space: the
+# relational/ER spine keeps its riskiest members and one
+# representative of every post-q50 family moves into the window.
+# Nothing is added or removed — python dicts preserve insertion order,
+# and the pytest oracle harness still runs all entries.
+_DRIVER_PRIORITY = [
+    # relational/ER spine (driver-green since r1; keeps the broadest
+    # operator classes: agg, window, sampling, joins, blocking, CC)
+    "q01_pricing_summary", "q03_nation_order_counts",
+    "q04_semi_join_region", "q07_monthly_cumulative_revenue",
+    "q08_top_orders_per_customer", "q12_stratified_downsample",
+    "q13_hash_split_counts", "q14_segment_commonness",
+    "q15_token_stats", "q17_fingerprint_exact_dedup",
+    "q19_minhash_band_candidates", "q20_simhash16",
+    "q21_name_similarity_pairs", "q25_connected_components_dups",
+    "q26_transcript_signatures", "q27_transcript_labeled_pairs",
+    # multimodal / name block / content / ANN / profiling
+    "q29_multimodal_decode", "q36_name_feature_block",
+    "q37_tfidf_cosine_pairs", "q44_pair_feature_stack",
+    "q45_lsh_topk_portable", "q47_winnow_near_dups",
+    "q50_column_profile",
+    # one representative per post-q50 family (27 entries)
+    "q55_benchmark_decontam",          # decontamination
+    "q59_pii_redaction",               # PII audit/redaction
+    "q60_semantic_dedup",              # SemDeDup
+    "q62_threshold_sweep",             # evaluation: sweep
+    "q64_fellegi_sunter_weights",      # FS weights
+    "q66_fellegi_sunter_em",           # FS EM
+    "q68_sorted_neighborhood_recovery",# SNB blocking
+    "q70_star_clusters",               # star clustering
+    "q71_one_to_one_linkage",          # 1:1 linkage
+    "q73_blocking_ladder",             # multi-pass blocking science
+    "q78_duplicate_spans",             # ExactSubstr spans
+    "q83_cluster_churn",               # increments: churn
+    "q87_pivot_clusters",              # pivot clustering
+    "q88_block_filtering",             # meta-blocking family
+    "q92_prefix_filter_jaccard",       # exact set-sim join (guarded)
+    "q93_cannot_link_repair",          # constrained clustering
+    "q94_incremental_assignment",      # incremental ER
+    "q95_fs_em_missing",               # missing-aware EM
+    "q97_blocking_scheme_learner",     # blocking learner
+    "q100_linkage_waterfall",          # staged linkage
+    "q101_merge_distance",             # merge-distance/VI eval
+    "q102_fs_calibration",             # calibration
+    "q106_passjoin_edit_join",         # exact edit-distance join
+    "q108_truth_discovery",            # truth discovery
+    "q110_cluster_cohesion",           # cohesion eval
+    "q117_temporal_decay",             # temporal FS evidence
+    "q118_interval_overlap_join",      # interval/theta join
+]
+
+
+def _apply_driver_order() -> None:
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"driver-priority names not registered: {missing}"
+    assert len(_DRIVER_PRIORITY) == 50
+    order = _DRIVER_PRIORITY + [
+        n for n in QUERIES if n not in _DRIVER_PRIORITY
+    ]
+    for d in (QUERIES, ORACLES):
+        snap = dict(d)
+        d.clear()
+        d.update({n: snap[n] for n in order if n in snap})
+
+
+_apply_driver_order()

@@ -53,6 +53,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 CONFIGS = (
     "base", "adaptive", "strict", "tfidf_none", "tfidf_64", "tfidf_16",
+    "tfidf_sparse", "tfidf_sparse_none",
     "sig_parquet", "sig_bucketed", "clu_cc", "clu_star", "clu_pivot",
 )
 
@@ -105,12 +106,19 @@ def worker(config: str) -> None:
     g = g.localCheckpoint(eager=True)
 
     with_tfidf = config.startswith("tfidf")
-    top_k = {"tfidf_64": 64, "tfidf_16": 16}.get(config)
+    # r05: sparse-intersection content path (the scale fix for the
+    # map-payload DNF) — signatures stay lean, a narrow
+    # (mention_id, term, weight) table feeds the pair-keyed cosine
+    sparse = config.startswith("tfidf_sparse")
+    with_map = with_tfidf and not sparse
+    top_k = {
+        "tfidf_64": 64, "tfidf_16": 16, "tfidf_sparse": 64,
+    }.get(config)
     SIG_COLS = [
         "mention_id", "conv_id", "block_key", "given_name", "surname",
         "token_hashes", "shingle_hashes", "tool_profile",
         "ts_min", "ts_max",
-    ] + (["tfidf"] if with_tfidf else [])
+    ] + (["tfidf"] if with_map else []) + (["tokens"] if sparse else [])
 
     t0 = time.time()
     sig_write_sec = None
@@ -137,10 +145,20 @@ def worker(config: str) -> None:
         sig_write_sec = round(time.time() - tw, 3)
     else:
         sig = (
-            build_signatures(t, tfidf=with_tfidf, tfidf_top_k=top_k)
+            build_signatures(t, tfidf=with_map, tfidf_top_k=top_k)
             .select(*SIG_COLS)
             .localCheckpoint(eager=True)
         )
+    tfidf_terms = None
+    terms_build_sec = None
+    if sparse:
+        from pubmed_and_method_spark.plans.pipeline import build_tfidf_terms
+
+        tt = time.time()
+        tfidf_terms = build_tfidf_terms(sig, top_k=top_k).localCheckpoint(
+            eager=True
+        )
+        terms_build_sec = round(time.time() - tt, 3)
     sb0 = _shuffle_write_bytes(spark)  # pair stages measured from here
     t_pairs = time.time()
     kwargs = dict(lsh=True)
@@ -155,7 +173,7 @@ def worker(config: str) -> None:
     if config == "strict":
         kwargs["strict_split"] = True
     pairs = build_labeled_pairs(sig, g, **kwargs)
-    feats = build_pair_features(pairs, sig)
+    feats = build_pair_features(pairs, sig, tfidf_terms=tfidf_terms)
     matched = feats.filter(
         (F.col("name_jw") > 0.95) & (F.col("token_jacc") > 0.2)
     )
@@ -220,6 +238,8 @@ def worker(config: str) -> None:
     }
     if sig_write_sec is not None:
         out["sig_write_sec"] = sig_write_sec
+    if terms_build_sec is not None:
+        out["tfidf_terms_build_sec"] = terms_build_sec
     if wall_cluster is not None:
         out["wall_cluster_sec"] = round(wall_cluster, 3)
         out["n_edges"] = n_edges

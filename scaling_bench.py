@@ -44,7 +44,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(master_cores, entities: int, shuffle_partitions: int) -> None:
+def worker(master_cores, entities: int, shuffle_partitions: int,
+           content: bool = False) -> None:
     from pubmed_and_method_spark.session import get_spark
 
     spark = get_spark(app_name="scaling", cores=master_cores,
@@ -52,8 +53,10 @@ def worker(master_cores, entities: int, shuffle_partitions: int) -> None:
     from bench import bench_and_pipeline
 
     # warm-up run at small size (JIT, Python worker pool spin-up)
-    bench_and_pipeline(spark, n_entities=100)
-    sec, n_turns = bench_and_pipeline(spark, n_entities=entities)
+    bench_and_pipeline(spark, n_entities=100, content=content)
+    sec, n_turns = bench_and_pipeline(
+        spark, n_entities=entities, content=content
+    )
     print(json.dumps({"master": str(master_cores), "sec": round(sec, 3),
                       "turns": n_turns,
                       "turns_per_sec": round(n_turns / sec, 1)}))
@@ -84,6 +87,9 @@ def main() -> int:
     p.add_argument("--exec-cores", type=int, default=8)
     p.add_argument("--exec-mem-mb", type=int, default=16384)
     p.add_argument("--shuffle-partitions", type=int, default=0)
+    # r05: scale the CONTENT-carrying spine (sparse-intersection
+    # TF-IDF cosine in the match rule) instead of the lean one
+    p.add_argument("--content", action="store_true")
     args = p.parse_args()
 
     if args.worker:
@@ -91,7 +97,7 @@ def main() -> int:
         cores = args.cores
         if not cores.startswith("local"):
             cores = int(cores)
-        worker(cores, args.entities, sp)
+        worker(cores, args.entities, sp, content=args.content)
         return 0
 
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -115,6 +121,8 @@ def main() -> int:
         cmd = [sys.executable, __file__, "--worker", "--cores", master,
                "--entities", str(args.entities),
                "--shuffle-partitions", str(shuffle)]
+        if args.content:
+            cmd.append("--content")
         out = subprocess.run(
             _pin(cmd, pin_cores),
             capture_output=True, text=True,
@@ -141,7 +149,8 @@ def main() -> int:
         r_hi["turns_per_sec"] / (ratio * r_lo["turns_per_sec"]), 3
     )
     summary = {
-        "job": "and_pipeline (signatures->blocking->pairs->features->threshold->CC)",
+        "job": ("and_pipeline_content" if args.content else "and_pipeline")
+               + " (signatures->blocking->pairs->features->threshold->CC)",
         "mode": args.mode,
         "input_turns": r_lo["turns"],
         f"{labels[lo]}_turns_per_sec": r_lo["turns_per_sec"],

@@ -111,6 +111,64 @@ def test_fs_select_thresholds_matches_scan_model(spark):
         assert r.miss_rate * lam[1] <= lam[0] + 1e-9
 
 
+def test_fs_select_thresholds_degenerate_guards(spark):
+    """ADVICE r04: degenerate bound choices must be explicit, never
+    silent nulls or negative review counts.  (1) impossibly tight mu
+    with no clean top score -> upper null, n_link 0 (not null),
+    band_flag 'no_upper'; (2) loose bounds -> lower >= upper, the
+    auto sets overlap, n_review/review_share clamp to 0 and
+    band_flag = 'overlap'; (3) healthy band -> band_flag null."""
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_select_thresholds,
+    )
+
+    # every score level mixes labels -> no t can reach FDR <= 1/1000
+    mixed = [(2.0, 1)] * 3 + [(2.0, 0)] * 3 + [(1.0, 1)] * 3 + [(1.0, 0)] * 3
+    df = spark.createDataFrame(mixed, ["score", "label"])
+    r = fs_select_thresholds(
+        df, "score", "label", mu=(1, 1000), lam=(99, 100)
+    ).collect()[0]
+    assert r.upper is None
+    assert r.n_link == 0
+    assert "no_upper" in r.band_flag
+    assert r.n_review >= 0 and r.review_share >= 0
+
+    # clean separation + loose bounds: every score passes both checks
+    # -> lower (max score) >= upper (min score): overlapping band
+    sep = [(5.0, 1)] * 5 + [(1.0, 0)] * 5
+    df2 = spark.createDataFrame(sep, ["score", "label"])
+    r2 = fs_select_thresholds(
+        df2, "score", "label", mu=(50, 100), lam=(99, 100)
+    ).collect()[0]
+    assert r2.lower >= r2.upper
+    assert r2.band_flag == "overlap"
+    assert r2.n_review == 0 and r2.review_share == 0.0
+
+    # healthy band: tight-but-satisfiable bounds -> no flag
+    # healthy band (upper=5.0 from the clean top, lower=1.0): no flag
+    r3 = fs_select_thresholds(
+        df2, "score", "label", mu=(1, 100), lam=(1, 100)
+    ).collect()[0]
+    assert (r3.upper, r3.lower) == (5.0, 1.0)
+    assert r3.band_flag is None
+
+
+def test_fs_independence_audit_rejects_bad_identifiers(spark):
+    """ADVICE r04: names that can't be safely interpolated into the
+    generated stack() SQL are rejected up front with a clear error."""
+    import pytest
+
+    from pubmed_and_method_spark.operators.er_metrics import (
+        fs_independence_audit,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1)], ["f1", "f2", "label"])
+    with pytest.raises(ValueError, match="feature_cols"):
+        fs_independence_audit(df, ["f1", "bad-name"], "label")
+    with pytest.raises(ValueError, match="feature_cols"):
+        fs_independence_audit(df, ["f1", "f2'); DROP"], "label")
+
+
 def test_fs_independence_audit_hand_computed(spark):
     """Designed fixture: a perfectly correlated feature pair (ratio
     1/p), an independent pair (~1.0), and a zero-marginal null."""
