@@ -227,6 +227,67 @@ def map_cosine(m1: Column | str, m2: Column | str) -> Column:
     return F.coalesce(dot, F.lit(0.0))
 
 
+def aligned_weight_column(
+    terms: DataFrame, id_col: str = "mention_id"
+) -> DataFrame:
+    """(id, __wm: map<long,double>) per-doc weight map from
+    ``tfidf_weight_terms`` output — an INTERMEDIATE for aligning
+    weights to an existing sorted hash array on a narrow per-doc
+    frame (``array_pair_cosine``); never shipped through a pair
+    join."""
+    return terms.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__h", "__wn")))
+        ).alias("__wm")
+    )
+
+
+def array_pair_cosine(
+    th1: Column | str,
+    w1: Column | str,
+    th2: Column | str,
+    w2: Column | str,
+) -> Column:
+    """IN-ROW sparse-intersection cosine over per-side
+    (sorted hash array, aligned weight array) pairs — the 33M-proven
+    X11 scale plan (r05).
+
+    Why in-row: the exploded pair-keyed join (``pair_cosine_from_
+    terms``) materializes an O(pairs x terms-per-mention) intermediate
+    — ~10^9 narrow rows at 33M turns — whose join-2 exchange exceeded
+    this box's disk twice (SCALE_AB r05 notes); the weight-map column
+    through the double-join was the r04 DNF.  This form adds ONE
+    array<double> per side to the pair row (aligned to the
+    token_hashes array the row already carries for token_jacc) and
+    computes the dot product with zero additional shuffles:
+    array_intersect gives the shared terms in ascending-hash order
+    (both inputs are array_sort'ed), and a left-fold looks each
+    shared hash up by array_position — O(shared x n_tokens) integer
+    compares per pair, whole-stage-codegen JVM work.
+
+    Bit-parity with the map path: identical weights (both derive from
+    ``tfidf_weight_terms``), summation over shared terms in ascending
+    hash order, and truncated-out terms carry an exact 0.0 weight —
+    x + 0.0 is exact, so all three X11 plans agree bitwise (pinned by
+    test_sparse_tfidf_cosine_bitwise_equals_map).
+
+    Null/empty contract: either side null or empty -> 0.0.
+    """
+    th1 = F.col(th1) if isinstance(th1, str) else th1
+    w1 = F.col(w1) if isinstance(w1, str) else w1
+    th2 = F.col(th2) if isinstance(th2, str) else th2
+    w2 = F.col(w2) if isinstance(w2, str) else w2
+    shared = F.array_intersect(th1, th2)
+    dot = F.aggregate(
+        shared,
+        F.lit(0.0),
+        lambda acc, h: acc
+        + F.element_at(w1, F.array_position(th1, h).cast("int"))
+        * F.element_at(w2, F.array_position(th2, h).cast("int")),
+    )
+    return F.coalesce(dot, F.lit(0.0))
+
+
 def pair_cosine_from_terms(
     pairs: DataFrame,
     terms: DataFrame,
@@ -242,16 +303,25 @@ def pair_cosine_from_terms(
     duplicates would double the fan-out AND double-count the sum).
     ``terms``: ``tfidf_weight_terms`` output (id, __h, __wn).
 
-    Plan shape — this is why it scales where the map form spills:
+    Plan shape:
       1. pairs JOIN terms ON id1      -> one narrow row per
-         (pair, side-1 term): fan-out <= top_k per pair, ~32 bytes/row
-         vs a wide feature row carrying two full maps;
+         (pair, side-1 term): fan-out <= terms-per-mention per pair;
       2. ... JOIN terms ON (id2, term) -> INNER, so only SHARED terms
-         survive — the dominant shuffle is O(shared terms per pair);
+         survive the join OUTPUT;
       3. groupBy(pair): products collected, sorted by term key, summed
          with F.aggregate.
     The wide pair-feature row never carries a map; the cosine arrives
     as one double via a pair-keyed left join.
+
+    HONEST PRICE (measured, r05): step 2's INPUT is still
+    O(pairs x terms-per-mention) rows — ~10^9 at 33M turns with
+    ~50-token mentions — and that exchange spilled past this box's
+    80 GB disk twice (SCALE_AB notes).  Use this form when documents
+    are LONG relative to the truncation (n_tokens >> top_k, so
+    in-row weight arrays would dominate pair-row bytes); for
+    short-document corpora the in-row ``array_pair_cosine`` plan
+    ships O(top_k) doubles per pair side with ZERO extra shuffles and
+    is the pipeline's 'sparse' default.
 
     Bit-exactness vs the map path (``map_cosine`` over
     ``tfidf_weight_maps``): the map path sums coalesce(v1,0)*coalesce(

@@ -34,6 +34,8 @@ from pubmed_and_method_spark.functions.strings import (
     uniq_char_diff,
 )
 from pubmed_and_method_spark.functions.tfidf import (
+    aligned_weight_column,
+    array_pair_cosine,
     map_cosine,
     pair_cosine_from_terms,
     tfidf_weight_terms,
@@ -263,6 +265,7 @@ def build_candidate_pairs(
     lsh: bool = False,
     lsh_hashes: int = 16,
     lsh_bands: int = 8,
+    lsh_max_block_size: int | None = 64,
     lsh_col: str = "token_hashes",
     strict_split: bool = False,
     adaptive_target: int | None = None,
@@ -485,6 +488,21 @@ def build_candidate_pairs(
             lsh_candidate_pairs,
         )
 
+        # lsh_max_block_size=64 (r05): band-bucket CAP, the one knob
+        # that makes banded LSH scale-safe.  Per-pair band-collision
+        # probability is corpus-size-INDEPENDENT, so candidate volume
+        # grows ~quadratically with the corpus: measured at 33M turns
+        # (2M mentions), the uncapped pass emitted 500.7M candidate
+        # pairs — 488M of them from the 16k band buckets larger than
+        # 64 members (44 buckets >1k members alone contributed 324M;
+        # BENCH.md r05 histogram) — versus 24.8M exact-block pairs.
+        # Entities here have ~5 mentions, so a band key grouping >64
+        # mentions is template-vocabulary noise, not entity signal;
+        # dropping those buckets trades a sliver of recall (a true
+        # near-dup pair usually collides in several bands and
+        # survives via a small one) for an ~11x candidate-volume cut.
+        # The cap never binds on the small gate corpora, so F1 gates
+        # and LSH-recovery tests are unaffected.
         cand2 = lsh_candidate_pairs(
             signatures.select("mention_id", lsh_col),
             id_col="mention_id",
@@ -492,6 +510,7 @@ def build_candidate_pairs(
             num_hashes=lsh_hashes,
             bands=lsh_bands,
             num_buckets=num_buckets,
+            max_block_size=lsh_max_block_size,
             adaptive_target=adaptive_target,
         )
         lsh_tagged = _tag_extra(cand2, F.lit("__lsh__"))
@@ -533,6 +552,7 @@ def build_labeled_pairs(
     num_buckets: int = 1,
     max_block_size: int | None = None,
     lsh: bool = False,
+    lsh_max_block_size: int | None = 64,
     strict_split: bool = False,
     adaptive_target: int | None = None,
     phonetic: bool = False,
@@ -551,6 +571,7 @@ def build_labeled_pairs(
         num_buckets=num_buckets,
         max_block_size=max_block_size,
         lsh=lsh,
+        lsh_max_block_size=lsh_max_block_size,
         strict_split=strict_split,
         adaptive_target=adaptive_target,
         phonetic=phonetic,
@@ -585,6 +606,7 @@ def build_pair_features(
     signatures: DataFrame,
     monge_elkan: bool = False,
     tfidf_terms: DataFrame | None = None,
+    tfidf_join: bool = False,
 ) -> DataFrame:
     """The flagship pair-assembly double-join (J3):
     pair table joined against the mention-feature table twice —
@@ -592,15 +614,23 @@ def build_pair_features(
     vectorized feature stack (X1-X17 analogs).
 
     ``tfidf_terms``: narrow (mention_id, __h, __wn) weight rows from
-    ``build_tfidf_terms`` — the SPARSE-INTERSECTION path for the X11
-    content cosine (r04 verdict weak #1).  When given, the wide pair
-    row never carries a weight map: the cosine is computed as a
-    pair-keyed sum over SHARED terms only and left-joined back (absent
-    pairs share no term -> 0.0).  Values are bit-identical to the map
-    path (see functions/tfidf.pair_cosine_from_terms).  When None and
-    signatures carry a ``tfidf`` map column, the legacy map path runs
-    (bounded pair sets only — it disk-spills the 33M-turn pipeline,
-    SCALE_AB.json); with neither, content_tfidf_cos is 0.0.
+    ``build_tfidf_terms`` — enables the SPARSE-INTERSECTION X11
+    content cosine (r04 verdict weak #1).  Default plan (the
+    33M-proven one): weights are aligned on the NARROW signature
+    frame to the token_hashes array the pair row already carries, so
+    one array<double> per side rides the double-join and the cosine
+    is an in-row sorted-intersection fold — zero additional shuffles
+    (functions/tfidf.array_pair_cosine).  ``tfidf_join=True`` uses
+    the exploded pair-keyed join instead (pair_cosine_from_terms) —
+    for LONG-document corpora where n_tokens >> top_k; its
+    O(pairs x terms) intermediate exceeded this box's disk at 33M on
+    short transcripts (SCALE_AB notes).  All X11 plans (in-row,
+    pair-join, legacy map column) produce bit-identical values —
+    pinned by test_sparse_tfidf_cosine_bitwise_equals_map.  When
+    ``tfidf_terms`` is None and signatures carry a ``tfidf`` map
+    column, the legacy map path runs (bounded pair sets only — it
+    disk-spilled the 33M pipeline at any truncation, the r04 DNF);
+    with neither, content_tfidf_cos is 0.0.
 
     ``monge_elkan=True`` additionally computes the transposition-
     robust token-set name similarity (q80 operator) as a
@@ -630,6 +660,26 @@ def build_pair_features(
     has_tfidf = "tfidf" in signatures.columns and tfidf_terms is None
     if has_tfidf:
         feat_cols.append("tfidf")
+    if tfidf_terms is not None and not tfidf_join:
+        # X11 in-row plan: align weights to the token_hashes array on
+        # the NARROW per-mention frame (map exists only here, never on
+        # pair rows); truncated-out terms get an exact 0.0 so the
+        # intersection fold stays bitwise equal to the map path
+        wmap = aligned_weight_column(tfidf_terms)
+        signatures = (
+            signatures.join(wmap, "mention_id", "left")
+            .withColumn(
+                "tfidf_w",
+                F.transform(
+                    "token_hashes",
+                    lambda h: F.coalesce(
+                        F.element_at("__wm", h), F.lit(0.0)
+                    ),
+                ),
+            )
+            .drop("__wm")
+        )
+        feat_cols.append("tfidf_w")
     s = signatures.select(*feat_cols)
     s1 = s.select([F.col(c).alias(f"{c}1") for c in feat_cols]).withColumnRenamed(
         "block_key1", "bk1"
@@ -637,11 +687,11 @@ def build_pair_features(
     s2 = s.select([F.col(c).alias(f"{c}2") for c in feat_cols]).withColumnRenamed(
         "block_key2", "bk2"
     )
-    # X11 sparse path: attach the cosine to the NARROW pair table
-    # BEFORE the double-join — one extra double per pair row rides the
-    # shuffles the double-join pays anyway, and the wide feature row
-    # never re-shuffles on the pair key for a cosine join
-    if tfidf_terms is not None:
+    # X11 pair-join plan (opt-in, long-document corpora): attach the
+    # cosine to the NARROW pair table BEFORE the double-join — one
+    # extra double per pair row rides the shuffles the double-join
+    # pays anyway
+    if tfidf_terms is not None and tfidf_join:
         cos = pair_cosine_from_terms(
             pairs.select("mention_id1", "mention_id2"), tfidf_terms
         )
@@ -651,6 +701,15 @@ def build_pair_features(
             "content_tfidf_cos",
             F.coalesce("content_tfidf_cos", F.lit(0.0)),
         )
+    # No join-strategy hints here — measured at 33M turns (BENCH.md
+    # r05): AQE converts the signature sides to broadcast joins from
+    # their compressed runtime sizes, and the lean spine then moves
+    # 4.3 GB of pair-stage shuffle in 463 s; forcing SHUFFLE_HASH on
+    # the same sides (tried as a sort-spill fix) disabled those
+    # conversions and ballooned the SAME workload to 86 GB / 994 s.
+    # Let the optimizer pick; the real scale levers are row width
+    # (narrow feat_cols, top_k-capped weight arrays) and the
+    # session's shuffle-codec/GC disk budget (session.py).
     df = pairs.join(s1, "mention_id1").join(s2, "mention_id2")
     # X16 ambiguity: each SIDE brings its own block's score and the
     # pair takes the max.  For exact pairs both sides share the pair's
@@ -773,10 +832,16 @@ def build_pair_features(
         .withColumn("ambiguity_score", F.coalesce("ambiguity_score", F.lit(0.0)))
     )
     # X11: TF-IDF cosine (functions/tfidf.py); 0.0 when signatures were
-    # built lean (tfidf=False, no terms table).  In sparse mode the
-    # column was attached to the pair table above the double-join.
-    if tfidf_terms is not None:
-        pass
+    # built lean (tfidf=False, no terms table)
+    if tfidf_terms is not None and not tfidf_join:
+        df = df.withColumn(
+            "content_tfidf_cos",
+            array_pair_cosine(
+                "token_hashes1", "tfidf_w1", "token_hashes2", "tfidf_w2"
+            ),
+        ).drop("tfidf_w1", "tfidf_w2")
+    elif tfidf_terms is not None:
+        pass  # pair-join plan attached the column above the double-join
     elif has_tfidf:
         df = df.withColumn(
             "content_tfidf_cos", map_cosine("tfidf1", "tfidf2")
@@ -821,6 +886,8 @@ def run_pipeline(
     tfidf_mode: str = "sparse",
     blocking_metrics: bool = False,
     clusterer: str = "cc",
+    transcripts: DataFrame | None = None,
+    truth: DataFrame | None = None,
 ) -> dict:
     """Full AND pipeline on the synthetic corpus; returns metrics.
 
@@ -850,13 +917,17 @@ def run_pipeline(
     ``tfidf_mode`` selects the X11 content-cosine plan (values are
     bit-identical across modes — pinned by
     test_sparse_tfidf_cosine_bitwise_equals_map):
-      'sparse' (default, the r05 scale fix): a separate narrow
-        (mention_id, term, weight) stage + sparse-intersection
-        pair-keyed sum (functions/tfidf.pair_cosine_from_terms) —
-        shuffle bytes O(shared terms per pair); the 33M-turn pipeline
-        COMPLETES with the content feature on (SCALE_AB.json
-        'tfidf_sparse'), where the map path disk-spills at any
-        truncation;
+      'sparse' (default, the r05 scale fix): a checkpointed narrow
+        (mention_id, term, weight) stage, weights aligned in-row to
+        token_hashes, sorted-intersection fold on the pair row
+        (functions/tfidf.array_pair_cosine) — ZERO shuffles beyond
+        the double-join; the 33M-turn pipeline COMPLETES with the
+        content feature on (SCALE_AB.json 'tfidf_sparse'), where the
+        map path disk-spills at any truncation;
+      'sparse_join': the exploded pair-keyed intersection join
+        (pair_cosine_from_terms) — for long-document corpora where
+        n_tokens >> top_k; its O(pairs x terms) intermediate exceeded
+        this box's disk at 33M on short transcripts (measured, r05);
       'map': legacy weight-map column through the pair double-join —
         bounded corpora only;
       'off': no content feature (content_tfidf_cos = 0.0; the
@@ -874,16 +945,27 @@ def run_pipeline(
     (r04 A/B, SCALE_AB.json): per-block s_b = ceil(n_b/32) beat the
     global s=4 by ~3% on the pair stage at 33M turns while giving hot
     LSH buckets quadratically more tasks; pair-set identity with the
-    plain join is pytest-pinned, so metrics are unchanged."""
-    from pubmed_and_method_spark.sources.datagen import transcripts_df
+    plain join is pytest-pinned, so metrics are unchanged.
 
-    transcripts, truth = transcripts_df(spark, seed=seed, **(datagen_kwargs or {}))
+    ``transcripts``/``truth``: externally-supplied input frames (e.g.
+    sources/distributed_datagen at 33M+ turns, or a real Iceberg
+    table) — when given, the built-in single-node synthetic generator
+    is bypassed and ``datagen_kwargs`` is ignored; the stage graph,
+    checkpoints, and metrics are identical either way (the r05
+    supervised-at-scale runs use this, SCALE_AB.json
+    'supervised_33M')."""
+    if transcripts is None or truth is None:
+        from pubmed_and_method_spark.sources.datagen import transcripts_df
+
+        transcripts, truth = transcripts_df(
+            spark, seed=seed, **(datagen_kwargs or {})
+        )
     transcripts = store.run_stage(
         "transcripts", lambda: transcripts, params={"seed": seed}
     )
     truth = store.run_stage("entities_truth", lambda: truth, params={"seed": seed})
 
-    if tfidf_mode not in ("sparse", "map", "off"):
+    if tfidf_mode not in ("sparse", "sparse_join", "map", "off"):
         raise ValueError(f"unknown tfidf_mode {tfidf_mode!r}")
     signatures = store.run_stage(
         "signatures",
@@ -900,7 +982,7 @@ def run_pipeline(
         },
     )
     tfidf_terms = None
-    if tfidf_mode == "sparse":
+    if tfidf_mode in ("sparse", "sparse_join"):
         tfidf_terms = store.run_stage(
             "tfidf_terms",
             lambda: build_tfidf_terms(signatures, top_k=tfidf_top_k),
@@ -922,11 +1004,14 @@ def run_pipeline(
     features = store.run_stage(
         "pair_features",
         lambda: build_pair_features(
-            pairs, signatures, tfidf_terms=tfidf_terms
+            pairs,
+            signatures,
+            tfidf_terms=tfidf_terms,
+            tfidf_join=(tfidf_mode == "sparse_join"),
         ),
         inputs=(
             ("labeled_pairs", "signatures", "tfidf_terms")
-            if tfidf_mode == "sparse"
+            if tfidf_terms is not None
             else ("labeled_pairs", "signatures")
         ),
         params={"tfidf_mode": tfidf_mode},

@@ -166,6 +166,37 @@ def get_spark(
             )
             .config("spark.executorEnv.PYTHONPATH", exec_pp)
         )
+    if not submit_mode:
+        # r05 disk budget (sandbox-level; a real cluster sets these at
+        # the platform layer).  /tmp here backs only ~80 GB — less
+        # than the lz4 live shuffle set of a 33M-turn content run
+        # (measured: "No space left on device" aborts in the pair
+        # stage), so:
+        # - 120 s periodic context-cleaner GC: the 30 min default
+        #   lets DEAD stages' shuffle files pile up for the whole run
+        #   (observed 35 GB reclaimed by one GC at 98% disk);
+        # - tmpfs local-dir split is OPT-IN via SPARK_GRAFT_SHM=1:
+        #   it halves the per-device footprint but tmpfs pages are
+        #   unevictable RAM — alongside the pre-touched 48g heap the
+        #   kernel OOM-killed two 33M runs — so it is only for runs
+        #   that set a smaller SPARK_DRIVER_MEM.
+        if os.environ.get("SPARK_GRAFT_SHM") and os.path.isdir("/dev/shm"):
+            shm = "/dev/shm/spark_graft_local"
+            try:
+                os.makedirs(shm, exist_ok=True)
+                builder = builder.config("spark.local.dir", f"{shm},/tmp")
+            except OSError:
+                pass
+        builder = builder.config(
+            "spark.cleaner.periodicGC.interval", "120s"
+        )
+        # zstd for shuffle/spill/broadcast blocks: ~1.5-2.5x smaller
+        # than lz4 on this text-heavy data — the third leg of the
+        # same disk budget (the 33M content run's live set measured
+        # ~100 GB under lz4, over even the split-device capacity).
+        # CPU cost is within noise for these workloads; on a real
+        # cluster this is a standard large-shuffle setting.
+        builder = builder.config("spark.io.compression.codec", "zstd")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

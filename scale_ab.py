@@ -53,7 +53,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 CONFIGS = (
     "base", "adaptive", "strict", "tfidf_none", "tfidf_64", "tfidf_16",
-    "tfidf_sparse", "tfidf_sparse_none",
+    "tfidf_sparse", "tfidf_sparse_none", "tfidf_sparse_join",
     "sig_parquet", "sig_bucketed", "clu_cc", "clu_star", "clu_pivot",
 )
 
@@ -95,7 +95,38 @@ def worker(config: str) -> None:
     spark = get_spark(
         app_name=f"scale_ab_{config}",
         cores=CPUS,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+        # r05: size shuffle partitions for the 33M pair stage — at the
+        # session default (32) each SMJ sort task holds ~1 GB of
+        # full-payload pair rows, just past the per-task execution
+        # budget, and the resulting sorter spills filled the disk
+        # (three aborted runs).  128 partitions put ~250 MB per task
+        # — in-memory sorts, spill-free (the brief's own rule: size
+        # shuffle partitions so partitions fit in executor memory at
+        # the target SF).  AQE still coalesces the small stages.
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
+        ),
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            # r05: this box gives Spark ~80 GB of disk and a 33M-turn
+            # run writes shuffle files across ~6 stages; the DEFAULT
+            # context-cleaner GC interval (30 min) lets dead stages'
+            # shuffle files accumulate past the disk (observed: 98%
+            # full, then a single GC reclaimed 35 GB).  A 60 s
+            # periodic GC bounds the on-disk footprint to ~live
+            # stages — purely cleanup latency, no plan change.
+            "spark.cleaner.periodicGC.interval": "60s",
+            # AQE's coalesce targets 64 MB of COMPRESSED map output
+            # per post-shuffle partition; the content pair rows
+            # decompress ~8-15x, so each SMJ sort task held ~1 GB,
+            # spilled, and three 33M runs filled the disk.  16 MB
+            # compressed ≈ 150-250 MB raw per task — in-memory
+            # sorts.  Per-partition sizing, not a plan change; the
+            # production equivalent is the same advisory setting on
+            # any large-shuffle job.
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        },
     )
 
     t, g = distributed_transcripts(
@@ -106,13 +137,18 @@ def worker(config: str) -> None:
     g = g.localCheckpoint(eager=True)
 
     with_tfidf = config.startswith("tfidf")
-    # r05: sparse-intersection content path (the scale fix for the
+    # r05: sparse-intersection content paths (the scale fix for the
     # map-payload DNF) — signatures stay lean, a narrow
-    # (mention_id, term, weight) table feeds the pair-keyed cosine
+    # (mention_id, term, weight) table feeds either the in-row
+    # aligned-array cosine (tfidf_sparse*, the default plan) or the
+    # exploded pair-keyed join (tfidf_sparse_join — measured DNF at
+    # 33M on this corpus shape, kept as the honest negative)
     sparse = config.startswith("tfidf_sparse")
+    sparse_join = config == "tfidf_sparse_join"
     with_map = with_tfidf and not sparse
     top_k = {
         "tfidf_64": 64, "tfidf_16": 16, "tfidf_sparse": 64,
+        "tfidf_sparse_join": 64,
     }.get(config)
     SIG_COLS = [
         "mention_id", "conv_id", "block_key", "given_name", "surname",
@@ -159,21 +195,31 @@ def worker(config: str) -> None:
             eager=True
         )
         terms_build_sec = round(time.time() - tt, 3)
+    # transcripts are only the lineage ROOT of the (now-materialized)
+    # signature checkpoint — dropping their blocks frees ~15 GB of
+    # block-manager disk/heap for the pair stage (r05 disk budget)
+    t.unpersist(blocking=False)
     sb0 = _shuffle_write_bytes(spark)  # pair stages measured from here
     t_pairs = time.time()
     kwargs = dict(lsh=True)
     if config == "adaptive":
         kwargs["adaptive_target"] = 32
-    elif config in ("sig_parquet", "sig_bucketed") or config.startswith(
-        "clu_"
+    elif (
+        config in ("sig_parquet", "sig_bucketed")
+        or config.startswith("clu_")
+        or sparse
     ):
+        # r05: sparse configs pair against 'adaptive' (the pipeline
+        # default salting), not the legacy global-s=4 'base'
         kwargs["adaptive_target"] = 32  # current pipeline default
     else:
         kwargs["num_buckets"] = 4
     if config == "strict":
         kwargs["strict_split"] = True
     pairs = build_labeled_pairs(sig, g, **kwargs)
-    feats = build_pair_features(pairs, sig, tfidf_terms=tfidf_terms)
+    feats = build_pair_features(
+        pairs, sig, tfidf_terms=tfidf_terms, tfidf_join=sparse_join
+    )
     matched = feats.filter(
         (F.col("name_jw") > 0.95) & (F.col("token_jacc") > 0.2)
     )

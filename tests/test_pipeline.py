@@ -205,12 +205,13 @@ def test_lsh_second_pass_recovers_unblocked(spark, corpus):
 
 
 def test_sparse_tfidf_cosine_bitwise_equals_map(corpus, signatures, labeled):
-    """r05 scale fix (r04 verdict weak #1): the sparse-intersection
-    X11 cosine must be BIT-identical to the legacy map path — not
-    merely close.  The sparse sum runs over shared terms in ascending
-    key order; the map path's extra non-shared terms contribute an
-    exact IEEE754 0.0, so no tolerance is needed (see
-    functions/tfidf.pair_cosine_from_terms).  Checked at top_k=None
+    """r05 scale fix (r04 verdict weak #1): BOTH sparse-intersection
+    X11 plans — the in-row aligned-array fold (the 33M scale default)
+    and the exploded pair-keyed join — must be BIT-identical to the
+    legacy map path, not merely close.  All three sum the same weights
+    over shared terms in ascending key order; non-shared / truncated
+    terms contribute an exact IEEE754 0.0, so no tolerance is needed
+    (see functions/tfidf.array_pair_cosine).  Checked at top_k=None
     (exact weights) and top_k=8 (truncation binds on this corpus)."""
     from pubmed_and_method_spark.plans.pipeline import build_tfidf_terms
 
@@ -227,21 +228,27 @@ def test_sparse_tfidf_cosine_bitwise_equals_map(corpus, signatures, labeled):
             F.col("content_tfidf_cos").alias("c_map"),
         )
         terms = build_tfidf_terms(sig, top_k=top_k)
-        f_sparse = build_pair_features(
-            labeled, sig, tfidf_terms=terms
-        ).select(
-            "mention_id1",
-            "mention_id2",
-            F.col("content_tfidf_cos").alias("c_sparse"),
-        )
-        j = f_map.join(
-            f_sparse, ["mention_id1", "mention_id2"]
-        ).cache()
-        assert j.count() == labeled.count()
-        assert j.filter("NOT (c_map <=> c_sparse)").count() == 0
-        # the feature is live, not vacuously-zero parity
-        assert j.filter("c_sparse > 0.1").count() > 0
-        j.unpersist()
+        for variant, kw in (
+            ("inrow", {}),
+            ("join", {"tfidf_join": True}),
+        ):
+            f_sparse = build_pair_features(
+                labeled, sig, tfidf_terms=terms, **kw
+            ).select(
+                "mention_id1",
+                "mention_id2",
+                F.col("content_tfidf_cos").alias("c_sparse"),
+            )
+            j = f_map.join(
+                f_sparse, ["mention_id1", "mention_id2"]
+            ).cache()
+            assert j.count() == labeled.count(), (variant, top_k)
+            assert (
+                j.filter("NOT (c_map <=> c_sparse)").count() == 0
+            ), (variant, top_k)
+            # the feature is live, not vacuously-zero parity
+            assert j.filter("c_sparse > 0.1").count() > 0
+            j.unpersist()
 
 
 @pytest.fixture(scope="module")
