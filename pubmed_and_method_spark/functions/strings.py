@@ -280,6 +280,22 @@ def token_jaccard(a: Column | str, b: Column | str) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def token_jaccard_distinct(a: Column | str, b: Column | str) -> Column:
+    """``token_jaccard`` for arrays KNOWN to be duplicate-free (e.g.
+    array_distinct'ed hash sets, collect_set profiles): the union size
+    is computed as |A| + |B| − |A∩B| instead of building a second
+    hash set with array_union — half the per-pair set work (guide
+    §1.2 per-task work; the pair stage evaluates this inside the join
+    condition).  Bit-identical to ``token_jaccard`` on distinct
+    inputs: the same two integers are divided.  Null contract
+    unchanged (either side null -> 0.0)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def token_overlap(a: Column | str, b: Column | str) -> Column:
     """|A∩B| (reference `intersection`, string_utils.py:89-96)."""
     a = F.col(a) if isinstance(a, str) else a

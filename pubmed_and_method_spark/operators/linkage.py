@@ -146,7 +146,12 @@ def linkage_waterfall(
     out = None
     remaining = pairs
     for name, cond in tiers:
-        hit = remaining.filter(cond)
+        # lazy-pin: `hit` is referenced twice (output rows + consumed
+        # ids) and `remaining` twice per subsequent tier — unpinned,
+        # each reference re-inlines the whole upstream filter/anti-join
+        # chain into the plan (r06: Catalyst planning time dominated
+        # the corpus-scale queries; guide §3.3)
+        hit = remaining.filter(cond).localCheckpoint(eager=False)
         tier_rows = hit.select(
             F.col(id1_col), F.col(id2_col), F.lit(name).alias("tier")
         )
@@ -161,5 +166,5 @@ def linkage_waterfall(
             ids.select(F.col("__id").alias(id1_col)), id1_col, "left_anti"
         ).join(
             ids.select(F.col("__id").alias(id2_col)), id2_col, "left_anti"
-        )
+        ).localCheckpoint(eager=False)
     return out

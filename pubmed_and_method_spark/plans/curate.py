@@ -86,12 +86,24 @@ def curate_documents(
     from pyspark.sql import Window as W
 
     fp = sv12.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    # Each stage's drop set is PINNED (localCheckpoint) as soon as it
+    # is derived: the verdict assembly below references every drop set
+    # twice (once as the next stage's survivor anti-join input, once
+    # in the final left joins), and Spark shares no common subtrees
+    # across DataFrame branches — lazily composed, the winnowing
+    # self-join and the row-local language/fingerprint projections
+    # re-ran once per consumer (measured: the q57 plan computed the
+    # winnow pass twice; guide §2.4 "remove shuffles outright" /
+    # §5 caching-for-reuse).  The pinned frames are id-only — a few
+    # bytes per DROPPED doc, never the corpus text (at production
+    # scale these are the natural StageStore stage outputs).
     exdrop = (
         fp.withColumn(
             "__m", F.min(id_col).over(W.partitionBy("__fp"))
         )
         .filter(F.col(id_col) != F.col("__m"))
         .select(id_col)
+        .localCheckpoint(eager=False)
     )
     sv123 = sv12.join(exdrop, id_col, "left_anti")
 
@@ -107,12 +119,13 @@ def curate_documents(
         )
         .select(F.col(f"{id_col}2").alias(id_col))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sv1234 = sv123.join(nddrop, id_col, "left_anti")
 
     cdrop = decontaminate(
         sv1234, benchmark, id_col, text_col, n=decontam_n, min_hits=1
-    ).select(id_col)
+    ).select(id_col).localCheckpoint(eager=False)
 
     flag = lambda df, v: df.withColumn("__flag", F.lit(v))  # noqa: E731
     return (

@@ -30,12 +30,11 @@ from pubmed_and_method_spark.functions.strings import (
     jaro_winkler_udf,
     levenshtein_ratio,
     sentinel_overlap,
-    token_jaccard,
+    token_jaccard_distinct,
     uniq_char_diff,
 )
 from pubmed_and_method_spark.functions.tfidf import (
     aligned_weight_column,
-    array_pair_cosine,
     map_cosine,
     pair_cosine_from_terms,
     tfidf_weight_terms,
@@ -615,12 +614,13 @@ def build_pair_features(
 
     ``tfidf_terms``: narrow (mention_id, __h, __wn) weight rows from
     ``build_tfidf_terms`` — enables the SPARSE-INTERSECTION X11
-    content cosine (r04 verdict weak #1).  Default plan (the
-    33M-proven one): weights are aligned on the NARROW signature
-    frame to the token_hashes array the pair row already carries, so
-    one array<double> per side rides the double-join and the cosine
-    is an in-row sorted-intersection fold — zero additional shuffles
-    (functions/tfidf.array_pair_cosine).  ``tfidf_join=True`` uses
+    content cosine (r04 verdict weak #1).  Default plan (r06): each
+    side's top-k (hash -> weight) map — built once per mention on the
+    NARROW signature frame — rides the double-join, and the cosine is
+    an in-row map_zip_with hash-merge dot, O(k1+k2) per pair with
+    zero additional shuffles (functions/tfidf.map_cosine; replaces
+    the r05 aligned-array array_position fold, which cost
+    O(shared x n_tokens) compares per pair).  ``tfidf_join=True`` uses
     the exploded pair-keyed join instead (pair_cosine_from_terms) —
     for LONG-document corpora where n_tokens >> top_k; its
     O(pairs x terms) intermediate exceeded this box's disk at 33M on
@@ -661,25 +661,22 @@ def build_pair_features(
     if has_tfidf:
         feat_cols.append("tfidf")
     if tfidf_terms is not None and not tfidf_join:
-        # X11 in-row plan: align weights to the token_hashes array on
-        # the NARROW per-mention frame (map exists only here, never on
-        # pair rows); truncated-out terms get an exact 0.0 so the
-        # intersection fold stays bitwise equal to the map path
+        # X11 in-row MAP plan (r06): each side carries its top-k
+        # (hash -> weight) map through the double-join and the dot is
+        # ONE map_zip_with hash-merge per pair — O(k1+k2) — replacing
+        # the r05 aligned-array fold whose array_position lookup cost
+        # O(shared x n_tokens) integer compares per pair (the fold ran
+        # inside the pair-join condition; guide §4.2/§1.2 "per-task
+        # work").  Bit-parity with the legacy map path is by the SAME
+        # argument as pair_cosine_from_terms: map keys come out of
+        # aligned_weight_column ascending, shared terms multiply in
+        # ascending-key order, and keys present on only one side
+        # contribute an exact IEEE754 0.0 (x + 0.0 == x), so all X11
+        # plans stay bitwise equal (pinned by
+        # test_sparse_tfidf_cosine_bitwise_equals_map).
         wmap = aligned_weight_column(tfidf_terms)
-        signatures = (
-            signatures.join(wmap, "mention_id", "left")
-            .withColumn(
-                "tfidf_w",
-                F.transform(
-                    "token_hashes",
-                    lambda h: F.coalesce(
-                        F.element_at("__wm", h), F.lit(0.0)
-                    ),
-                ),
-            )
-            .drop("__wm")
-        )
-        feat_cols.append("tfidf_w")
+        signatures = signatures.join(wmap, "mention_id", "left")
+        feat_cols.append("__wm")
     s = signatures.select(*feat_cols)
     s1 = s.select([F.col(c).alias(f"{c}1") for c in feat_cols]).withColumnRenamed(
         "block_key1", "bk1"
@@ -806,11 +803,22 @@ def build_pair_features(
             levenshtein_ratio(F.col("given_name1"), F.col("given_name2")),
         )
         .withColumn("initial_eq", (init1 == init2).cast("int"))
-        .withColumn("token_jacc", token_jaccard("token_hashes1", "token_hashes2"))
+        # all three inputs are duplicate-free by construction
+        # (array_distinct'ed hashes / collect_set), so the distinct
+        # form skips the array_union hash-set build per pair —
+        # bit-identical values (same integers divided)
         .withColumn(
-            "shingle_jacc", token_jaccard("shingle_hashes1", "shingle_hashes2")
+            "token_jacc",
+            token_jaccard_distinct("token_hashes1", "token_hashes2"),
         )
-        .withColumn("tool_jacc", token_jaccard("tool_profile1", "tool_profile2"))
+        .withColumn(
+            "shingle_jacc",
+            token_jaccard_distinct("shingle_hashes1", "shingle_hashes2"),
+        )
+        .withColumn(
+            "tool_jacc",
+            token_jaccard_distinct("tool_profile1", "tool_profile2"),
+        )
         # X15 sentinel form: disjoint non-empty tool profiles -> -1
         .withColumn(
             "tool_overlap_sentinel",
@@ -835,11 +843,8 @@ def build_pair_features(
     # built lean (tfidf=False, no terms table)
     if tfidf_terms is not None and not tfidf_join:
         df = df.withColumn(
-            "content_tfidf_cos",
-            array_pair_cosine(
-                "token_hashes1", "tfidf_w1", "token_hashes2", "tfidf_w2"
-            ),
-        ).drop("tfidf_w1", "tfidf_w2")
+            "content_tfidf_cos", map_cosine("__wm1", "__wm2")
+        ).drop("__wm1", "__wm2")
     elif tfidf_terms is not None:
         pass  # pair-join plan attached the column above the double-join
     elif has_tfidf:

@@ -56,6 +56,24 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint: truncate lineage of a small intermediate
+    that downstream plans reference MORE THAN ONCE.
+
+    The synthetic-corpus ER queries compose build_signatures /
+    pair-feature subtrees into unions, self-joins, and per-node
+    threshold joins; Spark shares no common subtrees across DataFrame
+    branches, so each extra reference RE-INLINES the whole upstream
+    plan and the operator tree grows multiplicatively (q69's physical
+    plan reached ~4,900 operators; Catalyst spent 10.7 s planning vs
+    8.6 s executing — guide §3.3 'planning time itself can become the
+    bottleneck... materialise an intermediate (localCheckpoint) to
+    truncate the plan').  Checkpointing is lazy (first action
+    materializes), per-invocation (never reused across bench/oracle
+    runs), and value-preserving by construction."""
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.2-§2.7)
 # ---------------------------------------------------------------------------
@@ -1030,7 +1048,7 @@ def q27(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t)
+    sig = _pin(build_signatures(t))
     return build_labeled_pairs(sig, g, num_buckets=4).select(
         "block_key", "mention_id1", "mention_id2", "same_entity"
     )
@@ -1997,7 +2015,7 @@ def q44(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     pairs = build_labeled_pairs(sig, g, num_buckets=4)
     feats = build_pair_features(pairs, sig)
     return feats.select(
@@ -2428,7 +2446,7 @@ def q52(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t)
+    sig = _pin(build_signatures(t))
     pairs = build_labeled_pairs(sig, g, num_buckets=4)
     return blocking_quality(sig, pairs, g)
 
@@ -3064,7 +3082,7 @@ def q61(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     pairs = build_labeled_pairs(sig, g, phonetic=True)
     return pairs.filter(F.col("block_key").startswith("ph_")).select(
         "block_key", "mention_id1", "mention_id2", "same_entity"
@@ -3170,7 +3188,7 @@ def q62(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     scored = feats.select(
         F.round(
@@ -3393,7 +3411,7 @@ def q64(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     ag = feats.select(
         (F.round("name_jw", 6) >= 0.9).alias("name_jw_hi"),
@@ -3516,7 +3534,7 @@ def q65(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     scored = feats.select(
         "mention_id1",
@@ -3717,7 +3735,7 @@ def q66(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     ag = feats.select(
         (F.round("name_jw", 6) >= 0.9).alias("name_jw_hi"),
@@ -3881,9 +3899,11 @@ def q67(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
-    ag = feats.select(
+    # _pin: ag is materialized twice — once collected for the FS
+    # weight estimates, once re-scanned by fs_classify
+    ag = _pin(feats.select(
         "mention_id1",
         "mention_id2",
         (F.round("name_jw", 6) >= 0.9).alias("name_jw_hi"),
@@ -3893,7 +3913,7 @@ def q67(spark, sf):
         (F.round("tool_jacc", 6) >= 0.5).alias("tool_hi"),
         (F.col("time_overlap") == 1).alias("time_overlap"),
         F.col("same_entity").cast("int").alias("same_entity"),
-    )
+    ))
     west = {
         r["feature"]: (r["match_weight"], r["disagree_weight"])
         for r in fs_weights(ag, _FS_EM_FEATURES).collect()
@@ -3978,7 +3998,7 @@ def q68(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     members = sig.filter(F.col("block_key") != "__unblocked__").select(
         "mention_id", "surname", "given_name", "block_key"
     )
@@ -4117,8 +4137,12 @@ def q69(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
-    named = sig.filter(F.col("block_key") != "__unblocked__")
+    # _pin: named feeds a 4-way union; members feeds pairing + two
+    # block-count joins; w feeds WNP's explode + two threshold joins —
+    # unpinned, the plan re-inlined build_signatures ~20x (4,895
+    # physical operators, 10.7 s of driver planning)
+    sig = _pin(build_signatures(t, tfidf=False))
+    named = _pin(sig.filter(F.col("block_key") != "__unblocked__"))
     mid = F.col("mention_id")
     members = (
         named.select(mid, F.concat(F.lit("sn_"), "surname").alias("block_key"))
@@ -4141,8 +4165,8 @@ def q69(spark, sf):
             )
         )
     )
-    w = pair_block_weights(members, max_block_size=25)
-    p = weighted_node_pruning(w, weight_col="cbs")
+    w = pair_block_weights(_pin(members), max_block_size=25)
+    p = weighted_node_pruning(_pin(w), weight_col="cbs")
     truth = g.select("conv_id", "entity_id")
     out = (
         p.withColumn("conv1", F.substring_index("mention_id1", "#", 1))
@@ -4310,7 +4334,7 @@ def q70(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     edges = feats.select(
         "mention_id1",
@@ -4799,38 +4823,42 @@ def q73(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
-    named = sig.filter(F.col("block_key") != "__unblocked__").select(
+    sig = _pin(build_signatures(t, tfidf=False))
+    named = _pin(sig.filter(F.col("block_key") != "__unblocked__").select(
         "mention_id", "conv_id", "surname", "given_name", "block_key"
-    )
-    exact_p = generate_pairs(
+    ))
+    # _pin: every pass's pair set is referenced twice (its own
+    # scheme row + the union row) — unpinned, each reference
+    # re-inlines the build_signatures subtree (q69-class plan
+    # explosion)
+    exact_p = _pin(generate_pairs(
         named.select("block_key", "mention_id")
-    ).select("mention_id1", "mention_id2")
-    phon_p = generate_pairs(
+    ).select("mention_id1", "mention_id2"))
+    phon_p = _pin(generate_pairs(
         named.select(
             F.concat(F.lit("ph_"), phonetic_key("surname")).alias(
                 "block_key"
             ),
             "mention_id",
         )
-    ).select("mention_id1", "mention_id2")
+    ).select("mention_id1", "mention_id2"))
     snb_raw = sorted_neighborhood_pairs(
         named, ["surname", "given_name"], id_col="mention_id", window=6
     )
-    snb_p = snb_raw.select(
+    snb_p = _pin(snb_raw.select(
         F.least("mention_id1", "mention_id2").alias("mention_id1"),
         F.greatest("mention_id1", "mention_id2").alias("mention_id2"),
-    )
-    del_p = deletion_neighborhood_pairs(
+    ))
+    del_p = _pin(deletion_neighborhood_pairs(
         named.select("mention_id", "surname"), "mention_id", "surname"
-    ).select("mention_id1", "mention_id2")
+    ).select("mention_id1", "mention_id2"))
     union_p = (
         exact_p.unionAll(phon_p).unionAll(snb_p).unionAll(del_p).distinct()
     )
 
     truth = g.select("conv_id", "entity_id")
     named_truth = named.select("conv_id").join(truth, "conv_id")
-    denoms = (
+    denoms = _pin(
         named.agg(F.count(F.lit(1)).alias("n_mentions"))
         .crossJoin(
             named_truth.groupBy("entity_id")
@@ -4997,7 +5025,7 @@ def q74(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     scored = feats.select(
         "mention_id1",
@@ -5053,7 +5081,7 @@ def q75(spark, sf):
     groupBy over q67's output + a 1-row total broadcast; every ratio
     an exact integer quotient.  DuckDB wraps the ENTIRE q67 oracle as
     a nested CTE and re-derives the bands."""
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     bands = scored.groupBy("decision").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("same_entity").cast("long").alias("n_match"),
@@ -5371,7 +5399,7 @@ def q79(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     members = sig.filter(F.col("block_key") != "__unblocked__")
     names = members.select("mention_id", "given_name")
     pairs = (
@@ -5551,7 +5579,7 @@ def q84(spark, sf):
     from pubmed_and_method_spark.plans.pipeline import build_signatures
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     ensure_transcript_corpus()
     t, _ = transcripts_df(spark, seed=42)
     bk = build_signatures(t, tfidf=False).select(
@@ -5923,7 +5951,7 @@ def q80(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     toks = F.filter(
         F.array("given_name", "surname"), lambda x: x != ""
     )
@@ -6077,7 +6105,7 @@ def q87(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     edges = feats.select(
         "mention_id1",
@@ -6175,7 +6203,7 @@ def q88(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     named = sig.filter(F.col("block_key") != "__unblocked__")
     mid = F.col("mention_id")
     members = (
@@ -6369,7 +6397,7 @@ def q90(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     sims = feats.select(
         "mention_id1",
@@ -6529,7 +6557,7 @@ def q91(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     toks = F.filter(
         F.array("given_name", "surname"), lambda x: x != ""
     )
@@ -6977,7 +7005,7 @@ def q95(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     tok_mi = F.when(
         (F.size("token_hashes1") == 0) | (F.size("token_hashes2") == 0),
@@ -7181,10 +7209,10 @@ def q97(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
-    named = sig.filter(F.col("block_key") != "__unblocked__").select(
+    sig = _pin(build_signatures(t, tfidf=False))
+    named = _pin(sig.filter(F.col("block_key") != "__unblocked__").select(
         "mention_id", "conv_id", "surname", "given_name", "block_key"
-    )
+    ))
     exact_p = generate_pairs(
         named.select("block_key", "mention_id")
     ).select("mention_id1", "mention_id2")
@@ -7283,7 +7311,7 @@ def q98(spark, sf):
         progressive_recall,
     )
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     return progressive_recall(
         scored, n_steps=10, score_col="llr", label_col="same_entity"
     )
@@ -7340,7 +7368,7 @@ def q99(spark, sf):
         subsample_f1_ci,
     )
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     return subsample_f1_ci(scored, n_replicates=16)
 
 
@@ -7410,7 +7438,7 @@ def q100(spark, sf):
     from pubmed_and_method_spark.plans.pipeline import build_signatures
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     ensure_transcript_corpus()
     t, _ = transcripts_df(spark, seed=42)
     attrs = build_signatures(t, tfidf=False).select(
@@ -7591,7 +7619,7 @@ def q102(spark, sf):
         calibration_table,
     )
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     return calibration_table(
         scored, score_col="llr", label_col="same_entity", n_bins=10
     )
@@ -7835,7 +7863,7 @@ def q105(spark, sf):
     from pubmed_and_method_spark.sources.datagen import transcripts_df
 
     ensure_transcript_corpus()
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     t, _ = transcripts_df(spark, seed=42)
     blocks = build_signatures(t, tfidf=False).select(
         F.col("mention_id").alias("mention_id1"), "block_key"
@@ -7928,7 +7956,7 @@ def q107(spark, sf):
         ranking_metrics,
     )
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     return ranking_metrics(scored, "llr", "same_entity")
 
 
@@ -8033,7 +8061,7 @@ def q108(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42, hardness=0.7)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     claims = (
         sig.where(F.col("given_name_shown") != "")
         .join(g.select("conv_id", "entity_id"), "conv_id")
@@ -8117,7 +8145,7 @@ def q110(spark, sf):
         cluster_cohesion,
     )
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     links = scored.where(F.col("decision") == "link")
     return cluster_cohesion(links, "mention_id1", "mention_id2")
 
@@ -8231,7 +8259,7 @@ def q112(spark, sf):
         delete_and_repair,
     )
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     links = (
         scored.where(F.col("decision") == "link")
         .select(
@@ -8297,7 +8325,7 @@ def q113(spark, sf):
         fs_select_thresholds,
     )
 
-    scored = QUERIES["q67_fs_decision_rule"](spark, sf)
+    scored = _pin(QUERIES["q67_fs_decision_rule"](spark, sf))
     return fs_select_thresholds(
         scored, "llr", "same_entity", mu=(1, 100), lam=(5, 100)
     )
@@ -8376,7 +8404,7 @@ def q114(spark, sf):
 
     ensure_transcript_corpus()
     t, _ = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     members = sig.filter(F.col("block_key") != "__unblocked__")
     pairs = random_cross_pairs(members, "conv_id").select(
         F.concat("id1", F.lit("#assistant")).alias("mention_id1"),
@@ -8688,7 +8716,7 @@ def q117(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     ag = feats.select(
         "mention_id1",
@@ -8916,7 +8944,7 @@ def q119(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     scored = feats.select(
         "mention_id1",
@@ -9037,7 +9065,7 @@ def q120(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     scored = feats.select(
         "mention_id1",
@@ -9221,7 +9249,7 @@ def q122(spark, sf):
 
     ensure_transcript_corpus()
     t, g = transcripts_df(spark, seed=42)
-    sig = build_signatures(t, tfidf=False)
+    sig = _pin(build_signatures(t, tfidf=False))
     feats = build_pair_features(build_labeled_pairs(sig, g), sig)
     ag = feats.select(
         (F.round("name_jw", 6) >= 0.9).cast("int").alias("name_jw_hi"),
