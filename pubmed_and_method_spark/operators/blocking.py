@@ -58,6 +58,7 @@ def generate_pairs(
     carry_cols: tuple[str, ...] = (),
     adaptive_target: int | None = None,
     max_salt: int = 1024,
+    pin_salted_shuffle: bool = False,
 ) -> DataFrame:
     """All unordered pairs within each block, canonical id1 < id2.
 
@@ -96,6 +97,18 @@ def generate_pairs(
         return m.select(key_col, *cols)
 
     if adaptive_target is None and num_buckets <= 1:
+        # Pin the self-join's partitioning to the session's shuffle
+        # parallelism: block pairing is compute-heavy per row but tiny
+        # in bytes on small corpora, and AQE's byte-based coalescing
+        # otherwise collapses the exchange to ONE partition and runs
+        # the whole quadratic fan-out serially (measured: q28's band
+        # join as a single 6 s task at local[32]).  Repartitioning the
+        # member table once also co-partitions both join sides, so the
+        # join itself adds no exchange (one shuffle instead of two).
+        n_shuffle = int(
+            m.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        m = m.repartition(n_shuffle, key_col)
         left, right = side("1"), side("2")
         pairs = left.join(right, key_col).where(
             F.col(f"{id_col}1") < F.col(f"{id_col}2")
@@ -150,6 +163,21 @@ def generate_pairs(
                 *[F.col(c).alias(f"{c}2") for c in (id_col, *carry_cols)],
             )
         )
+        if pin_salted_shuffle:
+            # Opt-in for byte-tiny but compute-heavy corpora: AQE's
+            # byte-based coalescing otherwise merges the salted tasks
+            # back into one partition, undoing the split (measured:
+            # q19's salted join serialized to one task).  Off by
+            # default: at real scale the salted shuffle is byte-heavy,
+            # AQE never coalesces it, and its skew-split backstop
+            # stays available.
+            n_shuffle = int(
+                m.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            )
+            left = left.repartition(n_shuffle, key_col, "__ti", "__tj")
+            right = right.repartition(n_shuffle, key_col, "__ti", "__tj")
         joined = left.join(right, [key_col, "__ti", "__tj"])
         same_bucket = F.col("__ti") == F.col("__tj")
         # same-bucket tasks see both orders -> keep id1<id2;

@@ -79,11 +79,15 @@ def canopy_assign(
     """
     if tight < loose:
         raise ValueError(f"tight ({tight}) must be >= loose ({loose})")
+    # base is lazily pinned: the symmetrizing union references it
+    # twice and loose/tight each materialize it again — unpinned, the
+    # caller's similarity pipeline (e.g. the q90 pair-feature stack
+    # with its Jaro-Winkler stage) re-executed once per reference
     base = sims.select(
         F.col(q_col).alias("a"),
         F.col(c_col).alias("b"),
         F.col(score_col).alias("s"),
-    ).filter(F.col("a") != F.col("b"))
+    ).filter(F.col("a") != F.col("b")).localCheckpoint(eager=False)
     sym = base.unionAll(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"), "s")
     )

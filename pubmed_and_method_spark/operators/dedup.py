@@ -404,7 +404,15 @@ def winnow_near_dup_pairs(
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     freq = fps.groupBy("fp").agg(F.count("*").alias("__df"))
     rare = freq.filter(F.col("__df") <= max_doc_freq).select("fp")
-    kept = fps.join(rare, "fp")
+    # pin the inverted-index partitioning: the pair fan-out below is
+    # compute-heavy but byte-tiny on small corpora, and AQE's
+    # byte-based coalescing otherwise runs it as ONE task (measured
+    # ~3 s single-task stages inside q57); repartitioning `kept` once
+    # also co-partitions both self-join sides (no further exchange)
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    kept = fps.join(rare, "fp").repartition(n_shuffle, "fp")
     a = kept.select("fp", F.col(id_col).alias(f"{id_col}1"))
     b = kept.select("fp", F.col(id_col).alias(f"{id_col}2"))
     return (

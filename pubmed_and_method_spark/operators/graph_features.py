@@ -123,6 +123,10 @@ def cluster_cohesion(
         connected_components,
     )
 
+    # lazily pinned: e feeds CC + the two-way degree union + the
+    # per-component edge count (4 references), cc feeds two joins —
+    # unpinned, each reference re-executes the caller's upstream link
+    # pipeline (q110: the whole q67 FS scoring chain)
     e = (
         edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -130,8 +134,11 @@ def cluster_cohesion(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    cc = connected_components(e, "u", "v", max_iter=max_iter)
+    cc = connected_components(e, "u", "v", max_iter=max_iter).localCheckpoint(
+        eager=False
+    )
     bidir = e.select("u", "v").unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

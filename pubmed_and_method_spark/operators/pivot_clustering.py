@@ -83,9 +83,11 @@ def pivot_clusters(
     convention as connected_components / star_clusters.
     """
     c1, c2 = id_cols
+    # lazily pinned: the symmetrizing union below references e twice,
+    # re-executing the caller's whole edge pipeline per reference
     e = edges.select(F.col(c1).alias("a"), F.col(c2).alias("b")).filter(
         F.col("a") != F.col("b")
-    )
+    ).localCheckpoint(eager=False)
     # symmetrize once and PIN: every round joins against adj, and
     # without the checkpoint each round would recompute the whole
     # upstream edge pipeline (the star-peel lesson,

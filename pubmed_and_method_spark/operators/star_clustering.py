@@ -60,9 +60,11 @@ def star_clusters(
         if weight_col
         else F.lit(1.0)
     )
+    # lazily pinned: the symmetrizing union below references e twice,
+    # re-executing the caller's whole edge pipeline per reference
     e = edges.select(
         F.col(c1).alias("a"), F.col(c2).alias("b"), w.alias("w")
-    ).filter(F.col("a") != F.col("b"))
+    ).filter(F.col("a") != F.col("b")).localCheckpoint(eager=False)
     # symmetrize once; degree = distinct neighbors.  adj is PINNED:
     # every peel round joins against it, and without the checkpoint
     # each round would recompute the whole upstream edge pipeline

@@ -80,7 +80,14 @@ def curate_documents(
         F.when(F.col("__n") < min_tokens, F.lit("short"))
         .when(F.col("__lang") != lang, F.lit("lang"))
         .alias("__rv"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ pinned: every downstream stage branch (exact-dup, winnow,
+    # decontam, final verdicts) filters on __rv, and predicate
+    # pushdown otherwise drags the token-count + language-ID
+    # expressions below the post-read exchange into the SERIAL
+    # single-file scan task — once per branch (measured: six ~3 s
+    # one-task stages in q57 at local[32]).  One 32-way evaluation,
+    # one materialization (the StageStore production shape).
     sv12 = rowv.filter(F.col("__rv").isNull()).select(id_col, text_col)
 
     from pyspark.sql import Window as W

@@ -662,15 +662,23 @@ def q19(spark, sf):
     banded = sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
-    a = banded.select(
-        "band", "band_key", F.col("doc_id").alias("doc_id1")
-    )
-    b2 = banded.select(
-        "band", "band_key", F.col("doc_id").alias("doc_id2")
+    # r06: pair the band buckets through generate_pairs' adaptive
+    # triangle-split salting instead of a bare self-join — a single
+    # degenerate band bucket otherwise concentrates its whole
+    # quadratic fan-out in one task (measured: an 11.4 s one-task
+    # stage at local[32]; after a plain key repartition still a 3 s
+    # straggler).  Salting is result-preserving: same unordered pair
+    # set, canonical id order, then the same distinct.
+    from pubmed_and_method_spark.operators.blocking import generate_pairs
+
+    blocks = banded.select(
+        F.concat_ws("#", "band", "band_key").alias("block_key"), "doc_id"
     )
     return (
-        a.join(b2, ["band", "band_key"])
-        .where(F.col("doc_id1") < F.col("doc_id2"))
+        generate_pairs(
+            blocks, key_col="block_key", id_col="doc_id",
+            adaptive_target=64, pin_salted_shuffle=True,
+        )
         .select("doc_id1", "doc_id2")
         .distinct()
     )

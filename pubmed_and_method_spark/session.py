@@ -205,5 +205,29 @@ def get_spark(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver-generated parquet tables."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one of the driver-generated parquet tables.
+
+    Small single-file tables (one parquet row group) arrive as ONE
+    scan task, so every pre-exchange row-local projection — tokenize,
+    regex language-ID, fingerprints, k-gram winnowing — runs serially
+    in that task while the rest of the cluster idles (guide §2.5
+    "input skew: one huge unsplittable file ... repartition
+    immediately after the read"; measured: q57's curation verdicts
+    spent ~20 s in sequential 1-task stages at local[32]).  Inputs at
+    or below one scan split (spark.sql.files.maxPartitionBytes,
+    default 128 MB) are therefore rebalanced to the cluster's default
+    parallelism — the shuffle moves at most one split's bytes, a
+    negligible price for restoring parallel row work.  Larger tables
+    keep their native multi-split scan layout and are never
+    reshuffled.  Row placement only; no query's result depends on it
+    (filters/pruning still push through the exchange to the scan).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    try:
+        n_bytes = os.path.getsize(path)
+    except OSError:
+        return df
+    if n_bytes <= 128 * 1024 * 1024:  # one default scan split
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df

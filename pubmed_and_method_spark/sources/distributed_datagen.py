@@ -104,6 +104,13 @@ def distributed_transcripts(
                 )
             ).cast("int"),
         )
+        # restore generation parallelism: the stem_i window's shuffle
+        # is byte-tiny (one row per entity), so AQE coalesces it to ONE
+        # partition and the whole conv/turn explode + per-word text
+        # synthesis downstream runs serially (measured: 102 s single
+        # task for 8.3M turns at local[32]).  Row placement only —
+        # every attribute is a pure function of (ids, seed).
+        .repartition(partitions)
     )
 
     conv = ent.withColumn(
