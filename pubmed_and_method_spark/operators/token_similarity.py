@@ -206,12 +206,20 @@ def soft_tfidf_scores(
     # per-(mention, position) weight for the DRIVING side; the
     # per-(mention, token) view for the PARTNER side (duplicate
     # positions of one token share the same weight by construction)
+    # v_pos / v_tok / base are each referenced by BOTH directed
+    # passes (fwd and bwd), and Spark shares no common subtrees
+    # across DataFrame branches: unpinned, every reference re-inlines
+    # (and re-executes) the whole upstream weight chain — tok df,
+    # idf, norm fold — and `base` re-inlines the caller's entire
+    # candidate-pair pipeline (q91's physical plan reached ~5,600
+    # operators; Catalyst planning dominated execution).  Lazy
+    # localCheckpoint truncates lineage; values are unchanged.
     v_pos = wt.join(nrm, "__cid").select(
         "__cid",
         "__pos",
         "__tok",
         F.round(F.col("__idf") / F.col("__nrm"), 6).alias("__v"),
-    )
+    ).localCheckpoint(eager=False)
     v_tok = v_pos.select("__cid", "__tok", "__v").distinct()
 
     base = pairs.select(
@@ -219,7 +227,9 @@ def soft_tfidf_scores(
         F.col(id2_col).alias("__id2"),
         F.col(toks1_col).alias("__t1s"),
         F.col(toks2_col).alias("__t2s"),
-    ).filter((F.size("__t1s") > 0) & (F.size("__t2s") > 0))
+    ).filter(
+        (F.size("__t1s") > 0) & (F.size("__t2s") > 0)
+    ).localCheckpoint(eager=False)
 
     def directed_score(a_col: str, b_col: str, a_id: str, b_id: str,
                        out: str) -> DataFrame:
