@@ -106,23 +106,110 @@ def tfidf_weight_terms(
     )
 
 
+def _term_counts(
+    df: DataFrame, id_col: str, token_seq_col: str
+) -> DataFrame:
+    """(id, __h, __tf) distinct term-frequency rows: explode + count
+    with map-side partial aggregation (the exchange carries ~one row
+    per DISTINCT (doc, term), not per occurrence).  An in-row
+    sort/run-length variant was tried and reverted: its higher-order-
+    function lambdas referencing the sorted array re-evaluated the
+    sort per element after plan collapse — minutes-per-stage at 33M
+    turns vs seconds for this plan (guide §1.1: the 'ideal' fresh
+    plan lost to the measured one)."""
+    ex = df.select(F.col(id_col), F.explode(token_seq_col).alias("__h"))
+    return ex.groupBy(id_col, "__h").agg(F.count("*").alias("__tf"))
+
+
 def tfidf_weight_maps(
-    df: DataFrame, id_col: str, token_seq_col: str, top_k: int | None = None
+    df: DataFrame,
+    id_col: str,
+    token_seq_col: str,
+    top_k: int | None = None,
+    map_col: str = "tfidf",
 ) -> DataFrame:
     """(id, tfidf: map<long,double>) — L2-normalized TF-IDF weights.
 
-    Map form of ``tfidf_weight_terms`` (same weights bit-for-bit —
-    it IS that function plus one map_from_entries groupBy).  Use for
-    bounded pair sets where carrying the map is fine; the pair
-    double-join at corpus scale must use the terms form instead."""
-    return (
-        tfidf_weight_terms(df, id_col, token_seq_col, top_k=top_k)
-        .groupBy(id_col)
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("__h", "__wn")))
-            ).alias("tfidf")
+    Same weights bit-for-bit as ``tfidf_weight_terms`` (pinned by
+    test_sparse_tfidf_cosine_bitwise_equals_map and the q37 oracle),
+    via the r06 fused plan (guide §2.3/§2.4):
+
+    - term frequencies via explode + partially-aggregated count
+      (``_term_counts``);
+    - ONE groupBy(id) collects each doc's (term, weight) list, and
+      top-k selection / L2 norm / map assembly all run in-row on that
+      list — replacing the terms path's per-doc window sort, the
+      norms groupBy, the norm join, and the final map groupBy
+      (4 exchanges -> 1 after the docfreq join).
+
+    Bit-exactness argument, step by step against the terms path:
+    same __w = tf * ln((m+1)/(df+1)) expression; top-k picks the
+    first k of the SAME total order (w desc, hash asc — w >= 0.0
+    always, so SQL comparison and sort-key ordering agree; hash
+    breaks every tie); the sum of squares folds in ascending-hash
+    order over the kept terms exactly like ``_sorted_sumsq``; the
+    division is the same two doubles; map entries are assembled in
+    ascending-hash order like map_from_entries(array_sort(...)).
+    """
+    tf = _term_counts(df, id_col, token_seq_col)
+    docfreq = tf.groupBy("__h").agg(F.count("*").alias("__df"))
+    ndocs = df.agg(F.count("*").alias("__m"))
+    w = (
+        tf.join(docfreq, "__h")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "__w",
+            F.col("__tf")
+            * F.log((F.col("__m") + 1) / (F.col("__df") + 1)),
         )
+    )
+    g = w.groupBy(id_col).agg(
+        F.collect_list(F.struct("__h", "__w")).alias("__lst")
+    )
+    if top_k is not None:
+        # first k of the (w desc, hash asc) total order — identical
+        # set AND order to the terms path's row_number window
+        g = g.withColumn(
+            "__lst",
+            F.slice(
+                F.array_sort(
+                    "__lst",
+                    lambda l, r: F.when(l["__w"] > r["__w"], -1)
+                    .when(l["__w"] < r["__w"], 1)
+                    .when(l["__h"] < r["__h"], -1)
+                    .when(l["__h"] > r["__h"], 1)
+                    .otherwise(0),
+                ),
+                1,
+                top_k,
+            ),
+        )
+    # ascending-hash order for BOTH the norm fold and the map entries
+    g = g.withColumn("__kept", F.array_sort("__lst"))
+    g = g.withColumn(
+        "__n",
+        F.sqrt(
+            F.aggregate(
+                "__kept",
+                F.lit(0.0),
+                lambda acc, x: acc + x["__w"] * x["__w"],
+            )
+        ),
+    )
+    n = F.col("__n")
+    return g.select(
+        F.col(id_col),
+        F.map_from_entries(
+            F.transform(
+                "__kept",
+                lambda x: F.struct(
+                    x["__h"].alias("__h"),
+                    F.when(n > 0, x["__w"] / n)
+                    .otherwise(F.lit(0.0))
+                    .alias("__wn"),
+                ),
+            )
+        ).alias(map_col),
     )
 
 

@@ -1721,12 +1721,16 @@ def fs_independence_audit(
     """
     import re
 
-    bad = [c for c in feature_cols if not re.fullmatch(r"[A-Za-z0-9_]+", c)]
+    bad = [
+        c for c in feature_cols
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)
+    ]
     if bad:
         raise ValueError(
             "fs_independence_audit: feature_cols are interpolated into "
-            f"generated SQL and must match [A-Za-z0-9_]+; got {bad!r} — "
-            "alias such columns to plain identifiers first"
+            "generated SQL and must be plain identifiers "
+            f"([A-Za-z_][A-Za-z0-9_]*); got {bad!r} — alias such "
+            "columns to plain identifiers first"
         )
     y = F.col(label_col).cast("long")
     aggs = [F.sum(y).alias("__nm"), F.sum(1 - y).alias("__nu")]

@@ -152,22 +152,39 @@ def prefix_filter_jaccard_join(
         import logging
 
         log = logging.getLogger(__name__)
+        # one eager pass serves BOTH guards (ADVICE r05: the two
+        # branches each ran their own aggregation over the same
+        # counts frame); pin the posting table so the guard job and
+        # the join sides share one execution of the tokenize/prefix
+        # pipeline
+        pref = pref.localCheckpoint(eager=False)
         counts = pref.groupBy("__tok").agg(F.count("*").alias("__c"))
+        # ADVICE r05: when the cap is set, estimate from counts
+        # CLAMPED to the cap — the volume the join will actually see —
+        # so the budget warning can't fire on pre-cap numbers
+        eff = (
+            F.least(F.col("__c"), F.lit(max_posting))
+            if max_posting is not None
+            else F.col("__c")
+        )
+        row = counts.agg(
+            F.sum((eff * (eff - 1) / 2).cast("long")).alias("__est"),
+            F.max("__c").alias("__mx"),
+            F.sum(
+                F.greatest(
+                    F.lit(0), F.col("__c") - (max_posting or 0)
+                )
+            ).alias("__d"),
+        ).collect()[0]
         if candidate_budget is not None:
-            est = counts.agg(
-                F.sum(
-                    (F.col("__c") * (F.col("__c") - 1) / 2).cast("long")
-                ).alias("__est"),
-                F.max("__c").alias("__mx"),
-            ).collect()[0]
-            est_pairs = int(est["__est"] or 0)
+            est_pairs = int(row["__est"] or 0)
             if est_pairs > candidate_budget:
                 if max_posting is None:
                     raise ValueError(
                         "prefix_filter_jaccard_join: degenerate vocabulary "
                         f"— estimated {est_pairs} candidate pairs exceeds "
                         f"candidate_budget={candidate_budget} (densest "
-                        f"prefix token has {est['__mx']} postings).  The "
+                        f"prefix token has {row['__mx']} postings).  The "
                         "exact join would be ~all-pairs here; raise the "
                         "threshold, pass max_posting to cap candidate "
                         "generation (explicit recall trade), or use the "
@@ -175,17 +192,14 @@ def prefix_filter_jaccard_join(
                     )
                 log.warning(
                     "prefix_filter_jaccard_join: estimated %d candidates "
-                    "> budget %d; proceeding under max_posting=%d cap",
+                    "(capped postings) > budget %d; proceeding under "
+                    "max_posting=%d cap",
                     est_pairs, candidate_budget, max_posting,
                 )
         if max_posting is not None:
             from pyspark.sql import Window
 
-            dropped = counts.agg(
-                F.sum(
-                    F.greatest(F.lit(0), F.col("__c") - max_posting)
-                ).alias("__d")
-            ).collect()[0]["__d"] or 0
+            dropped = int(row["__d"] or 0)
             if dropped:
                 log.warning(
                     "prefix_filter_jaccard_join: per-token posting cap "

@@ -511,16 +511,6 @@ def train_ivf_centroids(
     return cents
 
 
-def _l2_to_lit(v: Column, cent: "list[float]") -> Column:
-    """Float squared-L2 distance from a vector column to a literal
-    centroid — one zip_with/aggregate pass, JVM-side."""
-    c = F.array(*[F.lit(float(x)) for x in cent])
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-
 
 def _ivf_candidate_sims(
     df: DataFrame,
@@ -530,36 +520,54 @@ def _ivf_candidate_sims(
     nprobe: int,
 ) -> DataFrame:
     """(query_id, cand_id, cos) for query-probes-candidate's-list
-    pairs.  Assignment and probing are narrow codegen projections
-    against literal centroid arrays; the only shuffle is the
-    probe⋈list hash join."""
-    nlist = len(cents)
+    pairs.  Assignment and probing go through a BROADCAST centroid
+    DataFrame + explode-join + struct-min argmin (r06, VERDICT #6):
+    the former literal-centroid expression array grew the plan
+    O(nlist·dim) and was re-analyzed by the driver per execution; the
+    join plan is O(1) expression nodes at any nlist.  Distances fold
+    index-ascending exactly like the literal plan, so assignments are
+    bit-identical."""
     v = F.col(vec_col).cast("array<double>")
     base = with_norm(df, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("__norm")
     )
-    entries = F.array(*[
-        F.struct(
-            _l2_to_lit(v, list(cents[j])).alias("dist"),
-            F.lit(j).alias("cid"),
+    cdf = df.sparkSession.createDataFrame(
+        [(j, [float(x) for x in cents[j]]) for j in range(len(cents))],
+        "cid int, __qc array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("__qc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    per = (
+        base.crossJoin(F.broadcast(cdf))
+        .select(F.col(id_col), d2.alias("dist"), F.col("cid"))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("__mn"),
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cid"))),
+                1,
+                nprobe,
+            ).alias("__pr"),
         )
-        for j in range(nlist)
-    ])
-    assigned = base.select(
+    )
+    assigned = base.join(
+        per.select(F.col(id_col), F.col("__mn.cid").alias("list_id")),
+        id_col,
+    ).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
         F.col("__norm").alias("__cn"),
-        F.array_min(entries).getField("cid").alias("list_id"),
+        "list_id",
     )
-    probes = base.select(
+    probes = base.join(per.select(F.col(id_col), "__pr"), id_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.col("__norm").alias("__qn"),
         F.explode(
-            F.transform(
-                F.slice(F.array_sort(entries), 1, nprobe),
-                lambda e: e.getField("cid"),
-            )
+            F.transform(F.col("__pr"), lambda e: e.getField("cid"))
         ).alias("list_id"),
     )
     return (
@@ -678,14 +686,6 @@ def _int_dot_cols(a: Column, b: Column) -> Column:
     )
 
 
-def _int_l2_to_lit(q: Column, cent: "list[int]") -> Column:
-    c = F.array(*[F.lit(int(x)).cast("long") for x in cent])
-    return F.aggregate(
-        F.zip_with(q, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
 
 def ivf_topk_portable(
     df: DataFrame,
@@ -735,28 +735,55 @@ def ivf_topk_portable(
         .collect()
     )
     cents = [(int(r[id_col]), [int(x) for x in r["__q"]]) for r in cent_rows]
-    entries = F.array(*[
-        F.struct(
-            _int_l2_to_lit(F.col("__q"), qv).alias("dist"),
-            F.lit(cid).cast("long").alias("cid"),
-        )
-        for cid, qv in cents
-    ])
-    assigned = base.select(
+    # r06 (VERDICT #6, guide §3.3 plan size): centroids ride a
+    # BROADCAST DataFrame + explode-join + struct-min argmin instead
+    # of an nlist-literal expression array.  The literal plan embedded
+    # nlist x dim unrolled (x-y)^2 terms (16k expression nodes at the
+    # registered nlist=16, O(nlist·dim) growth), re-analyzed by the
+    # single-threaded driver on EVERY execution; the join plan is
+    # O(1) expression nodes at any nlist.  Values are identical:
+    # zip_with folds index-ascending exactly like the literal fold,
+    # min(struct(dist, cid)) is the same lexicographic comparison as
+    # array_min over (dist, cid) structs, and
+    # slice(array_sort(collect_list(...)), 1, nprobe) reproduces
+    # slice(array_sort(entries), 1, nprobe) on the same integer
+    # tuples.
+    cdf = df.sparkSession.createDataFrame(
+        cents, "cid long, __qc array<bigint>"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__q"), F.col("__qc"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = base.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col), d2.alias("dist"), F.col("cid")
+    )
+    per = dists.groupBy(id_col).agg(
+        F.min(F.struct("dist", "cid")).alias("__mn"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("dist", "cid"))),
+            1,
+            nprobe,
+        ).alias("__pr"),
+    )
+    assigned = base.join(
+        per.select(F.col(id_col), F.col("__mn.cid").alias("list_id")),
+        id_col,
+    ).select(
         F.col(id_col).alias("cand_id"),
         F.col("__q").alias("__q2"),
         F.col("__nn").alias("__nn2"),
-        F.array_min(entries).getField("cid").alias("list_id"),
+        "list_id",
     )
-    probes = base.select(
+    probes = base.join(per.select(F.col(id_col), "__pr"), id_col).select(
         F.col(id_col).alias("query_id"),
         F.col("__q").alias("__q1"),
         F.col("__nn").alias("__nn1"),
         F.explode(
-            F.transform(
-                F.slice(F.array_sort(entries), 1, nprobe),
-                lambda e: e.getField("cid"),
-            )
+            F.transform(F.col("__pr"), lambda e: e.getField("cid"))
         ).alias("list_id"),
     )
     scored = (
@@ -832,18 +859,27 @@ def semantic_dedup_portable(
         .collect()
     )
     cents = [(int(r[id_col]), [int(x) for x in r["__q"]]) for r in cent_rows]
-    entries = F.array(*[
-        F.struct(
-            _int_l2_to_lit(F.col("__q"), qv).alias("dist"),
-            F.lit(cid).cast("long").alias("cid"),
-        )
-        for cid, qv in cents
-    ])
-    assigned = base.select(
-        F.col(id_col),
-        "__q",
-        "__nn",
-        F.array_min(entries).getField("cid").alias("cid"),
+    # broadcast-DF + argmin assignment — same rewrite (and the same
+    # value-identity argument) as ivf_topk_portable above
+    cdf = df.sparkSession.createDataFrame(
+        cents, "cid long, __qc array<bigint>"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__q"), F.col("__qc"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    home = (
+        base.crossJoin(F.broadcast(cdf))
+        .select(F.col(id_col), d2.alias("dist"), F.col("cid"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cid")).alias("__mn"))
+        .select(F.col(id_col), F.col("__mn.cid").alias("cid"))
+    )
+    assigned = base.join(home, id_col).select(
+        F.col(id_col), "__q", "__nn", "cid"
     )
     a = assigned.select(
         F.col(id_col).alias("id1"),

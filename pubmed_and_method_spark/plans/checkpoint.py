@@ -14,10 +14,11 @@ is written once and described by a JSON manifest capturing:
 fingerprints + params match, the stage is served from storage instead
 of recomputed (the north rule's resumable-restart requirement).
 
-Storage is parquet in this sandbox; the layer is format-agnostic —
-on a cluster with an Iceberg catalog the same API maps to
-``df.writeTo(table).createOrReplace()`` (set ``use_iceberg=True``
-once iceberg-spark-runtime is on the classpath).
+Storage is parquet (no other writer exists in this sandbox — the
+iceberg-spark-runtime jar is absent); the layer is format-agnostic by
+construction, and porting to an Iceberg catalog means swapping the
+two write/read call sites for ``df.writeTo(table).createOrReplace()``
+/ ``spark.table(table)`` — a documented port, not a shipped switch.
 """
 
 from __future__ import annotations

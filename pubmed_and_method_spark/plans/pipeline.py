@@ -243,18 +243,33 @@ def build_signatures(
 def build_tfidf_terms(
     signatures: DataFrame, top_k: int | None = None
 ) -> DataFrame:
-    """(mention_id, __h, __wn) narrow TF-IDF term weights for the
-    sparse-intersection pair cosine (functions/tfidf.py) — the scale
-    path for X11.  Recomputes the duplicate-preserving token-hash
+    """(mention_id, __wm: map<long,double>) per-mention top-k TF-IDF
+    weight maps for the in-row X11 pair cosine (functions/tfidf.py) —
+    the scale path.  Recomputes the duplicate-preserving token-hash
     sequence from the signatures' ``tokens`` column (token_hashes is
     distinct, which would erase term frequency), exactly as
-    ``build_signatures(tfidf=True)`` does for the map form, so the two
-    paths share weights bit-for-bit."""
+    ``build_signatures(tfidf=True)`` does, so all X11 plans share
+    weights bit-for-bit.
+
+    r06 (guide §2.3/§2.4): returns the per-mention MAP directly via
+    the fused ``tfidf_weight_maps`` plan — in-row term frequencies,
+    one groupBy(id) with in-row top-k/norm/map assembly — instead of
+    the exploded (mention_id, __h, __wn) narrow rows.  The narrow
+    form materialized O(mentions x top_k) rows at every checkpoint
+    (~90M rows at 33M turns) only for ``build_pair_features`` to
+    immediately re-aggregate them into this exact map; consumers that
+    need narrow rows (the ``sparse_join`` plan) explode the map back,
+    which reproduces the same (id, term, weight) rows because map
+    entries are assembled in ascending-hash order."""
     seq = signatures.select(
         "mention_id",
         F.transform("tokens", lambda t: F.xxhash64(t)).alias("__th_seq"),
     )
-    return tfidf_weight_terms(seq, "mention_id", "__th_seq", top_k=top_k)
+    from pubmed_and_method_spark.functions.tfidf import tfidf_weight_maps
+
+    return tfidf_weight_maps(
+        seq, "mention_id", "__th_seq", top_k=top_k, map_col="__wm"
+    )
 
 
 def build_candidate_pairs(
@@ -667,14 +682,20 @@ def build_pair_features(
         # the r05 aligned-array fold whose array_position lookup cost
         # O(shared x n_tokens) integer compares per pair (the fold ran
         # inside the pair-join condition; guide §4.2/§1.2 "per-task
-        # work").  Bit-parity with the legacy map path is by the SAME
-        # argument as pair_cosine_from_terms: map keys come out of
-        # aligned_weight_column ascending, shared terms multiply in
-        # ascending-key order, and keys present on only one side
-        # contribute an exact IEEE754 0.0 (x + 0.0 == x), so all X11
-        # plans stay bitwise equal (pinned by
-        # test_sparse_tfidf_cosine_bitwise_equals_map).
-        wmap = aligned_weight_column(tfidf_terms)
+        # work").  ``tfidf_terms`` normally arrives in map form
+        # already (build_tfidf_terms); legacy narrow (id, __h, __wn)
+        # frames are aggregated here for back-compat.  Bit-parity with
+        # the legacy map path is by the SAME argument as
+        # pair_cosine_from_terms: map keys are assembled ascending,
+        # shared terms multiply in ascending-key order, and keys
+        # present on only one side contribute an exact IEEE754 0.0
+        # (x + 0.0 == x), so all X11 plans stay bitwise equal (pinned
+        # by test_sparse_tfidf_cosine_bitwise_equals_map).
+        wmap = (
+            tfidf_terms
+            if "__wm" in tfidf_terms.columns
+            else aligned_weight_column(tfidf_terms)
+        )
         signatures = signatures.join(wmap, "mention_id", "left")
         feat_cols.append("__wm")
     s = signatures.select(*feat_cols)
@@ -689,8 +710,15 @@ def build_pair_features(
     # extra double per pair row rides the shuffles the double-join
     # pays anyway
     if tfidf_terms is not None and tfidf_join:
+        narrow_terms = (
+            tfidf_terms.select(
+                "mention_id", F.explode("__wm").alias("__h", "__wn")
+            )
+            if "__wm" in tfidf_terms.columns
+            else tfidf_terms
+        )
         cos = pair_cosine_from_terms(
-            pairs.select("mention_id1", "mention_id2"), tfidf_terms
+            pairs.select("mention_id1", "mention_id2"), narrow_terms
         )
         pairs = pairs.join(
             cos, ["mention_id1", "mention_id2"], "left"
@@ -959,16 +987,41 @@ def run_pipeline(
     checkpoints, and metrics are identical either way (the r05
     supervised-at-scale runs use this, SCALE_AB.json
     'supervised_33M')."""
+    # ADVICE r05: externally-supplied frames must not share a stage
+    # fingerprint with the synthetic generator (a reused StageStore dir
+    # would silently serve the other run's checkpoint).  'source'
+    # separates the two; external frames additionally carry a
+    # caller-visible schema/plan fingerprint so two different external
+    # datasets don't collide either.
     if transcripts is None or truth is None:
         from pubmed_and_method_spark.sources.datagen import transcripts_df
 
         transcripts, truth = transcripts_df(
             spark, seed=seed, **(datagen_kwargs or {})
         )
+        src_params: dict = {"source": "datagen",
+                            "datagen_kwargs": sorted(
+                                (datagen_kwargs or {}).items())}
+    else:
+        import hashlib
+
+        plan_fp = hashlib.sha256(
+            (
+                str(transcripts.schema)
+                + transcripts._jdf.queryExecution().logical().toString()
+                + str(truth.schema)
+                + truth._jdf.queryExecution().logical().toString()
+            ).encode()
+        ).hexdigest()[:16]
+        src_params = {"source": "external", "plan_fp": plan_fp}
     transcripts = store.run_stage(
-        "transcripts", lambda: transcripts, params={"seed": seed}
+        "transcripts", lambda: transcripts,
+        params={"seed": seed, **src_params},
     )
-    truth = store.run_stage("entities_truth", lambda: truth, params={"seed": seed})
+    truth = store.run_stage(
+        "entities_truth", lambda: truth,
+        params={"seed": seed, **src_params},
+    )
 
     if tfidf_mode not in ("sparse", "sparse_join", "map", "off"):
         raise ValueError(f"unknown tfidf_mode {tfidf_mode!r}")
@@ -992,7 +1045,11 @@ def run_pipeline(
             "tfidf_terms",
             lambda: build_tfidf_terms(signatures, top_k=tfidf_top_k),
             inputs=("signatures",),
-            params={"tfidf_top_k": tfidf_top_k},
+            # fmt marker: r06 switched this stage's schema from narrow
+            # (id, __h, __wn) rows to per-mention weight maps — the
+            # marker keys a fresh checkpoint so a store dir written by
+            # older code can never resume into the wrong schema
+            params={"tfidf_top_k": tfidf_top_k, "fmt": "wm"},
         )
     pairs = store.run_stage(
         "labeled_pairs",

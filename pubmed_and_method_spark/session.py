@@ -68,6 +68,21 @@ def get_spark(
         master = f"local[{cores}]"
         total = os.cpu_count() or 8 if cores == "*" else int(cores)
     if shuffle_partitions is None:
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+    if shuffle_partitions is None:
+        # One partition per task slot (scale-adaptive, never a
+        # constant).  An r06 A/B re-tested the r05 BENCH.md suggestion
+        # of 4x slots (=128 here, the scale_ab sort-spill setting) on
+        # the 33M-turn spine: 128 was SLOWER on every stage (lean
+        # total 256.6 s vs 166.3 s; content pair stage 157 s vs ~95 s)
+        # — at this working set the extra task/shuffle-block overhead
+        # outweighs the smaller sorts, and the content run completes
+        # spill-free at 1x with the zstd shuffle codec.  Scale runs
+        # that do hit per-task sort spill opt in via
+        # $SPARK_GRAFT_SHUFFLE_PARTITIONS (supervised_scale/scale_ab
+        # pass 128 explicitly).
         shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, total)
     is_cluster = bool(master) and master.startswith("local-cluster[")
     driver_mem = os.environ.get("SPARK_DRIVER_MEM")
