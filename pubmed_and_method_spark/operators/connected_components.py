@@ -68,11 +68,18 @@ def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
 
 
 def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
-    """Direct edges high->low, then point each neighborhood at its min."""
+    """Direct edges high->low, then point each neighborhood at its min.
+
+    No entry ``distinct`` (r06, guide §2.4 "a distinct on data that is
+    already unique"): large_star's duplicate output rows (bounded at
+    one per input edge) don't change groupBy-min, and the relinked
+    duplicates they produce are removed by the FINAL distinct this
+    function already pays for the convergence checksum — the entry
+    distinct was a whole extra (u, v)-keyed exchange per round for
+    set-identical output."""
     directed = (
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .repartition(n_parts, "u")
     )
     mins = directed.groupBy("u").agg(F.min("v").alias("mn"))

@@ -540,11 +540,18 @@ def _ivf_candidate_sims(
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+    # vector/norm carried through the aggregation via first() (all
+    # rows of a group agree) — no join-backs, one exchange total
     per = (
         base.crossJoin(F.broadcast(cdf))
-        .select(F.col(id_col), d2.alias("dist"), F.col("cid"))
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("__norm"),
+            d2.alias("dist"), F.col("cid"),
+        )
         .groupBy(id_col)
         .agg(
+            F.first(vec_col).alias(vec_col),
+            F.first("__norm").alias("__norm"),
             F.min(F.struct("dist", "cid")).alias("__mn"),
             F.slice(
                 F.array_sort(F.collect_list(F.struct("dist", "cid"))),
@@ -553,16 +560,13 @@ def _ivf_candidate_sims(
             ).alias("__pr"),
         )
     )
-    assigned = base.join(
-        per.select(F.col(id_col), F.col("__mn.cid").alias("list_id")),
-        id_col,
-    ).select(
+    assigned = per.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
         F.col("__norm").alias("__cn"),
-        "list_id",
+        F.col("__mn.cid").alias("list_id"),
     )
-    probes = base.join(per.select(F.col(id_col), "__pr"), id_col).select(
+    probes = per.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.col("__norm").alias("__qn"),
@@ -758,10 +762,19 @@ def ivf_topk_portable(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # carry the vector/norm THROUGH the argmin aggregation (first() is
+    # deterministic here — every row of a group carries the same id-
+    # derived value) instead of joining back to base: map-side partial
+    # aggregation collapses the nlist fan-out before the exchange, so
+    # the shuffle is one row per vector and the two join-back stages
+    # (and their AQE round-trips) disappear
     dists = base.crossJoin(F.broadcast(cdf)).select(
-        F.col(id_col), d2.alias("dist"), F.col("cid")
+        F.col(id_col), F.col("__q"), F.col("__nn"),
+        d2.alias("dist"), F.col("cid"),
     )
     per = dists.groupBy(id_col).agg(
+        F.first("__q").alias("__q"),
+        F.first("__nn").alias("__nn"),
         F.min(F.struct("dist", "cid")).alias("__mn"),
         F.slice(
             F.array_sort(F.collect_list(F.struct("dist", "cid"))),
@@ -769,16 +782,13 @@ def ivf_topk_portable(
             nprobe,
         ).alias("__pr"),
     )
-    assigned = base.join(
-        per.select(F.col(id_col), F.col("__mn.cid").alias("list_id")),
-        id_col,
-    ).select(
+    assigned = per.select(
         F.col(id_col).alias("cand_id"),
         F.col("__q").alias("__q2"),
         F.col("__nn").alias("__nn2"),
-        "list_id",
+        F.col("__mn.cid").alias("list_id"),
     )
-    probes = base.join(per.select(F.col(id_col), "__pr"), id_col).select(
+    probes = per.select(
         F.col(id_col).alias("query_id"),
         F.col("__q").alias("__q1"),
         F.col("__nn").alias("__nn1"),
@@ -871,15 +881,22 @@ def semantic_dedup_portable(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    home = (
+    assigned = (
         base.crossJoin(F.broadcast(cdf))
-        .select(F.col(id_col), d2.alias("dist"), F.col("cid"))
+        .select(
+            F.col(id_col), F.col("__q"), F.col("__nn"),
+            d2.alias("dist"), F.col("cid"),
+        )
         .groupBy(id_col)
-        .agg(F.min(F.struct("dist", "cid")).alias("__mn"))
-        .select(F.col(id_col), F.col("__mn.cid").alias("cid"))
-    )
-    assigned = base.join(home, id_col).select(
-        F.col(id_col), "__q", "__nn", "cid"
+        .agg(
+            F.first("__q").alias("__q"),
+            F.first("__nn").alias("__nn"),
+            F.min(F.struct("dist", "cid")).alias("__mn"),
+        )
+        .select(
+            F.col(id_col), "__q", "__nn",
+            F.col("__mn.cid").alias("cid"),
+        )
     )
     a = assigned.select(
         F.col(id_col).alias("id1"),

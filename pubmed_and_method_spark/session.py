@@ -144,6 +144,20 @@ def get_spark(
         # standard setting for AQE-broadcast-heavy pipelines and the
         # driver heap (>=8g) has the headroom.
         .config("spark.driver.maxResultSize", "4g")
+        # r06 (guide §3.1): let AQE rewrite sort-merge to shuffled-hash
+        # at runtime when every build-side partition is small — the
+        # pair double-join then skips two full sorts of the 43M-row
+        # pair table.  This is NOT the r05 SHUFFLE_HASH hint that
+        # measured 86 GB/994 s: the static hint suppressed AQE's
+        # broadcast conversions; the AQE rewrite runs AFTER them and
+        # only where broadcast was already rejected.  128m compressed
+        # per partition (~32 per-task hash builds of a few hundred MB
+        # deserialized) fits both the local 48g JVM and a 20g
+        # local-cluster executor at 8 tasks.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
     )
     if not submit_mode:
         # Launch-time JVM options: settable only when THIS process
