@@ -83,12 +83,19 @@ def generate_pairs(
     Output: (block_key, id1, id2[, carry1..., carry2...]).
     """
     m = members.select(key_col, id_col, *carry_cols)
+    sizes = None
     if max_block_size is not None:
-        sizes = m.groupBy(key_col).agg(F.count("*").alias("__bs"))
-        m = (
-            m.join(F.broadcast(sizes.filter(F.col("__bs") <= max_block_size)), key_col)
-            .drop("__bs")
+        # one sizes aggregation serves BOTH the cap filter and the
+        # adaptive-salt hot-block detection below (r06): the cap
+        # filter doesn't change surviving keys' counts, so the
+        # filtered sizes ARE the capped table's sizes — the second
+        # full groupBy over the member table was pure recompute
+        sizes = (
+            m.groupBy(key_col)
+            .agg(F.count("*").alias("__bs"))
+            .filter(F.col("__bs") <= max_block_size)
         )
+        m = m.join(F.broadcast(sizes.select(key_col)), key_col)
 
     def side(alias: str) -> DataFrame:
         cols = [F.col(id_col).alias(f"{id_col}{alias}")] + [
@@ -116,11 +123,15 @@ def generate_pairs(
     else:
         if adaptive_target is not None:
             # per-block salt: 1 for blocks at/below the target (left
-            # join misses -> coalesce), ceil(n/target) for hot blocks
+            # join misses -> coalesce), ceil(n/target) for hot blocks;
+            # reuse the cap pass's sizes when it ran (same counts)
+            hot_sizes = (
+                sizes
+                if sizes is not None
+                else m.groupBy(key_col).agg(F.count("*").alias("__bs"))
+            )
             hot = (
-                m.groupBy(key_col)
-                .agg(F.count("*").alias("__bs"))
-                .filter(F.col("__bs") > adaptive_target)
+                hot_sizes.filter(F.col("__bs") > adaptive_target)
                 .select(
                     key_col,
                     F.least(
@@ -281,6 +292,13 @@ def lsh_candidate_pairs(
     blocks = blocks.withColumn(
         "block_key", F.concat_ws("_", F.col("band"), F.col("band_key"))
     )
+    # pin (lazy localCheckpoint, per-invocation): generate_pairs
+    # references its member table up to 4x (cap sizes, hot-block
+    # sizes, both salted join sides), and each reference would re-run
+    # the minhash explode + k-mins aggregation upstream — measured
+    # 6.6 s per pass at 33M turns, ~4 recomputes inside a 74.7 s LSH
+    # pairing stage (guide §1.2: don't compute things you throw away)
+    blocks = blocks.localCheckpoint(eager=False)
     pairs = generate_pairs(
         blocks, key_col="block_key", id_col=id_col, num_buckets=num_buckets,
         max_block_size=max_block_size, adaptive_target=adaptive_target,
