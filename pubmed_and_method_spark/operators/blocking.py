@@ -292,13 +292,15 @@ def lsh_candidate_pairs(
     blocks = blocks.withColumn(
         "block_key", F.concat_ws("_", F.col("band"), F.col("band_key"))
     )
-    # pin (lazy localCheckpoint, per-invocation): generate_pairs
-    # references its member table up to 4x (cap sizes, hot-block
-    # sizes, both salted join sides), and each reference would re-run
-    # the minhash explode + k-mins aggregation upstream — measured
-    # 6.6 s per pass at 33M turns, ~4 recomputes inside a 74.7 s LSH
-    # pairing stage (guide §1.2: don't compute things you throw away)
-    blocks = blocks.localCheckpoint(eager=False)
+    # NOT pinned (r06, measured both ways): a lazy localCheckpoint here
+    # halved the isolated LSH pairing stage (74.7 -> 37.2 s — it stops
+    # generate_pairs' ~4 references re-running the minhash aggregation)
+    # but the pinned blocks then sit in the block manager for the REST
+    # of the fused pipeline action, and the evicted execution memory
+    # cost the downstream features/CC stages far more than the saved
+    # recompute (content CC stage 18.3 -> 83.2 s with the pin).  Guide
+    # §5: cached data competes with execution memory — recompute is
+    # the cheaper currency here.
     pairs = generate_pairs(
         blocks, key_col="block_key", id_col=id_col, num_buckets=num_buckets,
         max_block_size=max_block_size, adaptive_target=adaptive_target,

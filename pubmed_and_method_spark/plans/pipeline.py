@@ -354,13 +354,13 @@ def build_candidate_pairs(
         carry_cols=("conv_id",),
         adaptive_target=adaptive_target,
     ).withColumn("split_group", F.col("block_key"))
-    if lsh or phonetic or del1 or snb:
-        # every recovery pass anti-joins against the running pair set
-        # AND the set rides the final union — without a pin the exact
-        # pairing subtree (salted self-join over all blocks) re-runs
-        # once per reference (lazy localCheckpoint: per-invocation,
-        # nothing persists across runs)
-        pairs = pairs.localCheckpoint(eager=False)
+    # The exact pair set is referenced twice when recovery passes run
+    # (anti-join + final union).  A lazy localCheckpoint pin was tried
+    # and REVERTED (r06): the ~2.5 GB of pinned pair rows outlive the
+    # pairing stage inside the fused pipeline action and evict
+    # execution memory from the features/CC stages downstream —
+    # measured net-negative end to end (guide §5), while the saved
+    # recompute is one salted self-join (~5 s at 33M turns).
 
     conv_of = F.substring_index  # mention_id = conv_id#role
     # each member's entity-bearing group key: its exact block key, or a
